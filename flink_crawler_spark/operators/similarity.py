@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference extension for training-data pipelines:
+
+  * brute-force cosine top-k  — exact baseline; one pass, JVM-side
+    arithmetic via higher-order functions (zip_with + aggregate), no UDF.
+  * LSH-bucketed ANN          — random-hyperplane signatures (seeded,
+    deterministic) so candidate sets shrink to one bucket's worth; the
+    scale path for 100 TB (bucket join instead of full scan).
+  * pairwise cosine join      — all-pairs above a threshold via LSH
+    blocking.
+
+Everything stays declarative: the query vector is a literal array
+column, so Catalyst constant-folds it and the scan only reads the
+embedding column (column pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a literal query.
+
+    Compiles to a single scan + TakeOrderedAndProject: no shuffle of the
+    vectors, only of the k winners per partition.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_expr(as_double_array(F.col(vec_col)), q)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def signature_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-LSH signature as a bigint bucket id (JVM-side, no UDF)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(as_double_array(vec), p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only score vectors in the query's LSH bucket
+    (plus Hamming-1 neighbor buckets for recall).
+
+    At 100 TB the bucket column is a partition/bucketing key on the
+    embeddings table, so this prunes the scan itself.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.array(query_vec)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        qsig |= (1 if float(qv @ plane) >= 0 else 0) << i
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe
+
+    with_sig = embeddings.withColumn("bucket", signature_expr(F.col(vec_col), planes))
+    candidates = with_sig.filter(F.col("bucket").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_expr(as_double_array(F.col(vec_col)), q)
+    return (
+        candidates.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, LSH-blocked (no cross join)."""
+    planes = hyperplanes_from_df_dim(embeddings, vec_col, n_planes, seed)
+    with_sig = embeddings.select(
+        F.col(id_col), F.col(vec_col), signature_expr(F.col(vec_col), planes).alias("bucket")
+    )
+    a = with_sig.alias("a")
+    b = with_sig.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(
+                as_double_array(F.col(f"a.{vec_col}")), as_double_array(F.col(f"b.{vec_col}"))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= F.lit(threshold)).distinct()
+
+
+def hyperplanes_from_df_dim(
+    embeddings: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> np.ndarray:
+    dim = len(embeddings.select(vec_col).head()[0])
+    return hyperplanes(dim, n_planes, seed)

@@ -1,0 +1,43 @@
+"""Query-pair registry plumbing."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryPair:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, QueryPair] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryPair(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table (plain parquet scan -> full pushdown)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_millis(col):
+    """Epoch millis from a parquet TIMESTAMP_NTZ column (UTC session)."""
+    from pyspark.sql import functions as F
+
+    return F.unix_millis(col.cast("timestamp_ltz"))
+
+
+# events.ts arrives as BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong)
+EV_MS = "ts div 1000000"   # epoch millis  (== duckdb epoch_ms(ts))
+EV_SEC = "ts div 1000000000"  # epoch secs (== duckdb epoch_ms(ts)//1000)

@@ -1,0 +1,456 @@
+"""Crawler relational core over the star-schema testdata.
+
+Each query exercises one operator family from SURVEY.md §2 on a
+deterministic crawl-shaped view derived from ``lineitem`` (both engines
+build the identical view, so value hashes must match):
+
+    url    = http://d{l_suppkey%50}.example.com/p/{l_partkey%500}
+    pld    = d{l_suppkey%50}.example.com
+    status = R->FETCHED, A->HTTP_NOT_FOUND, N->UNFETCHED
+    score  = l_quantity/10,  status_time = epoch_ms(l_shipdate)
+
+~60k observations over ~25k distinct URLs at sf0.01 -> real merge
+collisions. Doubles that pass through arithmetic are rounded to 6
+decimals on output so parallel-sum ordering can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_crawl_state
+from .base import EV_MS, EV_SEC, register, t, ts_millis
+
+# --------------------------------------------------------------------------
+# shared crawl-observation view
+# --------------------------------------------------------------------------
+
+OBS_SQL = """
+obs AS (
+  SELECT 'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+         'd' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com' AS pld,
+         CASE l_returnflag WHEN 'R' THEN 'FETCHED'
+                           WHEN 'A' THEN 'HTTP_NOT_FOUND'
+                           ELSE 'UNFETCHED' END AS status,
+         epoch_ms(l_shipdate) AS status_time,
+         l_quantity / 10 AS score,
+         epoch_ms(l_shipdate) + 86400000 AS next_fetch_time
+  FROM lineitem
+)
+"""
+
+MERGED_SQL = """
+agg AS (
+  SELECT url, min(pld) AS pld,
+         max(CASE WHEN status <> 'UNFETCHED' THEN 1 ELSE 0 END) AS has_nf,
+         sum(CASE WHEN status = 'UNFETCHED' THEN score END) AS uf_score,
+         max(CASE WHEN status = 'UNFETCHED' THEN status_time END) AS uf_time,
+         min(CASE WHEN status = 'UNFETCHED' THEN next_fetch_time END) AS uf_nft
+  FROM obs GROUP BY url
+),
+winner AS (
+  SELECT url, status, status_time, score, next_fetch_time
+  FROM (SELECT url, status, status_time, score, next_fetch_time,
+               row_number() OVER (PARTITION BY url
+                   ORDER BY status_time DESC, status DESC, score DESC,
+                            next_fetch_time DESC) AS rn
+        FROM obs WHERE status <> 'UNFETCHED') r
+  WHERE rn = 1
+),
+merged AS (
+  SELECT a.url, a.pld,
+         CASE WHEN a.has_nf = 1 THEN w.status ELSE 'UNFETCHED' END AS status,
+         CASE WHEN a.has_nf = 1 THEN w.status_time ELSE a.uf_time END AS status_time,
+         CASE WHEN a.has_nf = 1 THEN w.score ELSE a.uf_score END AS score,
+         CASE WHEN a.has_nf = 1 THEN w.next_fetch_time ELSE a.uf_nft END AS next_fetch_time
+  FROM agg a LEFT JOIN winner w ON a.url = w.url
+)
+"""
+
+
+def crawl_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    st = ts_millis(F.col("l_shipdate"))
+    return li.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("l_suppkey") % 50).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("l_partkey") % 500).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("d"), (F.col("l_suppkey") % 50).cast("string"), F.lit(".example.com")
+        ).alias("pld"),
+        F.when(F.col("l_returnflag") == "R", "FETCHED")
+        .when(F.col("l_returnflag") == "A", "HTTP_NOT_FOUND")
+        .otherwise("UNFETCHED")
+        .alias("status"),
+        st.alias("status_time"),
+        (F.col("l_quantity") / 10).alias("score"),
+        (st + F.lit(86400000)).alias("next_fetch_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 merge lattice (DefaultUrlStateMerger as one hash aggregation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "crawl_merge_lattice",
+    oracle=f"""
+WITH {OBS_SQL.strip().rstrip()}, {MERGED_SQL.strip()}
+SELECT url, pld, status, status_time, round(score, 6) AS score, next_fetch_time
+FROM merged
+""",
+)
+def crawl_merge_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    return merged.select(
+        "url", "pld", "status", "status_time", F.round("score", 6).alias("score"), "next_fetch_time"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 FetchQueue: global top-k admission (T1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "frontier_topk",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()},
+eligible AS (
+  SELECT url, pld, round(score, 6) AS score
+  FROM merged
+  WHERE status = 'UNFETCHED' AND score >= 2.0
+),
+capped AS (
+  SELECT url, pld, score,
+         row_number() OVER (PARTITION BY pld ORDER BY score DESC, url ASC) AS rn
+  FROM eligible
+)
+SELECT url, pld, score
+FROM capped WHERE rn <= 10
+ORDER BY score DESC, url ASC
+LIMIT 200
+""",
+)
+def frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchQueue semantics (utils/FetchQueue.java:51-100): min-score +
+    UNFETCHED-only admission, per-domain cap (MAX_IN_FLIGHT_URLS), global
+    score-descending bounded queue. TakeOrderedAndProject — no full sort.
+    """
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    eligible = merged.filter((F.col("status") == "UNFETCHED") & (F.col("score") >= 2.0)).select(
+        "url", "pld", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy("pld").orderBy(F.col("score").desc(), F.col("url").asc())
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy(F.col("score").desc(), F.col("url").asc())
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 score-proportional per-domain quotas (UrlDBFunction timer policy)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "frontier_domain_quota",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()},
+domain_scores AS (
+  SELECT pld, greatest(avg(score), 0.01) AS dscore FROM merged GROUP BY pld
+),
+quotas AS (
+  SELECT pld, greatest(1, CAST(round(1000 * dscore / sum(dscore) OVER ()) AS BIGINT)) AS quota
+  FROM domain_scores
+),
+eligible AS (
+  SELECT m.url, m.pld, round(m.score, 6) AS score, q.quota
+  FROM merged m JOIN quotas q ON m.pld = q.pld
+  WHERE m.status = 'UNFETCHED'
+)
+SELECT url, pld, score
+FROM (SELECT url, pld, score, quota,
+             row_number() OVER (PARTITION BY pld ORDER BY score DESC, url ASC) AS rn
+      FROM eligible) x
+WHERE rn <= quota
+""",
+)
+def frontier_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of the score-scaled per-domain poll interval
+    (UrlDBFunction.java:333-351): per-domain admission quota proportional
+    to the domain's average score. Quota table is tiny -> broadcast join.
+    """
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    dscores = merged.groupBy("pld").agg(F.greatest(F.avg("score"), F.lit(0.01)).alias("dscore"))
+    total = Window.partitionBy()
+    quotas = dscores.select(
+        "pld",
+        F.greatest(
+            F.lit(1), F.round(F.lit(1000) * F.col("dscore") / F.sum("dscore").over(total)).cast("long")
+        ).alias("quota"),
+    )
+    eligible = (
+        merged.filter(F.col("status") == "UNFETCHED")
+        .join(F.broadcast(quotas), "pld")
+        .select("url", "pld", F.round("score", 6).alias("score"), "quota")
+    )
+    w = Window.partitionBy("pld").orderBy(F.col("score").desc(), F.col("url").asc())
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("url", "pld", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 G1 moving average (MovingAverageFunction: last-10 count window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "moving_avg_10",
+    oracle="""
+SELECT event_id,
+       user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+""",
+)
+def moving_avg_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return ev.select("event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("moving_avg"))
+
+
+# --------------------------------------------------------------------------
+# §2.12 J4 politeness as-of lag (FetchUrlsFunction.java:88-97)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "politeness_lag",
+    oracle="""
+SELECT event_id,
+       user_id,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+       coalesce(epoch_ms(ts) - lag(epoch_ms(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) < 60000, FALSE) AS violates_delay
+FROM events
+""",
+)
+def politeness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr(EV_MS)
+    gap = ms - F.lag(ms).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        gap.alias("gap_ms"),
+        F.coalesce(gap < 60000, F.lit(False)).alias("violates_delay"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 G4 fetch-rate gauge (TimedCounter 30 s ring buffer)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rate_window_30s",
+    oracle="""
+SELECT event_id,
+       event_type,
+       count(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts) // 1000
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30s
+FROM events
+""",
+)
+def rate_window_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    epoch = F.expr(EV_SEC)
+    w = Window.partitionBy("event_type").orderBy(epoch).rangeBetween(-30, 0)
+    return ev.select("event_id", "event_type", F.count(F.lit(1)).over(w).alias("n_last_30s"))
+
+
+# --------------------------------------------------------------------------
+# §2.9 G3 status counters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "status_counts",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()}
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM merged GROUP BY status
+""",
+)
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    return merged.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# §2.11 O1/O2 union of outlink streams + dedup-by-url (O3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_outlinks_merge",
+    oracle="""
+WITH o1 AS (
+  SELECT 'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+         l_quantity / 10 AS score
+  FROM lineitem
+),
+o2 AS (
+  SELECT 'http://d' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(o_orderkey % 500 AS VARCHAR) AS url,
+         o_totalprice / 100000 AS score
+  FROM orders
+),
+u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2)
+SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CAST(round(score, 8) AS DECIMAL(28,8))) AS DOUBLE) AS total_score
+FROM u GROUP BY url
+""",
+)
+def union_outlinks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink-stream union (CTB:425-429) + URL-DB score accumulation:
+    unionByName then one aggregation — scores sum exactly as the
+    UNFETCHED merge lattice accumulates link scores.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    o1 = li.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("l_suppkey") % 50).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("l_partkey") % 500).cast("string"),
+        ).alias("url"),
+        (F.col("l_quantity") / 10).alias("score"),
+    )
+    o2 = od.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("o_orderkey") % 500).cast("string"),
+        ).alias("url"),
+        (F.col("o_totalprice") / 100000).alias("score"),
+    )
+    return (
+        o1.unionByName(o2)
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.round("score", 8).cast("decimal(28,8)")).cast("double").alias("total_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.10 T2 outlink cap (top-k per page)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "outlink_cap",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem) x
+WHERE rn <= 5
+""",
+)
+def outlink_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxOutlinksPerPage (ParseFunction.java:104-126): keep the k
+    best-scoring outlinks per page — one window, shuffle on page key."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 P5 content-text TSV formatter
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tsv_content_lines",
+    oracle=r"""
+SELECT doc_id,
+       'http://doc.example.com/' || CAST(doc_id AS VARCHAR) || chr(9)
+           || regexp_replace(text, '[\t\r\n]', ' ', 'g') AS line
+FROM documents
+""",
+)
+def tsv_content_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url \\t text with tabs/CR/LF squashed (CTB:441-453, pattern :81)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://doc.example.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\t"),
+            F.regexp_replace("text", r"[\t\r\n]", " "),
+        ).alias("line"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization (lag + cumulative sum — streaming-adjacent batch op)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr(EV_MS)
+    new_session = F.when(
+        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > 3600000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,159 @@
+"""Deduplication queries over the documents table.
+
+All hashes are md5-based so the DuckDB oracle reproduces Spark's values
+bit-for-bit (no engine-private hash functions in any compared output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+)
+from .base import register, t
+
+# word tokens with the same split the Spark-side operators use
+DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# distinct word 3-gram shingles
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+NUM_HASHES = 8
+BANDS = 4
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content digest -> keep lowest doc_id (one shuffle of
+    (digest, id) pairs only — the documents themselves never move)."""
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def _sigs_sql() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS mh{k}" for k in range(NUM_HASHES)
+    )
+    return f"""
+toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM toks),
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH {_sigs_sql().strip()}
+SELECT * FROM sigs
+""",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+
+
+def _buckets_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    unions = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        unions.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+    return "\nUNION ALL\n".join(unions)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=f"""
+WITH {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id
+""",
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidates only materialize inside band
+    buckets (equi-join on (band, band_hash)) — never O(n^2)."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    return lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) x)
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN shs a ON p.id_a = a.doc_id
+JOIN shs b ON p.id_b = b.doc_id
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates (the verify
+    stage of MinHash+LSH near-dup)."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    j = ngram_jaccard(docs, pairs, shingle_n=3)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_sql() -> str:
+    vote_cols = ",\n         ".join(
+        f"sum(((hv >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})" for i in range(60))
+    return f"""
+toks AS (SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash
+FROM votes
+"""
+
+
+@register("doc_simhash", oracle=f"WITH {_simhash_sql().strip()}")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (token-count weighted)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash64(docs)

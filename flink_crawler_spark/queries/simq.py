@@ -1,0 +1,134 @@
+"""Similarity-search queries over the embeddings table (64-dim float).
+
+For oracle-compared queries the dot products are generated as explicit
+64-term left-associated sums — textually identical arithmetic in both
+engines, so the IEEE-754 results match bit-for-bit (no reliance on
+either engine's reduction order). LSH-bucketed ANN variants are
+engine-internal approximations -> rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ann_topk_lsh, embedding_near_dup_pairs
+from .base import register, t
+
+DIM = 64
+TOPK = 20
+# the synthetic embeddings top out around cosine 0.51 pairwise; 0.35
+# yields a few hundred "near-dup" pairs at every sf
+PAIR_THRESHOLD = 0.35
+
+
+def _dot_sql(a: str, b: str, base: int) -> str:
+    return " + ".join(
+        f"CAST({a}[{i + base}] AS DOUBLE) * CAST({b}[{i + base}] AS DOUBLE)" for i in range(DIM)
+    )
+
+
+def _dot_sql_nocast(a: str, b: str, base: int) -> str:
+    return " + ".join(f"{a}[{i + base}] * {b}[{i + base}]" for i in range(DIM))
+
+
+def _norm_sql(a: str, base: int) -> str:
+    return (
+        "sqrt(" \
+        + " + ".join(
+            f"CAST({a}[{i + base}] AS DOUBLE) * CAST({a}[{i + base}] AS DOUBLE)"
+            for i in range(DIM)
+        )
+        + ")"
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(({_dot_sql('e.embedding', 'q.qv', 1)})
+             / (({_norm_sql('e.embedding', 1)}) * ({_norm_sql('q.qv', 1)})), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+""",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-k against the vec_id=0
+    query vector. One scan + TakeOrderedAndProject; the query row is a
+    broadcast (1-row cross join)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.crossJoin(F.broadcast(q))
+    cosine = F.expr(
+        f"round(({_dot_sql('embedding', 'qv', 0)})"
+        f" / (({_norm_sql('embedding', 0)}) * ({_norm_sql('qv', 0)})), 6)"
+    )
+    return (
+        joined.select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+@register(
+    "cosine_pairs_bruteforce",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         {_norm_sql('embedding', 1)} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_dot_sql_nocast('a.emb', 'b.emb', 1)}) / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(({_dot_sql_nocast('a.emb', 'b.emb', 1)}) / (a.nrm * b.nrm), 6) >= {PAIR_THRESHOLD}
+""",
+)
+def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= threshold). The O(n^2)
+    oracle shape for correctness; the LSH-blocked variant below is the
+    scale path. Norms are factored out per vector (n sqrt's instead of
+    n^2) — same arithmetic in the oracle so values stay bit-identical.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        F.expr(_norm_sql("embedding", 0)).alias("nrm"),
+    ).persist()
+    # repartition the streamed side: the small parquet arrives as ONE
+    # partition and a BroadcastNestedLoopJoin would otherwise run the
+    # whole O(n^2) scoring on a single core
+    a = e.repartition(32).alias("a")
+    b = e.alias("b")
+    cosine = F.expr(f"round(({_dot_sql_nocast('a.emb', 'b.emb', 0)}) / (a.nrm * b.nrm), 6)")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .persist()  # barrier: otherwise the filter is pushed into the join
+        # condition and the 64-term dot is evaluated twice per pair
+    )
+    return pairs.filter(F.col("cosine") >= PAIR_THRESHOLD)
+
+
+@register("ann_topk_lsh")  # rows-only: LSH candidate set is engine-internal
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucket + multi-probe (scale path:
+    the bucket becomes a partition key at 100 TB, pruning the scan)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_topk_lsh(emb, qvec, k=TOPK, n_planes=8, seed=42)
+
+
+@register("embedding_near_dup_lsh")  # rows-only: LSH blocking is engine-internal
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=PAIR_THRESHOLD, n_planes=8, seed=42)

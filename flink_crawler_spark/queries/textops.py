@@ -1,0 +1,182 @@
+"""Text-analysis queries over the documents table.
+
+Oracle mirrors are generated from the same constants
+(functions/text.py LANG_STOPWORDS) so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    fingerprint_expr,
+    lang_id_expr,
+    mean_word_len_expr,
+    min_shingle_fingerprint_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    tokens_expr,
+)
+from .base import register, t
+
+TOKEN_SPLIT_RE = r"[^a-z0-9À-ɏ一-鿿]+"
+
+# DuckDB token list expression over a column named `text`
+DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '" + TOKEN_SPLIT_RE + "'), x -> x <> '')"
+)
+
+
+def _stops_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang]) + "]"
+
+
+@register(
+    "doc_token_count",
+    oracle=f"""
+SELECT doc_id, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+FROM documents
+""",
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+
+
+@register(
+    "doc_quality_features",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {DUCK_TOKS} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars_actual,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         text
+  FROM documents
+),
+feats2 AS (
+  SELECT doc_id, n_chars_actual, punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains({_stops_sql('en')}, x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len
+  FROM feats
+)
+SELECT doc_id, n_chars_actual, round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_word_len, 6) AS mean_word_len
+FROM feats2
+""",
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(punct_ratio_expr(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(mean_word_len_expr(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {DUCK_TOKS} AS toks,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS len_score,
+         greatest(1.0 - punct_ratio * 4, 0.0) AS punct_pen,
+         least(CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains({_stops_sql('en')}, x))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END * 5, 1.0) AS stop_score,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mwl
+  FROM feats
+)
+SELECT doc_id,
+       round(len_score * punct_pen * (0.5 + stop_score / 2)
+             * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM parts
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def _lang_id_sql() -> str:
+    score = lambda lang: (
+        f"len(list_filter(toks, x -> list_contains({_stops_sql(lang)}, x)))"
+    )
+    return f"""
+WITH sc AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {score('en')} AS s_en, {score('de')} AS s_de,
+         {score('es')} AS s_es, {score('fr')} AS s_fr
+  FROM (SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM documents) d
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS detected_lang
+FROM sc
+"""
+
+
+@register("doc_lang_id", oracle=_lang_id_sql())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language heuristic (TikaCallable.java:241-269
+    cascade reduced to its statistical core). Tie-break: en>de>es>fr."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_expr(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fingerprint,
+       list_min(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                               i -> md5(array_to_string(toks[i:i+4], ' ')))) AS min_shingle_fp
+FROM toks
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-insensitive content digest + winnowing-lite min-shingle
+    fingerprint (rolling-hash document signature)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+        min_shingle_fingerprint_expr(F.col("text"), 5).alias("min_shingle_fp"),
+    )

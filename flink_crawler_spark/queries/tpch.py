@@ -1,0 +1,169 @@
+"""Join suite + flagship aggregation over the star schema.
+
+The reference has no relational equi-joins (SURVEY §2.12) but the Spark
+engine implements/tests the standard suite: broadcast dimension chains,
+semi/anti for frontier-vs-seen dedup, and the TPC-H-Q1-shaped pricing
+summary as the flagship aggregate.
+
+Sums of doubles go through DECIMAL internally (order-independent, exact)
+and come out as DOUBLE so both engines hash identically regardless of
+parallel aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+# exact, order-independent sum of a double expression: round to 6dp,
+# sum as decimal, expose as double
+def _dsum(col, alias):
+    return (
+        F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (one scan, one shuffle,
+    map-side partial aggregation; the shipdate filter pushes into the
+    parquet scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+SELECT r.r_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension chain (J2 analogue): every dim side is small ->
+    Catalyst broadcasts; the only shuffle is the final tiny groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "seen_urls_semi_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def seen_urls_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI — the 'already-seen frontier' membership check."""
+    cu = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "new_urls_anti_join",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+""",
+)
+def new_urls_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI — 'never-seen URLs' (new outlinks not in the URL DB)."""
+    cu = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "orders_priority_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY o_orderpriority, o_orderstatus
+""",
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.filter(F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "total"))
+    )
+
+
+@register(
+    "topk_orders_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (FetchQueue T1 shape on raw data) ->
+    TakeOrderedAndProject, no full sort at any scale."""
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
