@@ -1,0 +1,112 @@
+"""Dedup + similarity operator semantics on tiny controlled corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_crawler_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    ngram_jaccard,
+    simhash64,
+)
+from flink_crawler_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest while the dog sleeps"
+)
+
+
+def docs_df(spark):
+    rows = [
+        (1, DOC),
+        (2, DOC),  # exact dup of 1
+        (3, DOC.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    got = {r["digest"]: r for r in exact_dedup(docs_df(spark)).collect()}
+    assert len(got) == 3  # 1&2 collapse
+    dupes = [r for r in got.values() if r["n_dupes"] == 2]
+    assert len(dupes) == 1 and dupes[0]["keep_id"] == 1
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs_df(spark)).collect()}
+    for k in range(8):
+        assert sigs[1][f"mh{k}"] == sigs[2][f"mh{k}"]
+    # different doc -> different signature on at least one hash
+    assert any(sigs[1][f"mh{k}"] != sigs[4][f"mh{k}"] for k in range(8))
+
+
+def test_lsh_finds_near_dups_not_distinct_docs(spark):
+    df = docs_df(spark)
+    sigs = minhash_signatures(df)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = docs_df(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(df, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] == 0.0
+
+
+def test_near_dup_pipeline_end_to_end(spark):
+    got = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(docs_df(spark), threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs_df(spark)).collect()}
+    assert fps[1] == fps[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**63 - 1)).count("1")
+
+    assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[4])
+
+
+def vectors_df(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    got = cosine_topk(vectors_df(spark), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert abs(got[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_ann_lsh_recovers_exact_top1(spark):
+    got = ann_topk_lsh(vectors_df(spark), [1.0, 0.0, 0.0], k=2, n_planes=4).collect()
+    assert got and got[0]["vec_id"] == 1
+
+
+def test_embedding_near_dup_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(vectors_df(spark), threshold=0.95, n_planes=4).collect()
+    }
+    assert (1, 2) in got
+    assert all({a, b} != {1, 5} for a, b in got)
