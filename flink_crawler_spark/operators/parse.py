@@ -1,0 +1,135 @@
+"""Parse stage: text/title/outlink extraction from fetched pages.
+
+Reference: ``functions/ParseFunction.java:22-128`` (+
+``parser/SimplePageParser.java``, ``parser/TikaCallable.java``,
+``parser/SimpleLinkExtractor.java``) — per fetched page: extract text,
+title, language, outlinks (``<a href>`` only, honoring ``<meta
+name=robots content=nofollow>``), score the page (pluggable
+BasePageScorer, default all-1.0), score each outlink page_score/n,
+sort outlinks by score and cap at maxOutlinksPerPage; 4 outputs
+(parsed, status, outlinks, domain score).
+
+Spark-first: HTML-lite extraction is pure regexp (JVM codegen, no UDF);
+the four side outputs are four ``select``s off one cached parsed frame.
+A Tika-grade parser would slot in as a mapInPandas over the same
+schema — the plumbing (not the parser) is what the engine defines.
+
+Page scorers (``focused/BasePageScorer.java:10-19``):
+  * all_equal_scorer  — constant 1.0 (``focused/AllEqualPageScorer.java``)
+  * title_scorer      — reads the score back from the rendered title, the
+    fixture trick the reference's focused-crawl test uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_OUTLINKS_PER_PAGE = 50  # parser/SimpleLinkExtractor.java:13
+
+HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+TITLE_RE = r"<title>(.*?)</title>"
+NOFOLLOW_RE = r'<meta\s+name="?robots"?\s+content="?[^">]*nofollow'
+TAG_RE = r"<[^>]+>"
+
+PageScorer = Callable[[], Column]
+
+
+def all_equal_scorer() -> Column:
+    return F.lit(1.0)
+
+
+def title_scorer() -> Column:
+    """Read the score from the page title (fixture pages encode it)."""
+    title = F.regexp_extract(F.col("__text"), TITLE_RE, 1)
+    return F.coalesce(
+        F.regexp_extract(title, r"score=([0-9.eE+-]+)", 1).cast("double"), F.lit(1.0)
+    )
+
+
+def parse_pages(
+    fetch_results: DataFrame,
+    *,
+    scorer: PageScorer = all_equal_scorer,
+    max_outlinks: int = MAX_OUTLINKS_PER_PAGE,
+) -> DataFrame:
+    """Parse FETCHED pages into one wide row each.
+
+    Output columns: url, pld, title, parsed_text, language, score,
+    outlinks (array<string>, nofollow-aware, capped), n_outlinks.
+
+    Only FETCHED rows with content parse (ParseFunction.java:61-65 —
+    non-FETCHED short-circuits *before* the expensive stage).
+    """
+    fetched = fetch_results.filter(
+        (F.col("status") == "FETCHED") & F.col("content").isNotNull()
+    ).withColumn("__text", F.decode(F.col("content"), "UTF-8"))
+
+    title = F.regexp_extract(F.col("__text"), TITLE_RE, 1)
+    nofollow = F.col("__text").rlike(NOFOLLOW_RE)
+    raw_links = F.regexp_extract_all(F.col("__text"), F.lit(HREF_RE), F.lit(1))
+    outlinks = F.when(nofollow, F.array().cast("array<string>")).otherwise(
+        F.slice(F.array_distinct(raw_links), 1, max_outlinks)
+    )
+    body_text = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("__text"), TAG_RE, " "), r"\s+", " ")
+    )
+
+    return fetched.select(
+        "url",
+        "pld",
+        title.alias("title"),
+        body_text.alias("parsed_text"),
+        F.lit("en").alias("language"),
+        scorer().alias("score"),
+        outlinks.alias("outlinks"),
+        F.size(outlinks).alias("n_outlinks"),
+        F.col("status_time"),
+    )
+
+
+def parsed_output(parsed: DataFrame) -> DataFrame:
+    """Main ParsedUrl output — only pages with score > 0
+    (zero-score content gate, ParseFunction.java:92-96)."""
+    return parsed.filter(F.col("score") > 0).select(
+        "url", "pld", "parsed_text", "language", "title", "score"
+    )
+
+
+def outlink_output(parsed: DataFrame) -> DataFrame:
+    """Outlink side output: score = page_score / n_outlinks
+    (SimplePageParser.java:195-199), one row per link."""
+    per_link_score = F.col("score") / F.greatest(F.col("n_outlinks"), F.lit(1))
+    return parsed.select(
+        F.col("url").alias("source_url"),
+        F.explode("outlinks").alias("url"),
+        per_link_score.alias("score"),
+    ).select("source_url", "url", F.lit(None).cast("string").alias("anchor_text"), "score")
+
+
+def domain_score_output(parsed: DataFrame) -> DataFrame:
+    """DomainScore side output (ParseFunction.java:102)."""
+    return parsed.select("pld", F.col("score").alias("score"))
+
+
+def tsv_output(parsed: DataFrame) -> DataFrame:
+    """url \\t text lines with tab/CR/LF squashed (CTB:441-453)."""
+    return parsed.select(
+        F.concat_ws(
+            "\t", F.col("url"), F.regexp_replace(F.col("parsed_text"), "[\\t\\r\\n]", " ")
+        ).alias("line")
+    )
+
+
+def parse_sitemaps(fetch_results: DataFrame, sitemap_entries: DataFrame) -> DataFrame:
+    """Sitemap parse (ParseSiteMapFunction.java:15-56) as a join against
+    the sitemap-entries table: FETCHED sitemap URLs yield their entries
+    as ExtractedUrl rows (score 1.0)."""
+    fetched = fetch_results.filter(F.col("status") == "FETCHED").select(F.col("url").alias("s_url"))
+    return (
+        fetched.join(sitemap_entries, fetched["s_url"] == sitemap_entries["sitemap_url"])
+        .select(F.col("entry_url").alias("url"), F.lit(1.0).alias("score"))
+        .distinct()
+    )

@@ -1,0 +1,284 @@
+"""The crawl engine: a driver-side micro-batch loop over a state table.
+
+This is the Spark-first re-architecture of the reference's whole topology
+(``topology/CrawlTopologyBuilder.java:250-466``). Flink runs ONE
+always-on streaming job with two cyclic feedback edges
+(``IterativeStream``); Spark has no stream cycles, so the iteration
+moves into the driver (SURVEY §7): each tick is a pure batch dataflow
+over the persisted ``crawl_state`` DataFrame, and the feedback edge is
+the ``merge_updates`` fold back into it.
+
+    tick:  frontier  = select_frontier(crawl_state)        # §2.5/2.6
+           routed    = robots check (broadcast rules join)  # A1/F2/F3
+           split     = politeness slots per pld             # A2/J4
+           results   = fetch (mock join | mapInPandas HTTP) # A2
+           parsed    = parse + 4 outputs                    # U1
+           sitemapped= sitemap entries join                 # U2
+           updates   = status ∪ blocked ∪ crawldelay ∪ cleaned outlinks
+           crawl_state = merge_updates(crawl_state, updates)  # O2/§2.5
+
+Termination (``config/CrawlTerminator`` analogue): empty frontier, no
+state change (idle), max ticks, or wall-clock budget.
+
+The per-operator URL trace mirrors the reference's test oracle
+(``utils/UrlLogger`` + assertUrlLoggedBy,
+``src/test/.../topology/CrawlTopologyTest.java:140-145``) as a
+DataFrame: (tick, operator, url).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import is_valid_url_expr, normalize_url_lite_expr, pld_expr
+from ..operators.fetch import (
+    crawldelay_status_updates,
+    fetch_status_updates,
+    mock_fetch,
+    politeness_split,
+)
+from ..operators.frontier import select_frontier
+from ..operators.lengthen import lengthen_urls
+from ..operators.merge import OBS_COLS, merge_crawl_state, merge_updates
+from ..operators.parse import (
+    PageScorer,
+    all_equal_scorer,
+    domain_score_output,
+    outlink_output,
+    parse_pages,
+    parse_sitemaps,
+    parsed_output,
+)
+from ..operators.robots import (
+    blocked_status_updates,
+    check_urls_against_robots,
+    robots_sitemap_urls,
+)
+
+
+@dataclass
+class CrawlConfig:
+    """Mirror of the CLI surface (``tools/CrawlToolOptions.java:33-143``)."""
+
+    max_ticks: int = 10
+    max_duration_sec: float = 300.0
+    max_queue_size: int = 10_000  # CTB:98 FetchQueue capacity
+    max_per_domain: int = 100  # UrlDBFunction.java:54 MAX_IN_FLIGHT_URLS
+    min_fetch_score: float = 0.0  # focused-crawl threshold
+    default_crawl_delay_ms: int = 10_000  # CTB:93
+    force_crawl_delay_ms: int | None = None
+    tick_ms: int = 100_000  # politeness window per tick
+    refetch_interval_ms: int = 365 * 86_400_000  # effectively fetch-once
+    max_outlinks: int = 50  # -maxoutlinks
+    agent: str = "flink-crawler"
+    trace: bool = True  # UrlLogger analogue
+
+
+@dataclass
+class CrawlResult:
+    crawl_state: DataFrame
+    parsed: DataFrame | None
+    trace: DataFrame | None
+    ticks: int = 0
+    stats: list[dict] = field(default_factory=list)
+
+
+def clean_urls(raw: DataFrame, redirects: DataFrame | None = None) -> DataFrame:
+    """cleanUrls (CTB:475-484): lengthen -> normalize -> validate -> state rows.
+
+    Input: (url, score). Output: valid, normalized URLs only (invalid
+    URLs are dropped exactly as ValidUrlsFilter drops them).
+    """
+    df = raw
+    if redirects is not None:
+        df = lengthen_urls(df, redirects)
+    df = df.withColumn("url", normalize_url_lite_expr(F.col("url")))
+    df = df.filter(is_valid_url_expr(F.col("url")))
+    return df.withColumn("pld", pld_expr(F.col("url")))
+
+
+def seeds_to_state(clean: DataFrame, *, now_ms: int) -> DataFrame:
+    """ValidUrlsFilter conversion: survivors become UNFETCHED rows
+    (``functions/ValidUrlsFilter.java:16-47``)."""
+    return clean.select(
+        "url",
+        "pld",
+        F.lit("UNFETCHED").alias("status"),
+        F.lit(now_ms).alias("status_time"),
+        F.coalesce(F.col("score"), F.lit(1.0)).alias("score"),
+        F.lit(now_ms).alias("next_fetch_time"),
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    *,
+    pages: DataFrame,
+    robots_rules: DataFrame | None = None,
+    sitemap_entries: DataFrame | None = None,
+    redirects: DataFrame | None = None,
+    config: CrawlConfig | None = None,
+    scorer: PageScorer = all_equal_scorer,
+    start_ms: int = 1_700_000_000_000,
+) -> CrawlResult:
+    """Run the crawl loop against fixture/service tables until idle.
+
+    ``pages`` is the rendered-pages table (mock web). Real-HTTP mode
+    swaps ``mock_fetch`` for ``http_fetch`` — every other stage is
+    identical, exactly like swapping BaseHttpFetcherBuilder in the
+    reference.
+    """
+    cfg = config or CrawlConfig()
+    empty_rules = robots_rules is None
+    if empty_rules:
+        robots_rules = spark.createDataFrame(
+            [], "host_root string, disallow array<string>, allow array<string>, "
+            "crawl_delay_ms long, sitemaps array<string>"
+        )
+
+    now_ms = start_ms
+    trace_frames: list[DataFrame] = []
+    parsed_frames: list[DataFrame] = []
+    stats: list[dict] = []
+
+    def record(tick: int, operator: str, df: DataFrame, url_col: str = "url"):
+        if cfg.trace:
+            trace_frames.append(
+                df.select(
+                    F.lit(tick).alias("tick"),
+                    F.lit(operator).alias("operator"),
+                    F.col(url_col).alias("url"),
+                )
+            )
+
+    # seed ingestion (tick 0)
+    cleaned = clean_urls(seeds, redirects)
+    record(0, "seed", cleaned)
+    # merge immediately: distinct seeds can normalize to the same URL
+    # (scores sum, exactly the UNFETCHED lattice)
+    crawl_state = merge_crawl_state(
+        seeds_to_state(cleaned, now_ms=now_ms)
+    ).localCheckpoint(eager=True)
+
+    # Sitemap URLs advertised by robots go straight to the sitemap fetch
+    # path (CTB:325-350: the `sitemap` split bypasses the URL DB). With
+    # table-backed sitemaps, fetch+parse collapses to one join.
+    robots_sitemap_entries = None
+    if not empty_rules and sitemap_entries is not None:
+        sm_urls = robots_sitemap_urls(robots_rules)
+        robots_sitemap_entries = sm_urls.join(
+            sitemap_entries, sm_urls["url"] == sitemap_entries["sitemap_url"]
+        ).select(F.col("entry_url").alias("url"), F.lit(1.0).alias("score"))
+
+    deadline = time.time() + cfg.max_duration_sec
+    tick = 0
+    while tick < cfg.max_ticks and time.time() < deadline:
+        tick += 1
+        now_ms += cfg.tick_ms
+
+        frontier = select_frontier(
+            crawl_state,
+            now_ms=now_ms,
+            max_queue_size=cfg.max_queue_size,
+            min_fetch_score=cfg.min_fetch_score,
+            max_per_domain=cfg.max_per_domain,
+        ).localCheckpoint(eager=True)  # frontier is reused by many branches
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        record(tick, "frontier", frontier)
+
+        # A1: robots routing
+        routed = check_urls_against_robots(
+            frontier,
+            robots_rules,
+            force_crawl_delay_ms=cfg.force_crawl_delay_ms,
+            default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+        )
+        blocked = blocked_status_updates(routed, now_ms=now_ms)
+        record(tick, "robots_blocked", blocked)
+        passed = routed.filter(F.col("route") == "passed").drop("route")
+        record(tick, "robots_passed", passed)
+
+        # A2/J4: politeness slots. Over-quota URLs surface as
+        # SKIPPED_CRAWLDELAY *observations* (trace/metrics, exactly the
+        # reference's skip records) but do NOT merge into state: they
+        # simply stay UNFETCHED and re-enter a later frontier — the
+        # set-based equivalent of restorePreviousStatus (SURVEY §7
+        # "hard parts": displacement disappears under recomputation).
+        split = politeness_split(passed, now_ms=now_ms, tick_ms=cfg.tick_ms)
+        delayed = crawldelay_status_updates(split)
+        record(tick, "crawldelay", delayed)
+        to_fetch = split.filter(F.col("route") == "fetch")
+        record(tick, "fetch", to_fetch)
+
+        # fetch (mock join)
+        results = mock_fetch(
+            to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
+        ).localCheckpoint(eager=True)  # reused: status + parse + sitemaps
+        record(tick, "fetched", results.filter(F.col("status") == "FETCHED"))
+        status_updates = fetch_status_updates(results)
+
+        # U1: parse + side outputs
+        parsed = parse_pages(results, scorer=scorer, max_outlinks=cfg.max_outlinks)
+        parsed = parsed.localCheckpoint(eager=True)  # 4 outputs off one frame
+        record(tick, "parsed", parsed)
+        parsed_frames.append(parsed_output(parsed))
+        outlinks = outlink_output(parsed)
+        _domain_scores = domain_score_output(parsed)  # G1 feed (metrics)
+
+        # U2: sitemap entries — robots-advertised sitemaps resolve on the
+        # first tick; sitemap URLs discovered as links resolve via the
+        # fetched-results join
+        new_urls = outlinks.select("url", "score")
+        if sitemap_entries is not None:
+            sm = parse_sitemaps(results, sitemap_entries)
+            if robots_sitemap_entries is not None and tick == 1:
+                sm = sm.unionByName(robots_sitemap_entries).distinct()
+            record(tick, "sitemap_entries", sm)
+            new_urls = new_urls.unionByName(sm)
+
+        # outlinks -> clean -> UNFETCHED observations (O2 union closes loop)
+        cleaned_new = clean_urls(new_urls, redirects)
+        record(tick, "outlink", cleaned_new)
+        new_obs = seeds_to_state(cleaned_new, now_ms=now_ms)
+
+        updates = (
+            status_updates.select(*OBS_COLS)
+            .unionByName(blocked.select(*OBS_COLS))
+            .unionByName(new_obs.select(*OBS_COLS))
+        )
+
+        new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
+
+        # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
+        counts = {
+            r["status"]: r["n"]
+            for r in new_state.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
+        crawl_state = new_state
+        if counts.get("UNFETCHED", 0) == 0:
+            break
+
+    parsed_all = None
+    if parsed_frames:
+        parsed_all = parsed_frames[0]
+        for f in parsed_frames[1:]:
+            parsed_all = parsed_all.unionByName(f)
+        parsed_all = parsed_all.dropDuplicates(["url"])
+
+    trace = None
+    if trace_frames:
+        trace = trace_frames[0]
+        for f in trace_frames[1:]:
+            trace = trace.unionByName(f)
+
+    return CrawlResult(
+        crawl_state=crawl_state, parsed=parsed_all, trace=trace, ticks=tick, stats=stats
+    )
