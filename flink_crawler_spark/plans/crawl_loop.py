@@ -76,6 +76,7 @@ class CrawlConfig:
     max_outlinks: int = 50  # -maxoutlinks
     agent: str = "flink-crawler"
     trace: bool = True  # UrlLogger analogue
+    collect_stats: bool = True  # per-tick status counts (extra action/tick)
 
 
 @dataclass
@@ -257,14 +258,15 @@ def crawl(
         new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
 
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
-        counts = {
-            r["status"]: r["n"]
-            for r in new_state.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
         crawl_state = new_state
-        if counts.get("UNFETCHED", 0) == 0:
-            break
+        if cfg.collect_stats:
+            counts = {
+                r["status"]: r["n"]
+                for r in new_state.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
+            if counts.get("UNFETCHED", 0) == 0:
+                break  # without stats, the empty-frontier check exits one tick later
 
     parsed_all = None
     if parsed_frames:

@@ -1,0 +1,226 @@
+"""Crawl-pipeline queries with oracles over a *derived* web graph.
+
+The graph is synthesized identically in both engines from ``part``:
+
+    N     = row count of part
+    id    = p_partkey % N                     (exactly 0..N-1)
+    url   = http://d{id % 50}.example.com/p/{id}
+    edges = id -> (2*id+1) % N,  id -> (3*id+7) % N
+
+Three queries:
+  * crawl_reachability — THE flagship: runs the real crawl loop
+    (plans/crawl_loop.py — frontier/robots/politeness/fetch/parse/merge
+    per tick) for 6 ticks from seed id=1; the oracle is a depth-limited
+    recursive-CTE BFS. A crawl over a known graph *is* reachability, so
+    any drift in frontier selection, fetch join, outlink extraction,
+    normalization, or the merge lattice breaks the match.
+  * robots_longest_match — Google-style allow/deny precedence evaluated
+    JVM-side (array HOFs) vs DuckDB list lambdas.
+  * html_outlink_extract — pages rendered + regex-parsed in Spark
+    (operators/parse.py) vs ground-truth edges in the oracle: the parse
+    path must reproduce the edge list exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.parse import outlink_output, parse_pages
+from ..operators.robots import check_urls_against_robots
+from ..sources.fixtures import render_pages
+from .base import register, t
+
+CRAWL_TICKS = 6  # fetch depth 0..5; depth-6 nodes discovered, unfetched
+
+URL_SQL = "'http://d' || CAST({id} % 50 AS VARCHAR) || '.example.com/p/' || CAST({id} AS VARCHAR)"
+
+
+def _url_expr(id_col):
+    return F.concat(
+        F.lit("http://d"),
+        (id_col % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        id_col.cast("string"),
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    part = t(spark, sf_dir, "part")
+    n = part.count()
+    ids = part.select((F.col("p_partkey") % n).alias("id"))
+    e1 = ids.select("id", ((2 * F.col("id") + 1) % n).alias("dst"))
+    e2 = ids.select("id", ((3 * F.col("id") + 7) % n).alias("dst"))
+    return e1.unionByName(e2), n
+
+
+def _web_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _ = _edges(spark, sf_dir)
+    return edges.select(
+        _url_expr(F.col("id")).alias("page_url"),
+        F.lit(1.0).alias("page_score"),
+        F.col("dst").cast("int").alias("outlink_pos"),
+        _url_expr(F.col("dst")).alias("outlink_url"),
+    )
+
+
+EDGES_SQL = f"""
+n AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey % (SELECT n FROM n) AS id FROM part),
+edges AS (
+  SELECT id AS src, (2*id+1) % (SELECT n FROM n) AS dst FROM ids
+  UNION ALL
+  SELECT id AS src, (3*id+7) % (SELECT n FROM n) AS dst FROM ids
+)
+"""
+
+
+@register(
+    "crawl_reachability",
+    oracle=f"""
+WITH RECURSIVE {EDGES_SQL.strip()},
+reach(id, d) AS (
+  SELECT 1, 0
+  UNION ALL
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.d < {CRAWL_TICKS}
+),
+depths AS (SELECT id, min(d) AS depth FROM reach GROUP BY id)
+SELECT {URL_SQL.format(id="id")} AS url,
+       CASE WHEN depth < {CRAWL_TICKS} THEN 'FETCHED' ELSE 'UNFETCHED' END AS status
+FROM depths
+""",
+)
+def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL crawl loop over the derived graph; compare final
+    (url, status) against BFS depth. Tick t fetches depth t-1, so after
+    T ticks: depth < T => FETCHED, depth == T => discovered UNFETCHED."""
+    from ..plans.crawl_loop import CrawlConfig, crawl
+
+    pages = render_pages(_web_graph(spark, sf_dir))
+    seeds = spark.createDataFrame([("http://d1.example.com/p/1", 1.0)], ["url", "score"])
+    cfg = CrawlConfig(
+        max_ticks=CRAWL_TICKS,
+        max_queue_size=10_000_000,
+        max_per_domain=10_000_000,
+        force_crawl_delay_ms=0,
+        trace=False,
+        collect_stats=False,
+    )
+    res = crawl(spark, seeds, pages=pages, config=cfg)
+    return res.crawl_state.select("url", "status")
+
+
+RULES_FROM_NATION_SQL = """
+rules AS (
+  SELECT 'http://d' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host_root,
+         ['/p/' || CAST((n_nationkey*7) % 500 AS VARCHAR),
+          '/p/' || CAST(((n_nationkey*13+3) % 500) // 10 AS VARCHAR)] AS disallow,
+         CASE WHEN n_nationkey % 3 = 0
+              THEN ['/p/' || CAST((n_nationkey*7) % 500 AS VARCHAR)]
+              ELSE [] END AS allow,
+         (n_nationkey % 5 + 1) * 1000 AS crawl_delay_ms
+  FROM nation
+)
+"""
+
+
+def _rules_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nk = F.col("n_nationkey")
+    return t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("http://d"), nk.cast("string"), F.lit(".example.com")).alias("host_root"),
+        F.array(
+            F.concat(F.lit("/p/"), ((nk * 7) % 500).cast("string")),
+            F.concat(F.lit("/p/"), F.floor(((nk * 13 + 3) % 500) / 10).cast("string")),
+        ).alias("disallow"),
+        F.when(
+            nk % 3 == 0,
+            F.array(F.concat(F.lit("/p/"), ((nk * 7) % 500).cast("string"))),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("allow"),
+        ((nk % 5 + 1) * 1000).cast("long").alias("crawl_delay_ms"),
+        F.array().cast("array<string>").alias("sitemaps"),
+    )
+
+
+@register(
+    "robots_longest_match",
+    oracle=f"""
+WITH obs AS (
+  SELECT DISTINCT
+         'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
+             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+         'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com' AS host_root,
+         '/p/' || CAST(l_partkey % 500 AS VARCHAR) AS path
+  FROM lineitem
+),
+{RULES_FROM_NATION_SQL.strip()},
+j AS (
+  SELECT o.url, o.path, r.host_root, r.disallow, r.allow, r.crawl_delay_ms
+  FROM obs o LEFT JOIN rules r ON o.host_root = r.host_root
+),
+scored AS (
+  SELECT url,
+         coalesce(list_max(list_transform(disallow,
+             x -> CASE WHEN starts_with(path, x) THEN length(x) ELSE 0 END)), 0) AS dis_len,
+         coalesce(list_max(list_transform(allow,
+             x -> CASE WHEN starts_with(path, x) THEN length(x) ELSE 0 END)), 0) AS allow_len,
+         host_root IS NOT NULL AS has_rules,
+         crawl_delay_ms
+  FROM j
+)
+SELECT url,
+       (has_rules AND dis_len > allow_len AND dis_len > 0) AS blocked,
+       CAST(coalesce(crawl_delay_ms, 10000) AS BIGINT) AS crawl_delay_ms
+FROM scored
+""",
+)
+def robots_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_urls_against_robots over lineitem-derived URLs vs nation-derived
+    rules — longest-match precedence, allow-wins-ties, missing rules =
+    allow-all with the 10 s default delay."""
+    li = t(spark, sf_dir, "lineitem")
+    frontier = li.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("l_suppkey") % 50).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("l_partkey") % 500).cast("string"),
+        ).alias("url")
+    ).distinct()
+    rules = _rules_from_nation(spark, sf_dir)
+    routed = check_urls_against_robots(frontier, rules)
+    return routed.select(
+        "url", (F.col("route") == "blocked").alias("blocked"), "crawl_delay_ms"
+    )
+
+
+@register(
+    "html_outlink_extract",
+    oracle=f"""
+WITH {EDGES_SQL.strip()},
+dedup AS (SELECT DISTINCT src, dst FROM edges),
+counts AS (SELECT src, count(*) AS n FROM dedup GROUP BY src)
+SELECT {URL_SQL.format(id="d.src")} AS source_url,
+       {URL_SQL.format(id="d.dst")} AS url,
+       round(1.0 / c.n, 6) AS score
+FROM dedup d JOIN counts c ON d.src = c.src
+""",
+)
+def html_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parse path: render pages -> regex href extraction -> outlink
+    scores (page_score/n). The oracle computes ground-truth edges — any
+    regex/HTML drift in operators/parse.py breaks the match."""
+    pages = render_pages(_web_graph(spark, sf_dir))
+    fetch_results = pages.select(
+        F.col("page_url").alias("url"),
+        F.lit(None).cast("string").alias("pld"),
+        F.lit("FETCHED").alias("status"),
+        F.lit(0).cast("long").alias("status_time"),
+        F.encode(F.col("html"), "UTF-8").alias("content"),
+    )
+    parsed = parse_pages(fetch_results, max_outlinks=10_000_000)
+    return outlink_output(parsed).select(
+        "source_url", "url", F.round("score", 6).alias("score")
+    )
