@@ -39,6 +39,10 @@ def main() -> int:
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # keep the bench alive; a failed query reads as missing
             failures[name] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            # intra-query persist() handles must not leak into the next
+            # query's timing (cache memory pressure compounds over a run)
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -18,8 +18,10 @@ embedding column (column pruning).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -80,6 +82,26 @@ def signature_expr(vec: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def signature_udf(planes: np.ndarray):
+    """Sign-LSH signature as an Arrow-vectorized pandas UDF.
+
+    One `n x dim @ dim x planes` matmul per batch instead of
+    planes x dim interpreted expression nodes per row — the fast path
+    when the signature feeds an (engine-internal) bucket column where
+    bit-exact cross-engine reproducibility isn't required.
+    """
+    P = planes.astype(np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        bits = (M @ P) >= 0
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -104,7 +126,7 @@ def ann_topk_lsh(
         qsig |= (1 if float(qv @ plane) >= 0 else 0) << i
     probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe
 
-    with_sig = embeddings.withColumn("bucket", signature_expr(F.col(vec_col), planes))
+    with_sig = embeddings.withColumn("bucket", signature_udf(planes)(F.col(vec_col)))
     candidates = with_sig.filter(F.col("bucket").isin(probe))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine_expr(as_double_array(F.col(vec_col)), q)
@@ -127,7 +149,7 @@ def embedding_near_dup_pairs(
     """All pairs with cosine >= threshold, LSH-blocked (no cross join)."""
     planes = hyperplanes_from_df_dim(embeddings, vec_col, n_planes, seed)
     with_sig = embeddings.select(
-        F.col(id_col), F.col(vec_col), signature_expr(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col), F.col(vec_col), signature_udf(planes)(F.col(vec_col)).alias("bucket")
     )
     a = with_sig.alias("a")
     b = with_sig.alias("b")

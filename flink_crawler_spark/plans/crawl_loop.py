@@ -182,25 +182,39 @@ def crawl(
         tick += 1
         now_ms += cfg.tick_ms
 
+        # persist (lazy) rather than checkpoint (eager job): the count()
+        # below materializes the cache; downstream branches then reuse it
         frontier = select_frontier(
             crawl_state,
             now_ms=now_ms,
             max_queue_size=cfg.max_queue_size,
             min_fetch_score=cfg.min_fetch_score,
             max_per_domain=cfg.max_per_domain,
-        ).localCheckpoint(eager=True)  # frontier is reused by many branches
+        ).persist()
         n_frontier = frontier.count()
         if n_frontier == 0:
+            frontier.unpersist()
             break
         record(tick, "frontier", frontier)
 
-        # A1: robots routing
-        routed = check_urls_against_robots(
-            frontier,
-            robots_rules,
-            force_crawl_delay_ms=cfg.force_crawl_delay_ms,
-            default_crawl_delay_ms=cfg.default_crawl_delay_ms,
-        )
+        # A1: robots routing (skipped entirely when there are no rules —
+        # everything passes with the default delay, no join in the plan)
+        if empty_rules:
+            routed = frontier.withColumn("route", F.lit("passed")).withColumn(
+                "crawl_delay_ms",
+                F.lit(
+                    cfg.force_crawl_delay_ms
+                    if cfg.force_crawl_delay_ms is not None
+                    else cfg.default_crawl_delay_ms
+                ).cast("long"),
+            )
+        else:
+            routed = check_urls_against_robots(
+                frontier,
+                robots_rules,
+                force_crawl_delay_ms=cfg.force_crawl_delay_ms,
+                default_crawl_delay_ms=cfg.default_crawl_delay_ms,
+            )
         blocked = blocked_status_updates(routed, now_ms=now_ms)
         record(tick, "robots_blocked", blocked)
         passed = routed.filter(F.col("route") == "passed").drop("route")
@@ -218,16 +232,17 @@ def crawl(
         to_fetch = split.filter(F.col("route") == "fetch")
         record(tick, "fetch", to_fetch)
 
-        # fetch (mock join)
+        # fetch (mock join); lazy persist — materialized by the state
+        # merge job, then reused by status/parse/sitemap branches
         results = mock_fetch(
             to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
-        ).localCheckpoint(eager=True)  # reused: status + parse + sitemaps
+        ).persist()
         record(tick, "fetched", results.filter(F.col("status") == "FETCHED"))
         status_updates = fetch_status_updates(results)
 
-        # U1: parse + side outputs
-        parsed = parse_pages(results, scorer=scorer, max_outlinks=cfg.max_outlinks)
-        parsed = parsed.localCheckpoint(eager=True)  # 4 outputs off one frame
+        # U1: parse + side outputs (persisted: 4 outputs off one frame,
+        # and parsed_frames are unioned after the loop)
+        parsed = parse_pages(results, scorer=scorer, max_outlinks=cfg.max_outlinks).persist()
         record(tick, "parsed", parsed)
         parsed_frames.append(parsed_output(parsed))
         outlinks = outlink_output(parsed)
@@ -255,7 +270,12 @@ def crawl(
             .unionByName(new_obs.select(*OBS_COLS))
         )
 
+        # localCheckpoint truncates lineage — without it the state plan
+        # grows with every tick and analysis time explodes. This one job
+        # also materializes the frontier/results/parsed caches above.
         new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
+        frontier.unpersist()
+        results.unpersist()  # parsed stays cached for the final union
 
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state

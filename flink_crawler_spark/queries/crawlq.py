@@ -33,14 +33,21 @@ from .base import register, t
 
 CRAWL_TICKS = 6  # fetch depth 0..5; depth-6 nodes discovered, unfetched
 
-URL_SQL = "'http://d' || CAST({id} % 50 AS VARCHAR) || '.example.com/p/' || CAST({id} AS VARCHAR)"
+# 20 distinct PLDs (ex{0..19}.com) so per-domain windows parallelize —
+# a single-PLD graph would serialize frontier selection and politeness
+URL_SQL = (
+    "'http://d' || CAST({id} % 50 AS VARCHAR) || '.ex' || CAST({id} % 20 AS VARCHAR)"
+    " || '.com/p/' || CAST({id} AS VARCHAR)"
+)
 
 
 def _url_expr(id_col):
     return F.concat(
         F.lit("http://d"),
         (id_col % 50).cast("string"),
-        F.lit(".example.com/p/"),
+        F.lit(".ex"),
+        (id_col % 20).cast("string"),
+        F.lit(".com/p/"),
         id_col.cast("string"),
     )
 
@@ -98,7 +105,7 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.crawl_loop import CrawlConfig, crawl
 
     pages = render_pages(_web_graph(spark, sf_dir))
-    seeds = spark.createDataFrame([("http://d1.example.com/p/1", 1.0)], ["url", "score"])
+    seeds = spark.createDataFrame([("http://d1.ex1.com/p/1", 1.0)], ["url", "score"])
     cfg = CrawlConfig(
         max_ticks=CRAWL_TICKS,
         max_queue_size=10_000_000,
