@@ -1,0 +1,140 @@
+"""CrawlTool CLI — argparse mirror of the reference's launcher.
+
+Reference: ``tools/CrawlTool.java:37-122`` + ``tools/CrawlToolOptions.java:33-143``.
+Same flags where they make sense on Spark (those that exist only because
+of Flink runtime mechanics — ``-fetcherspertask``, ``-checkpointdir`` for
+iteration state — are subsumed by Spark configs / the state table).
+
+The mock-service tables (pages/robots/sitemaps/redirects) are parquet
+paths; omit them for a no-robots crawl of just the pages table. A real
+HTTP deployment swaps ``--pages`` for the ``http_fetch`` stage.
+
+Run:  python -m flink_crawler_spark.cli --seedurls seeds.txt \\
+          --pages pages.parquet --textcontentfile out/text \\
+          --warccontentpath out/warc --stateout out/state
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flink-crawler-spark",
+        description="PySpark-native focused crawler (flink-crawler capability parity)",
+    )
+    # reference flags (CrawlToolOptions.java:33-143)
+    p.add_argument("--seedurls", required=True, help="seed URL text file (# comments ok)")
+    p.add_argument("--agent", default="flink-crawler", help="user agent name")
+    p.add_argument("--singledomain", default=None, help="restrict crawl to this domain")
+    p.add_argument("--forcecrawldelay", type=int, default=None, help="crawl delay ms (overrides robots)")
+    p.add_argument("--defaultcrawldelay", type=int, default=10_000, help="crawl delay ms when robots has none")
+    p.add_argument("--maxoutlinks", type=int, default=50, help="max outlinks kept per page")
+    p.add_argument("--maxduration", type=float, default=300.0, help="max crawl wall-clock seconds")
+    p.add_argument("--parallelism", type=int, default=None, help="local cores (default: all)")
+    p.add_argument("--textcontentfile", default=None, help="dir for url\\ttext output")
+    p.add_argument("--warccontentpath", default=None, help="dir for WARC output")
+    # spark-engine specifics
+    p.add_argument("--pages", required=True, help="rendered-pages parquet (page_url, page_score, html)")
+    p.add_argument("--robots", default=None, help="robots parquet (robots_url, body)")
+    p.add_argument("--sitemaps", default=None, help="sitemaps parquet (sitemap_url, entry_url)")
+    p.add_argument("--redirects", default=None, help="redirects parquet (short_url, long_url)")
+    p.add_argument("--stateout", default=None, help="dir to write the final crawl_state parquet")
+    p.add_argument("--maxticks", type=int, default=10, help="max crawl-loop iterations")
+    p.add_argument("--minfetchscore", type=float, default=0.0, help="focused-crawl score threshold")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from flink_crawler_spark.operators.robots import parse_robots_rules
+    from flink_crawler_spark.operators.warc import build_warc_records, warc_record_expr  # noqa: F401
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+    from flink_crawler_spark.session import get_spark
+    from flink_crawler_spark.sources.seeds import seeds_from_text
+
+    spark = get_spark("crawl-tool", cpus=args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    seeds = seeds_from_text(spark, args.seedurls)
+    if args.singledomain:
+        # SingleDomainUrlValidator (urls/SingleDomainUrlValidator.java:90-142)
+        from pyspark.sql import functions as F
+
+        from flink_crawler_spark.functions.urls import pld_expr
+
+        seeds = seeds.filter(pld_expr(F.col("url")) == args.singledomain.lower())
+
+    pages = spark.read.parquet(args.pages)
+    robots_rules = (
+        parse_robots_rules(spark.read.parquet(args.robots), agent=args.agent)
+        if args.robots
+        else None
+    )
+    sitemap_entries = spark.read.parquet(args.sitemaps) if args.sitemaps else None
+    redirects = spark.read.parquet(args.redirects) if args.redirects else None
+
+    cfg = CrawlConfig(
+        max_ticks=args.maxticks,
+        max_duration_sec=args.maxduration,
+        min_fetch_score=args.minfetchscore,
+        default_crawl_delay_ms=args.defaultcrawldelay,
+        force_crawl_delay_ms=args.forcecrawldelay,
+        max_outlinks=args.maxoutlinks,
+        agent=args.agent,
+        trace=False,
+    )
+    t0 = time.time()
+    res = crawl(
+        spark,
+        seeds,
+        pages=pages,
+        robots_rules=robots_rules,
+        sitemap_entries=sitemap_entries,
+        redirects=redirects,
+        config=cfg,
+    )
+
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["status"]: r["n"]
+        for r in res.crawl_state.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"crawl finished: {res.ticks} ticks, {time.time()-t0:.1f}s, status counts: {counts}")
+
+    if args.stateout:
+        res.crawl_state.write.mode("overwrite").parquet(args.stateout)
+        print(f"crawl_state -> {args.stateout}")
+    if args.textcontentfile and res.parsed is not None:
+        # W3 text sink (CTB:455-463): url \t text
+        from flink_crawler_spark.operators.parse import tsv_output
+
+        tsv_output(res.parsed).write.mode("overwrite").text(args.textcontentfile)
+        print(f"text content -> {args.textcontentfile}")
+    if args.warccontentpath and res.parsed is not None:
+        # W1 WARC sink: re-render fetched pages' content from parsed rows
+        from flink_crawler_spark.operators.warc import write_warc
+
+        now_ms = int(time.time() * 1000)
+        fetched = res.parsed.select(
+            "url",
+            F.lit(now_ms).cast("long").alias("status_time"),
+            F.lit("FETCHED").alias("status"),
+            F.encode(F.col("parsed_text"), "UTF-8").alias("content"),
+            F.lit("text/plain").alias("content_type"),
+        )
+        write_warc(
+            build_warc_records(fetched), args.warccontentpath, agent=args.agent,
+            timestamp_ms=now_ms,
+        )
+        print(f"warc -> {args.warccontentpath}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,6 +82,48 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .core import MERGED_SQL, OBS_SQL, crawl_obs  # noqa: E402
+
+
+@register(
+    "stream_url_db_merge",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()}
+SELECT url, pld, status, status_time, round(score, 6) AS score, next_fetch_time
+FROM merged
+""",
+)
+def stream_url_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming URL DB (applyInPandasWithState keyed by pld,
+    streaming/url_db.py) replaying the same observations the batch
+    merge-lattice query folds — it must converge to the identical state.
+    This is UrlDBFunction's semantics checked end-to-end through the
+    Structured Streaming runtime."""
+    import tempfile
+    import uuid
+
+    from ..streaming.url_db import run_obs_stream_to_state
+
+    obs_dir = tempfile.mkdtemp(prefix="fcs_obs_")
+    crawl_obs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(obs_dir)
+    sink = run_obs_stream_to_state(spark, obs_dir, "urldb_" + uuid.uuid4().hex[:8])
+    # update-mode sink may hold one emission per (url, batch); keep the
+    # final merge per url (argmax on the merge-progress ordering)
+    final = (
+        sink.groupBy("url")
+        .agg(
+            F.max(
+                F.struct("status_time", "score", "status", "next_fetch_time", "pld")
+            ).alias("w")
+        )
+        .select("url", "w.pld", "w.status", "w.status_time", "w.score", "w.next_fetch_time")
+    )
+    return final.select(
+        "url", "pld", "status", "status_time", F.round("score", 6).alias("score"),
+        "next_fetch_time",
+    )
+
+
 @register("stream_rate_gauge")  # rows-only: sliding-window gauge, no single-SQL oracle
 def stream_rate_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-rate gauge (TimedCounter, FetchUrlsFunction.java:169-224) as a

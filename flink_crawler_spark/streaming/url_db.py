@@ -1,0 +1,162 @@
+"""Stateful URL DB as a Structured Streaming operator.
+
+Reference: ``functions/UrlDBFunction.java`` — a keyed two-input process
+function holding the per-PLD URL map in Flink managed state
+(``initializeState``, :94-139) and merging every incoming
+``CrawlStateUrl`` through ``DefaultUrlStateMerger`` (:419-528).
+
+Spark-first: ``applyInPandasWithState`` keyed by ``pld`` — the same
+partition-by-domain guarantee the reference gets from ``keyBy``
+(one domain's state is owned by exactly one task), with the URL map in
+``GroupState``. The merge applied per record is the *identical lattice*
+as the batch ``operators/merge.py`` fold, so a stream fed the same
+observations converges to the batch answer — which is exactly how the
+driver's oracle checks it.
+
+State layout: parallel arrays (url, status, status_time, score,
+next_fetch_time) — GroupState rows must be a flat struct; a 100 TB
+deployment would shard hot PLDs by adding a salt to the key, same as
+the batch path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+UNFETCHED = "UNFETCHED"
+
+OBS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("pld", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("status_time", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("next_fetch_time", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("statuses", T.ArrayType(T.StringType())),
+        T.StructField("status_times", T.ArrayType(T.LongType())),
+        T.StructField("scores", T.ArrayType(T.DoubleType())),
+        T.StructField("nfts", T.ArrayType(T.LongType())),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("pld", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("status_time", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("next_fetch_time", T.LongType()),
+    ]
+)
+
+
+def merge_one(
+    cur: tuple[str, int, float, int] | None, status: str, status_time: int, score: float, nft: int
+) -> tuple[str, int, float, int]:
+    """Pairwise DefaultUrlStateMerger.doMerge (urldb/DefaultUrlStateMerger.java:18-61),
+    identical to the n-way batch lattice in operators/merge.py."""
+    if cur is None:
+        return (status, status_time, score, nft)
+    c_status, c_time, c_score, c_nft = cur
+    if c_status == UNFETCHED and status == UNFETCHED:
+        return (UNFETCHED, max(c_time, status_time), c_score + score, min(c_nft, nft))
+    if c_status == UNFETCHED:
+        return (status, status_time, score, nft)
+    if status == UNFETCHED:
+        return cur
+    # both non-UNFETCHED: deterministic argmax on (time, status, score, nft)
+    return max(
+        (cur, (status, status_time, score, nft)),
+        key=lambda r: (r[1], r[0], r[2], r[3]),
+    )
+
+
+def _url_db_fn(
+    key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    pld = key[0]
+    if state.exists:
+        urls, statuses, times, scores, nfts = state.get
+        db: dict[str, tuple[str, int, float, int]] = {
+            u: (s, t, sc, n) for u, s, t, sc, n in zip(urls, statuses, times, scores, nfts)
+        }
+    else:
+        db = {}
+
+    touched: set[str] = set()
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            db[row.url] = merge_one(
+                db.get(row.url),
+                row.status,
+                int(row.status_time),
+                float(row.score),
+                int(row.next_fetch_time),
+            )
+            touched.add(row.url)
+
+    items = sorted(db.items())
+    state.update(
+        (
+            [u for u, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+            [v[2] for _, v in items],
+            [v[3] for _, v in items],
+        )
+    )
+    out = [
+        {
+            "url": u,
+            "pld": pld,
+            "status": db[u][0],
+            "status_time": db[u][1],
+            "score": db[u][2],
+            "next_fetch_time": db[u][3],
+        }
+        for u in sorted(touched)
+    ]
+    yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+
+
+def url_db_stateful(obs_stream: DataFrame) -> DataFrame:
+    """Streaming URL DB: merge per-URL observations into keyed state,
+    emitting the post-merge row for every URL touched in the batch
+    (update semantics — the reference's status side-output analogue)."""
+    return obs_stream.groupBy("pld").applyInPandasWithState(
+        _url_db_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_obs_stream_to_state(spark, obs_dir: str, query_name: str) -> DataFrame:
+    """Replay an observation directory through the stateful URL DB into a
+    memory sink (availableNow) and return the sink table."""
+    stream = spark.readStream.schema(OBS_SCHEMA).parquet(obs_dir)
+    q = (
+        url_db_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

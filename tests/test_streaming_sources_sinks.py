@@ -1,0 +1,193 @@
+"""Streaming UrlDB state, seed DataSource, WARC sink, CLI."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# stateful streaming URL DB
+# ----------------------------------------------------------------------
+
+
+def test_url_db_stateful_merges_across_batches(spark, tmp_path):
+    """Two micro-batches: state persists between them; the second batch's
+    emission reflects the first batch's merge (UNFETCHED scores sum)."""
+    from flink_crawler_spark.streaming.url_db import OBS_SCHEMA, url_db_stateful
+
+    b1 = spark.createDataFrame(
+        [("u1", "d.com", "UNFETCHED", 100, 1.0, 500)], schema=OBS_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("u1", "d.com", "UNFETCHED", 200, 2.0, 400),
+            ("u2", "d.com", "FETCHED", 300, 0.0, 900),
+        ],
+        schema=OBS_SCHEMA,
+    )
+    src = str(tmp_path / "obs")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(OBS_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        url_db_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("urldb_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("urldb_test").collect()
+    # last emission per url
+    latest = {}
+    for r in rows:
+        latest[r["url"]] = r
+    assert latest["u1"]["score"] == 3.0  # 1.0 + 2.0 across batches
+    assert latest["u1"]["status_time"] == 200
+    assert latest["u1"]["next_fetch_time"] == 400
+    assert latest["u2"]["status"] == "FETCHED"
+
+
+def test_merge_one_matches_batch_lattice():
+    from flink_crawler_spark.streaming.url_db import merge_one
+
+    # UNFETCHED + UNFETCHED: sum/max/min
+    assert merge_one(("UNFETCHED", 100, 1.0, 500), "UNFETCHED", 200, 2.5, 400) == (
+        "UNFETCHED", 200, 3.5, 400,
+    )
+    # non-UNFETCHED beats UNFETCHED in either order
+    assert merge_one(("UNFETCHED", 900, 9.0, 100), "FETCHED", 100, 1.0, 999)[0] == "FETCHED"
+    assert merge_one(("FETCHED", 100, 1.0, 999), "UNFETCHED", 900, 9.0, 100)[0] == "FETCHED"
+    # both non-UNFETCHED: newer status_time wins
+    assert merge_one(("FETCHED", 100, 1.0, 0), "HTTP_NOT_FOUND", 300, 2.0, 0)[0] == "HTTP_NOT_FOUND"
+
+
+# ----------------------------------------------------------------------
+# seed DataSource (PySpark DataSource API)
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture()
+def seed_file(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\n\nhttp://a.com/ 2.5\nhttp://b.com/\n  \nhttp://c.com/ 0.5\n")
+    return str(p)
+
+
+def test_seed_datasource_streams_all_seeds(spark, seed_file, tmp_path):
+    from flink_crawler_spark.sources.seed_datasource import SeedDataSource
+
+    spark.dataSource.register(SeedDataSource)
+    stream = spark.readStream.format("seed_source").option("path", seed_file).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("seeds_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["url"]: r["score"] for r in spark.table("seeds_test").collect()}
+    assert rows == {"http://a.com/": 2.5, "http://b.com/": 1.0, "http://c.com/": 0.5}
+
+
+def test_seed_datasource_requires_path(spark):
+    from flink_crawler_spark.sources.seed_datasource import SeedStreamReader
+
+    with pytest.raises(ValueError, match="path"):
+        SeedStreamReader({})
+
+
+# ----------------------------------------------------------------------
+# WARC records + sink
+# ----------------------------------------------------------------------
+
+
+def _fetch_results_df(spark):
+    rows = [
+        ("http://a.com/", 1_700_000_000_000, "FETCHED", b"<html>A</html>", "text/html"),
+        ("http://b.com/", 1_700_000_000_000, "HTTP_NOT_FOUND", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, status_time long, status string, content binary, content_type string"
+    )
+
+
+def test_warc_record_format(spark):
+    from flink_crawler_spark.operators.warc import build_warc_records
+
+    recs = build_warc_records(_fetch_results_df(spark)).collect()
+    assert len(recs) == 1  # non-FETCHED dropped
+    blob = bytes(recs[0]["warc"])
+    text = blob.decode("utf-8")
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: resource\r\n" in text
+    assert "WARC-Target-URI: http://a.com/\r\n" in text
+    assert "WARC-Date: 2023-11-14T22:13:20Z\r\n" in text
+    assert "Content-Length: 14\r\n" in text
+    assert text.endswith("<html>A</html>\r\n\r\n")
+
+
+def test_warc_writer_roundtrip(spark, tmp_path):
+    from flink_crawler_spark.operators.warc import build_warc_records, write_warc
+
+    out = str(tmp_path / "warc")
+    write_warc(build_warc_records(_fetch_results_df(spark)), out, agent="test-agent")
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert files
+    data = b"".join(gzip.open(os.path.join(out, f), "rb").read() for f in files)
+    text = data.decode("utf-8")
+    assert "WARC-Type: warcinfo" in text
+    assert "http-header-user-agent: test-agent" in text
+    assert "WARC-Target-URI: http://a.com/" in text
+
+
+# ----------------------------------------------------------------------
+# CLI (subprocess — the real user surface)
+# ----------------------------------------------------------------------
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from flink_crawler_spark.sources.fixtures import render_pages, web_graph_from_adjacency
+
+    adjacency = {
+        "http://cli.com/": ["http://cli.com/a"],
+        "http://cli.com/a": [],
+    }
+    pages_path = str(tmp_path / "pages")
+    render_pages(web_graph_from_adjacency(spark, adjacency)).write.parquet(pages_path)
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("http://cli.com/\n")
+    state_out = str(tmp_path / "state")
+    text_out = str(tmp_path / "text")
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "flink_crawler_spark.cli",
+            "--seedurls", str(seeds), "--pages", pages_path,
+            "--stateout", state_out, "--textcontentfile", text_out,
+            "--maxticks", "4", "--parallelism", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "crawl finished" in proc.stdout
+    st = {r["url"]: r["status"] for r in spark.read.parquet(state_out).collect()}
+    assert st == {"http://cli.com/": "FETCHED", "http://cli.com/a": "FETCHED"}
+    text = spark.read.text(text_out).collect()
+    assert any("http://cli.com/a\t" in r["value"] for r in text)
