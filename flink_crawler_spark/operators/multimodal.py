@@ -1,0 +1,237 @@
+"""Multimodal (image/audio/video) columns for training-data pipelines.
+
+Beyond-reference extension: media as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched stages. The decode step is
+STUBBED (this container ships no image/audio codecs): each stage
+try-imports the real library (PIL) and otherwise runs a clearly-marked
+deterministic fake over the raw bytes — the Spark-side plumbing
+(schema, partitioning, UDF signatures, Arrow batch shapes) is real and
+tested either way, and swapping the fake for a codec changes no plan.
+
+Scale design: media bytes ride a single ``data`` column, so column
+pruning keeps them out of every query that doesn't touch them;
+CPU-heavy stages are ``mapInPandas`` over row groups (one Arrow batch
+per ~N rows, bounded by spark.sql.execution.arrow.maxRecordsPerBatch);
+byte-slicing stages (frame sampling) are pure ``substr`` expressions —
+no Python at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from documents (both engines can
+    derive it identically: data = UTF-8 bytes of text)."""
+    did = F.col("doc_id")
+    return docs.select(
+        did.alias("media_id"),
+        F.when(did % 3 == 0, "image").when(did % 3 == 1, "audio").otherwise("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.struct(
+            (F.lit(64) + (did % 256)).cast("int").alias("width"),
+            (F.lit(48) + (did % 192)).cast("int").alias("height"),
+            F.lit(16_000).cast("int").alias("sample_rate"),
+            (F.lit(8) + (did % 8)).cast("int").alias("n_frames"),
+            F.lit("fake/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage (mapInPandas). Real path: PIL image decode. Fake path
+    (this container): byte statistics standing in for pixel decode —
+    deterministic, so the pipeline stays oracle-checkable end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - PIL not present in this container
+            from io import BytesIO
+
+            from PIL import Image
+
+            def decode(row):
+                img = Image.open(BytesIO(row.data))
+                arr = np.asarray(img, dtype=np.float64)
+                return (img.width, img.height, img.mode, len(row.data), float(arr.mean()))
+
+        except ImportError:
+
+            def decode(row):
+                # STUB: deterministic fake decode — byte stream stats with
+                # the declared metadata passed through.
+                buf = np.frombuffer(bytes(row.data or b""), dtype=np.uint8)
+                meta = row.meta
+                return (
+                    int(meta["width"]) if meta is not None else 0,
+                    int(meta["height"]) if meta is not None else 0,
+                    "FAKE",
+                    int(buf.size),
+                    float(buf.mean()) if buf.size else 0.0,
+                )
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, mode, n, mean = decode(row)
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "width": w,
+                        "height": h,
+                        "mode": mode,
+                        "n_bytes": n,
+                        "byte_mean": mean,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 64
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def byte_histogram_features(data: pd.Series) -> pd.Series:
+    """Feature extraction (Arrow-vectorized): 256-bin byte histogram
+    folded to FEATURE_DIM, L1-normalized. The fake stand-in for an image
+    embedding model — swapping in a real model keeps the signature
+    (binary -> array<double>) and the plan."""
+
+    def feats(b):
+        if b is None:
+            return None
+        buf = np.frombuffer(bytes(b), dtype=np.uint8)
+        hist = np.bincount(buf, minlength=256).astype(np.float64)
+        folded = hist.reshape(FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=1)
+        total = folded.sum()
+        return (folded / total if total else folded).tolist()
+
+    return data.map(feats)
+
+
+def resize_stub(media: DataFrame, *, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage. Real path would be PIL thumbnail inside the same
+    mapInPandas; the STUB subsamples the byte stream by the area ratio —
+    the plumbing (binary in -> binary out + updated meta) is what the
+    engine defines."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                ratio = 1
+                if meta is not None:
+                    ratio = max(
+                        1, int((int(meta["width"]) * int(meta["height"])) / (target_w * target_h))
+                    )
+                data = bytes(row.data or b"")[::ratio]  # STUB for real resampling
+                out.append(
+                    {"media_id": row.media_id, "data": data, "width": target_w, "height": target_h}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(run, out_schema)
+
+
+def frame_size_expr(data: Column, n_frames: Column) -> Column:
+    return F.floor(F.length(data) / n_frames).cast("int")
+
+
+def sample_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
+    """Video frame sampling as PURE byte-slicing expressions — no UDF.
+
+    The data column is treated as ``n_frames`` fixed-size frames; every
+    k-th frame is exploded to its own row. At scale this is a
+    generate+substr projection the optimizer can pipeline with the scan.
+    """
+    video = media.filter(F.col("kind") == "video")
+    fs = frame_size_expr(F.col("data"), F.col("meta.n_frames"))
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+    exploded = video.select(
+        "media_id",
+        fs.alias("fs"),
+        F.col("data"),
+        F.posexplode(idx).alias("pos", "frame_no"),
+    )
+    frame = F.expr("substring(data, frame_no * fs + 1, fs)")
+    return exploded.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        frame.alias("frame_bytes"),
+    )
+
+
+def audio_chunk_energy(media: DataFrame, *, n_chunks: int = 4) -> DataFrame:
+    """Audio chunking: per-chunk mean byte amplitude (deterministic fake
+    for RMS energy) — one row per (media_id, chunk)."""
+    audio = media.filter(F.col("kind") == "audio")
+    cs = F.floor(F.length("data") / F.lit(n_chunks)).cast("int")
+    exploded = audio.select(
+        "media_id", cs.alias("cs"), "data", F.posexplode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("pos", "chunk_no")
+    )
+
+    chunk = F.expr("substring(data, chunk_no * cs + 1, cs)")
+    # mean byte value of the chunk, computed JVM-side via aggregate over
+    # the hex representation (2 hex chars per byte)
+    hexstr = F.lower(F.hex(chunk))
+    n = (F.length(hexstr) / 2).cast("long")
+    byte_idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    total = F.aggregate(
+        byte_idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.conv(F.substring(hexstr, (i * 2 + 1).cast("int"), 2), 16, 10).cast("long"),
+    )
+    return exploded.select(
+        "media_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.when(n > 0, total.cast("double") / n).otherwise(0.0).alias("energy"),
+    )

@@ -23,6 +23,7 @@ from . import dedupq  # noqa: E402,F401
 from . import simq  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 from . import crawlq  # noqa: E402,F401
+from . import multimodalq  # noqa: E402,F401
 
 
 def queries():

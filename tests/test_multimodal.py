@@ -1,0 +1,89 @@
+"""Multimodal operator plumbing: schemas, stubs, byte-slicing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_crawler_spark.operators.multimodal import (
+    FEATURE_DIM,
+    audio_chunk_energy,
+    byte_histogram_features,
+    decode_media,
+    resize_stub,
+    sample_frames,
+    synthesize_media,
+)
+
+
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaaabbbbccccdddd"), (1, "0123456789abcdef0123456789abcdef"), (2, "xyz" * 8)],
+        ["doc_id", "text"],
+    )
+    return synthesize_media(docs)
+
+
+def test_synthesize_media_schema_and_kinds(spark):
+    m = media_df(spark)
+    rows = {r["media_id"]: r for r in m.collect()}
+    assert rows[0]["kind"] == "image"
+    assert rows[1]["kind"] == "audio"
+    assert rows[2]["kind"] == "video"
+    assert bytes(rows[0]["data"]) == b"aaaabbbbccccdddd"
+    assert rows[2]["meta"]["n_frames"] == 10  # 8 + 2%8
+
+
+def test_decode_media_stub_is_deterministic(spark):
+    d1 = {r["media_id"]: r for r in decode_media(media_df(spark)).collect()}
+    d2 = {r["media_id"]: r for r in decode_media(media_df(spark)).collect()}
+    assert d1.keys() == d2.keys()
+    for k in d1:
+        assert d1[k] == d2[k]
+    # byte_mean of 'aaaabbbbccccdddd' = mean(97*4,98*4,99*4,100*4) = 98.5
+    assert abs(d1[0]["byte_mean"] - 98.5) < 1e-12
+    assert d1[0]["mode"] == "FAKE"  # stub path in this container
+    assert d1[0]["n_bytes"] == 16
+
+
+def test_byte_histogram_features_l1_normalized(spark):
+    feats = media_df(spark).select(
+        "media_id", byte_histogram_features(F.col("data")).alias("f")
+    ).collect()
+    for r in feats:
+        f = r["f"]
+        assert len(f) == FEATURE_DIM
+        assert abs(sum(f) - 1.0) < 1e-9
+        assert all(w >= 0 for w in f)
+    # 'aaaa...' bytes 97..100 land in bins 24 (96-99) and 25 (100-103)
+    f0 = {i: w for i, w in enumerate(feats[0]["f"]) if w > 0}
+    assert set(f0) == {24, 25}
+    assert abs(f0[24] - 12 / 16) < 1e-12  # a,b,c = 12 of 16 bytes
+
+
+def test_sample_frames_byte_slicing(spark):
+    # media 2: video, 24 bytes, n_frames=10 -> fs=2, frames 0,2,4,6,8
+    frames = sample_frames(media_df(spark), every=2).collect()
+    by_no = {r["frame_no"]: bytes(r["frame_bytes"]) for r in frames if r["media_id"] == 2}
+    assert sorted(by_no) == [0, 2, 4, 6, 8]
+    data = b"xyz" * 8
+    for no, fb in by_no.items():
+        assert fb == data[no * 2 : no * 2 + 2]
+
+
+def test_audio_chunk_energy_values(spark):
+    # media 1: audio, '0123456789abcdef' * 2, 32 bytes -> 4 chunks of 8
+    rows = [r for r in audio_chunk_energy(media_df(spark), n_chunks=4).collect()]
+    by_chunk = {r["chunk_no"]: r["energy"] for r in rows if r["media_id"] == 1}
+    data = b"0123456789abcdef0123456789abcdef"
+    for c in range(4):
+        chunk = data[c * 8 : (c + 1) * 8]
+        assert abs(by_chunk[c] - sum(chunk) / len(chunk)) < 1e-9
+
+
+def test_resize_stub_plumbing(spark):
+    out = {r["media_id"]: r for r in resize_stub(media_df(spark), target_w=8, target_h=6).collect()}
+    for r in out.values():
+        assert r["width"] == 8 and r["height"] == 6
+        assert len(bytes(r["data"])) >= 1
+    # media 0: 64x48 meta -> ratio 64*48/48 = 64 -> 16 bytes stride-64 -> 1 byte
+    assert len(bytes(out[0]["data"])) == 1
