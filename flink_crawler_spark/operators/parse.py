@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,12 +78,16 @@ def parse_pages(
         F.regexp_replace(F.regexp_replace(F.col("__text"), TAG_RE, " "), r"\s+", " ")
     )
 
+    from ..functions.text import lang_id_expr
+
     return fetched.select(
         "url",
         "pld",
         title.alias("title"),
         body_text.alias("parsed_text"),
-        F.lit("en").alias("language"),
+        # n-gram/stopword language id (TikaCallable.java:241-269 slot —
+        # headers/meta first in a full impl, profile detection here)
+        lang_id_expr(body_text).alias("language"),
         scorer().alias("score"),
         outlinks.alias("outlinks"),
         F.size(outlinks).alias("n_outlinks"),
@@ -120,6 +125,56 @@ def tsv_output(parsed: DataFrame) -> DataFrame:
         F.concat_ws(
             "\t", F.col("url"), F.regexp_replace(F.col("parsed_text"), "[\\t\\r\\n]", " ")
         ).alias("line")
+    )
+
+
+SITEMAP_XML_SCHEMA = "array<string>"
+
+
+def parse_sitemap_xml_body(body: str) -> list[str]:
+    """Parse one sitemap body: XML urlset (<loc> entries) or plain text
+    (one URL per line). Nested sitemap indexes return [] — the reference
+    logs and does not follow them (ParseSiteMapFunction.java:38-44)."""
+    body = (body or "").strip()
+    if not body:
+        return []
+    if body.startswith("<"):
+        import re as _re
+        import xml.etree.ElementTree as ET
+
+        try:
+            root = ET.fromstring(body)
+        except ET.ParseError:
+            return []
+        tag = root.tag.rsplit("}", 1)[-1].lower()
+        if tag == "sitemapindex":
+            return []  # nested indexes logged-not-followed
+        if tag != "urlset":
+            return []
+        out = []
+        for el in root.iter():
+            if el.tag.rsplit("}", 1)[-1].lower() == "loc" and el.text:
+                out.append(el.text.strip())
+        return out
+    return [ln.strip() for ln in body.splitlines() if ln.strip().startswith("http")]
+
+
+def parse_sitemap_bodies(sitemap_docs: DataFrame, *, body_col: str = "body") -> DataFrame:
+    """Real sitemap parsing (ParseSiteMapFunction.java:15-56 semantics) as
+    an Arrow-vectorized UDF over fetched sitemap bodies -> one
+    ExtractedUrl row per <loc> entry, score 1.0."""
+
+    @F.pandas_udf(SITEMAP_XML_SCHEMA)
+    def parse_udf(bodies: pd.Series) -> pd.Series:
+        return bodies.map(parse_sitemap_xml_body)
+
+    return (
+        sitemap_docs.withColumn("__entries", parse_udf(F.col(body_col)))
+        .select(
+            F.col("url").alias("sitemap_url"),
+            F.explode("__entries").alias("url"),
+            F.lit(1.0).alias("score"),
+        )
     )
 
 

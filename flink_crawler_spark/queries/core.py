@@ -303,6 +303,32 @@ def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.9 G2 running average-of-domain-averages (UrlDBFunction:360-373,559-581)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "domain_avg_of_avgs",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()},
+davg AS (SELECT pld, greatest(avg(score), 0.01) AS dscore FROM merged GROUP BY pld)
+SELECT round(avg(dscore), 6) AS avg_domain_score,
+       CAST(count(*) AS BIGINT) AS n_domains
+FROM davg
+""",
+)
+def domain_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar mean across per-PLD mean scores (with the 0.01 floor the
+    reference applies) — two tiny aggregations after the merge fold."""
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    davg = merged.groupBy("pld").agg(F.greatest(F.avg("score"), F.lit(0.01)).alias("dscore"))
+    return davg.agg(
+        F.round(F.avg("dscore"), 6).alias("avg_domain_score"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.11 O1/O2 union of outlink streams + dedup-by-url (O3)
 # --------------------------------------------------------------------------
 

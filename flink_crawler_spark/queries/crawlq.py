@@ -203,6 +203,125 @@ def robots_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J3: CommonCrawl CDX secondary-index lookup (SURT keys + sort-merge join)
+# ---------------------------------------------------------------------------
+
+SURT_SQL = """
+lower(
+  array_to_string(list_reverse(string_split(
+      regexp_replace(regexp_extract(lower({u}),
+          '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '^www\\.', ''), '.')), ',')
+  || CASE WHEN regexp_extract(lower({u}), '^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+               NOT IN ('', '80', '443')
+          THEN ':' || regexp_extract(lower({u}), '^[a-z][a-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+          ELSE '' END
+  || ')'
+  || CASE WHEN regexp_extract(lower({u}), '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) = ''
+          THEN '/'
+          ELSE regexp_extract(lower({u}), '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) END
+)
+"""
+
+
+@register(
+    "surt_cdx_lookup",
+    oracle=f"""
+WITH frontier AS (
+  SELECT DISTINCT 'http://WWW.d' || CAST(l_suppkey % 50 AS VARCHAR)
+             || '.example.com' || CASE l_linenumber % 3 WHEN 0 THEN ':80' ELSE '' END
+             || '/p/' || CAST(l_partkey % 500 AS VARCHAR) AS url
+  FROM lineitem
+),
+keyed AS (SELECT url, {SURT_SQL.format(u="url").strip()} AS surt_key FROM frontier),
+idx AS (
+  SELECT {SURT_SQL.format(u="'http://d' || CAST(p_partkey % 50 AS VARCHAR) || '.example.com/p/' || CAST(p_partkey % 500 AS VARCHAR)").strip()} AS surt_key,
+         min(p_partkey % 100) AS segment
+  FROM part GROUP BY 1
+)
+SELECT k.url, k.surt_key, i.segment
+FROM keyed k LEFT JOIN idx i ON k.surt_key = i.surt_key
+""",
+)
+def surt_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonicalization + CDX index join (J3). WWW/port-80 variants
+    of the same page must collapse to one SURT key and find the segment;
+    URLs outside the archive keep a null segment (-> 404 path)."""
+    from ..operators.commoncrawl import cdx_lookup, surt_key_expr
+
+    li = t(spark, sf_dir, "lineitem")
+    frontier = li.select(
+        F.concat(
+            F.lit("http://WWW.d"),
+            (F.col("l_suppkey") % 50).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("l_linenumber") % 3 == 0, ":80").otherwise(""),
+            F.lit("/p/"),
+            (F.col("l_partkey") % 500).cast("string"),
+        ).alias("url")
+    ).distinct()
+    part = t(spark, sf_dir, "part")
+    idx = (
+        part.select(
+            surt_key_expr(
+                F.concat(
+                    F.lit("http://d"),
+                    (F.col("p_partkey") % 50).cast("string"),
+                    F.lit(".example.com/p/"),
+                    (F.col("p_partkey") % 500).cast("string"),
+                )
+            ).alias("surt_key"),
+            (F.col("p_partkey") % 100).alias("seg"),
+        )
+        .groupBy("surt_key")
+        .agg(F.min("seg").alias("segment"))
+    )
+    return cdx_lookup(frontier, idx).select("url", "surt_key", "segment")
+
+
+# ---------------------------------------------------------------------------
+# U2: real sitemap-XML parse round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sitemap_xml_roundtrip",
+    oracle="""
+SELECT DISTINCT
+       'http://s' || CAST(o_custkey % 20 AS VARCHAR) || '.com/sitemap.xml' AS sitemap_url,
+       'http://s' || CAST(o_custkey % 20 AS VARCHAR) || '.com/o/' || CAST(o_orderkey AS VARCHAR) AS url,
+       1.0 AS score
+FROM orders
+""",
+)
+def sitemap_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render real <urlset> XML per sitemap (native concat), parse it
+    with the actual XML parser UDF (operators/parse.py) — the extracted
+    entries must reproduce the ground-truth pairs exactly."""
+    from ..operators.parse import parse_sitemap_bodies
+
+    od = t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("http://s"), (F.col("o_custkey") % 20).cast("string"), F.lit(".com"))
+    entries = od.select(
+        F.concat(host, F.lit("/sitemap.xml")).alias("url"),
+        F.concat(host, F.lit("/o/"), F.col("o_orderkey").cast("string")).alias("entry"),
+    ).distinct()
+    xml = entries.groupBy("url").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("entry")),
+                    lambda e: F.concat(F.lit("<url><loc>"), e, F.lit("</loc></url>")),
+                ),
+            ),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    return parse_sitemap_bodies(xml)
+
+
 @register(
     "html_outlink_extract",
     oracle=f"""

@@ -150,6 +150,91 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
+    aggregate, global top-10 (TakeOrderedAndProject). The two date
+    filters push into the scans."""
+    cu = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        F.broadcast(cu), od.o_custkey == cu.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "returned_items_q10",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       round(c.c_acctbal, 6) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a date
+    window, top-20. Fact-fact join shuffles on the order key; dims
+    broadcast."""
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", F.round("c_acctbal", 6).alias("c_acctbal"), "n_name"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
     "topk_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
