@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sitemaps", default=None, help="sitemaps parquet (sitemap_url, entry_url)")
     p.add_argument("--redirects", default=None, help="redirects parquet (short_url, long_url)")
     p.add_argument("--stateout", default=None, help="dir to write the final crawl_state parquet")
+    p.add_argument(
+        "--checkpointdir", default=None,
+        help="durable per-tick state dir; rerun with the same dir to resume",
+    )
     p.add_argument("--maxticks", type=int, default=10, help="max crawl-loop iterations")
     p.add_argument("--minfetchscore", type=float, default=0.0, help="focused-crawl score threshold")
     return p
@@ -87,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         max_outlinks=args.maxoutlinks,
         agent=args.agent,
         trace=False,
+        state_dir=args.checkpointdir,
     )
     t0 = time.time()
     res = crawl(

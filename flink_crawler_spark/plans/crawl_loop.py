@@ -77,6 +77,7 @@ class CrawlConfig:
     agent: str = "flink-crawler"
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (extra action/tick)
+    state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
 
 
 @dataclass
@@ -157,14 +158,41 @@ def crawl(
                 )
             )
 
-    # seed ingestion (tick 0)
-    cleaned = clean_urls(seeds, redirects)
-    record(0, "seed", cleaned)
-    # merge immediately: distinct seeds can normalize to the same URL
-    # (scores sum, exactly the UNFETCHED lattice)
-    crawl_state = merge_crawl_state(
-        seeds_to_state(cleaned, now_ms=now_ms)
-    ).localCheckpoint(eager=True)
+    # Durable state (reference: Flink checkpointing, CrawlTool.java:60-64
+    # — AT_LEAST_ONCE with possible in-flight loss on iterations). Here
+    # the state TABLE is the checkpoint: each tick atomically replaces
+    # the persisted parquet, so restart resumes from the last completed
+    # tick with exactly-once effects — strictly stronger.
+    start_tick = 0
+    resumed = False
+    if cfg.state_dir is not None:
+        import os
+
+        marker = os.path.join(cfg.state_dir, "_LATEST")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                content = fh.read().strip()
+            try:
+                start_tick = int(content)
+            except ValueError:
+                raise ValueError(
+                    f"corrupt checkpoint marker {marker!r} (contents {content!r}); "
+                    "delete the state_dir to restart from seeds"
+                ) from None
+            crawl_state = spark.read.parquet(
+                os.path.join(cfg.state_dir, f"state_t{start_tick}")
+            ).localCheckpoint(eager=True)
+            now_ms += start_tick * cfg.tick_ms
+            resumed = True
+
+    if not resumed:
+        # seed ingestion (tick 0); merge immediately: distinct seeds can
+        # normalize to the same URL (scores sum, exactly the UNFETCHED lattice)
+        cleaned = clean_urls(seeds, redirects)
+        record(0, "seed", cleaned)
+        crawl_state = merge_crawl_state(
+            seeds_to_state(cleaned, now_ms=now_ms)
+        ).localCheckpoint(eager=True)
 
     # Sitemap URLs advertised by robots go straight to the sitemap fetch
     # path (CTB:325-350: the `sitemap` split bypasses the URL DB). With
@@ -177,7 +205,7 @@ def crawl(
         ).select(F.col("entry_url").alias("url"), F.lit(1.0).alias("score"))
 
     deadline = time.time() + cfg.max_duration_sec
-    tick = 0
+    tick = start_tick
     while tick < cfg.max_ticks and time.time() < deadline:
         tick += 1
         now_ms += cfg.tick_ms
@@ -276,6 +304,16 @@ def crawl(
         new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
         frontier.unpersist()
         results.unpersist()  # parsed stays cached for the final union
+
+        if cfg.state_dir is not None:
+            import os
+
+            path = os.path.join(cfg.state_dir, f"state_t{tick}")
+            new_state.write.mode("overwrite").parquet(path)
+            tmp = os.path.join(cfg.state_dir, "_LATEST.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(tick))
+            os.replace(tmp, os.path.join(cfg.state_dir, "_LATEST"))  # atomic
 
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state
