@@ -1,0 +1,78 @@
+"""Plan-quality audit (the reference's dot-file topology dump, W4).
+
+Dumps `explain(formatted)` for registered queries and flags physical-plan
+smells: scans without pushed filters where the query filters, nested-loop
+joins, missing codegen, full sorts where top-k was intended.
+
+Usage: python tools/explain_plans.py [query ...]   (default: key queries)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_QUERIES = [
+    "pricing_summary",
+    "revenue_by_region",
+    "shipping_priority_q3",
+    "crawl_merge_lattice",
+    "frontier_topk",
+    "topk_orders_global",
+    "seen_urls_semi_join",
+    "lsh_candidate_pairs",
+    "surt_cdx_lookup",
+    "moving_avg_10",
+]
+
+
+def audit(name: str, plan: str) -> list[str]:
+    notes = []
+    if "BroadcastNestedLoopJoin" in plan:
+        notes.append("BroadcastNestedLoopJoin present (cartesian-ish; OK only for theta joins)")
+    if re.search(r"\bSortMergeJoin\b", plan) and "broadcast" in name:
+        notes.append("sort-merge join where broadcast expected")
+    if "TakeOrderedAndProject" not in plan and re.search(r"\btopk|priority_q3", name):
+        notes.append("top-k query without TakeOrderedAndProject (full sort?)")
+    if "PushedFilters: []" in plan and re.search(r"Filter", plan):
+        notes.append("scan with empty PushedFilters under a Filter node")
+    # AQE plans print `isFinalPlan=false` before execution and only then
+    # annotate codegen ids — absence of codegen markers is meaningful
+    # only for non-adaptive plans
+    if "codegen id" not in plan and "AdaptiveSparkPlan" not in plan:
+        notes.append("no WholeStageCodegen span")
+    return notes
+
+
+def main() -> int:
+    from flink_crawler_spark import queries as q
+    from flink_crawler_spark.session import get_spark
+
+    spark = get_spark("explain", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    names = sys.argv[1:] or KEY_QUERIES
+    any_notes = False
+    for name in names:
+        df = q.REGISTRY[name].fn(spark, sf_dir)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n{'='*70}\n{name}\n{'='*70}")
+        print(plan)
+        for note in audit(name, plan):
+            any_notes = True
+            print(f"  !! {note}")
+    return 1 if any_notes else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
