@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="durable per-tick state dir; rerun with the same dir to resume",
     )
     p.add_argument("--maxticks", type=int, default=10, help="max crawl-loop iterations")
+    p.add_argument("--htmlonly", action="store_true", help="only parse text/html pages")
     p.add_argument("--minfetchscore", type=float, default=0.0, help="focused-crawl score threshold")
     return p
 
@@ -65,13 +66,6 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     seeds = seeds_from_text(spark, args.seedurls)
-    if args.singledomain:
-        # SingleDomainUrlValidator (urls/SingleDomainUrlValidator.java:90-142)
-        from pyspark.sql import functions as F
-
-        from flink_crawler_spark.functions.urls import pld_expr
-
-        seeds = seeds.filter(pld_expr(F.col("url")) == args.singledomain.lower())
 
     pages = spark.read.parquet(args.pages)
     robots_rules = (
@@ -89,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         default_crawl_delay_ms=args.defaultcrawldelay,
         force_crawl_delay_ms=args.forcecrawldelay,
         max_outlinks=args.maxoutlinks,
+        single_domain=args.singledomain,
+        html_only=args.htmlonly,
         agent=args.agent,
         trace=False,
         state_dir=args.checkpointdir,

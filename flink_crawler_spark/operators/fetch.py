@@ -105,6 +105,22 @@ def mock_fetch(
     )
 
 
+def mime_filter(results: DataFrame, allowed: tuple[str, ...] = ("text/html",)) -> DataFrame:
+    """-htmlonly (CrawlTool.java:94-101): fetched pages with a mime type
+    outside the allowed set become ABORTED_INVALID_MIMETYPE and their
+    content is dropped before the (expensive) parse stage."""
+    bad = (F.col("status") == "FETCHED") & ~F.coalesce(
+        F.col("content_type"), F.lit("")
+    ).isin(*allowed)
+    flagged = results.withColumn("__bad_mime", bad)
+    return flagged.withColumn(
+        "status", F.when(F.col("__bad_mime"), "ABORTED_INVALID_MIMETYPE").otherwise(F.col("status"))
+    ).withColumn(
+        "content",
+        F.when(F.col("__bad_mime"), F.lit(None).cast("binary")).otherwise(F.col("content")),
+    ).drop("__bad_mime")
+
+
 def fetch_status_updates(results: DataFrame, *, error_retry_ms: int = 86_400_000) -> DataFrame:
     """Crawl-state observations from fetch results (status loop-back)."""
     return results.select(

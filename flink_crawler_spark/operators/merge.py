@@ -10,12 +10,14 @@ The pairwise lattice generalizes associatively to an n-way fold:
                                  status_time     = MAX(status_time)
                                  next_fetch_time = MIN(next_fetch_time)
 * any non-UNFETCHED           -> the non-UNFETCHED row with the greatest
-                                 status_time wins outright. The reference
-                                 breaks exact-timestamp ties by arrival
-                                 order (non-deterministic under
-                                 parallelism); we make it deterministic:
-                                 (status_time, status, score,
-                                 next_fetch_time) descending.
+                                 status_time wins outright. Exact-timestamp
+                                 ties break by the FetchStatus merge
+                                 priority the reference declares for this
+                                 purpose (pojos/FetchStatus.java:54-57 —
+                                 its merger leaves arrival-order
+                                 non-determinism; we apply the declared
+                                 priority, then status/score/nft for a
+                                 total deterministic order).
 
 Spark-first design: ONE hash aggregation (``groupBy(url)``) with a
 struct-max argmax — a single shuffle on the merge key, map-side partial
@@ -29,7 +31,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schemas import FETCH_STATUS_PRIORITY
+
 UNFETCHED = "UNFETCHED"
+
+
+def status_priority_expr(status: Column) -> Column:
+    """FetchStatus merge priority (pojos/FetchStatus.java:22-57)."""
+    expr = F.lit(50)  # unknown statuses behave like the 50-class
+    for s, p in FETCH_STATUS_PRIORITY.items():
+        if p != 50:
+            expr = F.when(status == s, F.lit(p)).otherwise(expr)
+    return expr
 
 #: columns a crawl-state observation must carry
 OBS_COLS = ("url", "pld", "status", "status_time", "score", "next_fetch_time")
@@ -49,6 +62,7 @@ def merge_crawl_state(observations: DataFrame) -> DataFrame:
             F.col("status") != UNFETCHED,
             F.struct(
                 F.col("status_time"),
+                status_priority_expr(F.col("status")).alias("prio"),
                 F.col("status"),
                 F.col("score"),
                 F.col("next_fetch_time"),

@@ -38,6 +38,7 @@ from ..functions.urls import is_valid_url_expr, normalize_url_lite_expr, pld_exp
 from ..operators.fetch import (
     crawldelay_status_updates,
     fetch_status_updates,
+    mime_filter,
     mock_fetch,
     politeness_split,
 )
@@ -74,6 +75,8 @@ class CrawlConfig:
     tick_ms: int = 100_000  # politeness window per tick
     refetch_interval_ms: int = 365 * 86_400_000  # effectively fetch-once
     max_outlinks: int = 50  # -maxoutlinks
+    single_domain: str | None = None  # -singledomain (PLD-restricted crawl)
+    html_only: bool = False  # -htmlonly (mime filter before parse)
     agent: str = "flink-crawler"
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (extra action/tick)
@@ -89,18 +92,29 @@ class CrawlResult:
     stats: list[dict] = field(default_factory=list)
 
 
-def clean_urls(raw: DataFrame, redirects: DataFrame | None = None) -> DataFrame:
+def clean_urls(
+    raw: DataFrame,
+    redirects: DataFrame | None = None,
+    *,
+    single_domain: str | None = None,
+) -> DataFrame:
     """cleanUrls (CTB:475-484): lengthen -> normalize -> validate -> state rows.
 
     Input: (url, score). Output: valid, normalized URLs only (invalid
     URLs are dropped exactly as ValidUrlsFilter drops them).
+    ``single_domain`` applies the SingleDomainUrlValidator restriction
+    (urls/SingleDomainUrlValidator.java:90-142) to EVERY URL entering
+    the DB — seeds and discovered outlinks alike.
     """
     df = raw
     if redirects is not None:
         df = lengthen_urls(df, redirects)
     df = df.withColumn("url", normalize_url_lite_expr(F.col("url")))
     df = df.filter(is_valid_url_expr(F.col("url")))
-    return df.withColumn("pld", pld_expr(F.col("url")))
+    df = df.withColumn("pld", pld_expr(F.col("url")))
+    if single_domain is not None:
+        df = df.filter(F.col("pld") == single_domain.lower())
+    return df
 
 
 def seeds_to_state(clean: DataFrame, *, now_ms: int) -> DataFrame:
@@ -188,7 +202,7 @@ def crawl(
     if not resumed:
         # seed ingestion (tick 0); merge immediately: distinct seeds can
         # normalize to the same URL (scores sum, exactly the UNFETCHED lattice)
-        cleaned = clean_urls(seeds, redirects)
+        cleaned = clean_urls(seeds, redirects, single_domain=cfg.single_domain)
         record(0, "seed", cleaned)
         crawl_state = merge_crawl_state(
             seeds_to_state(cleaned, now_ms=now_ms)
@@ -264,7 +278,10 @@ def crawl(
         # merge job, then reused by status/parse/sitemap branches
         results = mock_fetch(
             to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
-        ).persist()
+        )
+        if cfg.html_only:
+            results = mime_filter(results)
+        results = results.persist()
         record(tick, "fetched", results.filter(F.col("status") == "FETCHED"))
         status_updates = fetch_status_updates(results)
 
@@ -288,7 +305,7 @@ def crawl(
             new_urls = new_urls.unionByName(sm)
 
         # outlinks -> clean -> UNFETCHED observations (O2 union closes loop)
-        cleaned_new = clean_urls(new_urls, redirects)
+        cleaned_new = clean_urls(new_urls, redirects, single_domain=cfg.single_domain)
         record(tick, "outlink", cleaned_new)
         new_obs = seeds_to_state(cleaned_new, now_ms=now_ms)
 

@@ -41,7 +41,15 @@ obs AS (
 )
 """
 
-MERGED_SQL = """
+# FetchStatus merge priority (pojos/FetchStatus.java:22-57) — ties at
+# equal status_time break by priority, then status/score/nft
+PRIO_SQL = (
+    "CASE WHEN status IN ('FETCHING','QUEUED') THEN 10 "
+    "WHEN status IN ('FETCHED','FETCHED_SYNTHETIC') THEN 25 "
+    "WHEN status = 'UNFETCHED' THEN 0 ELSE 50 END"
+)
+
+MERGED_SQL = f"""
 agg AS (
   SELECT url, min(pld) AS pld,
          max(CASE WHEN status <> 'UNFETCHED' THEN 1 ELSE 0 END) AS has_nf,
@@ -54,8 +62,8 @@ winner AS (
   SELECT url, status, status_time, score, next_fetch_time
   FROM (SELECT url, status, status_time, score, next_fetch_time,
                row_number() OVER (PARTITION BY url
-                   ORDER BY status_time DESC, status DESC, score DESC,
-                            next_fetch_time DESC) AS rn
+                   ORDER BY status_time DESC, {PRIO_SQL} DESC, status DESC,
+                            score DESC, next_fetch_time DESC) AS rn
         FROM obs WHERE status <> 'UNFETCHED') r
   WHERE rn = 1
 ),

@@ -64,11 +64,18 @@ OUT_SCHEMA = T.StructType(
 )
 
 
+def _prio(status: str) -> int:
+    from ..schemas import FETCH_STATUS_PRIORITY
+
+    return FETCH_STATUS_PRIORITY.get(status, 50)
+
+
 def merge_one(
     cur: tuple[str, int, float, int] | None, status: str, status_time: int, score: float, nft: int
 ) -> tuple[str, int, float, int]:
     """Pairwise DefaultUrlStateMerger.doMerge (urldb/DefaultUrlStateMerger.java:18-61),
-    identical to the n-way batch lattice in operators/merge.py."""
+    identical to the n-way batch lattice in operators/merge.py (including
+    the FetchStatus merge-priority tie-break at equal status_time)."""
     if cur is None:
         return (status, status_time, score, nft)
     c_status, c_time, c_score, c_nft = cur
@@ -78,10 +85,10 @@ def merge_one(
         return (status, status_time, score, nft)
     if status == UNFETCHED:
         return cur
-    # both non-UNFETCHED: deterministic argmax on (time, status, score, nft)
+    # both non-UNFETCHED: argmax on (time, priority, status, score, nft)
     return max(
         (cur, (status, status_time, score, nft)),
-        key=lambda r: (r[1], r[0], r[2], r[3]),
+        key=lambda r: (r[1], _prio(r[0]), r[0], r[2], r[3]),
     )
 
 

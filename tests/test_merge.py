@@ -65,6 +65,26 @@ def test_newest_non_unfetched_wins(spark):
     assert m["status_time"] == 300
 
 
+def test_equal_timestamp_tie_breaks_by_status_priority(spark):
+    """FetchStatus merge priority (pojos/FetchStatus.java:54-57): at equal
+    status_time the higher-priority class wins (50-class > FETCHED=25)."""
+    df = rows_df(
+        spark,
+        [
+            ("u1", "d.com", "FETCHED", 100, 1.0, 500),
+            ("u1", "d.com", "SKIPPED_BLOCKED", 100, 2.0, 700),
+        ],
+    )
+    m = merged_map(df)["u1"]
+    assert m["status"] == "SKIPPED_BLOCKED"
+
+    # matches the streaming pairwise merge in both argument orders
+    from flink_crawler_spark.streaming.url_db import merge_one
+
+    assert merge_one(("FETCHED", 100, 1.0, 500), "SKIPPED_BLOCKED", 100, 2.0, 700)[0] == "SKIPPED_BLOCKED"
+    assert merge_one(("SKIPPED_BLOCKED", 100, 2.0, 700), "FETCHED", 100, 1.0, 500)[0] == "SKIPPED_BLOCKED"
+
+
 def test_single_row_identity(spark):
     df = rows_df(spark, [("u1", "d.com", "UNFETCHED", 100, 1.5, 500)])
     m = merged_map(df)["u1"]
