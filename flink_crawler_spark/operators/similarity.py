@@ -124,7 +124,14 @@ def ann_topk_lsh(
     qsig = 0
     for i, plane in enumerate(planes):
         qsig |= (1 if float(qv @ plane) >= 0 else 0) << i
-    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]  # multi-probe
+    # multi-probe out to Hamming distance 2: near-threshold plane signs
+    # flip easily, and recall collapses with exact-bucket-only probing
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    probe += [
+        qsig ^ (1 << i) ^ (1 << j)
+        for i in range(n_planes)
+        for j in range(i + 1, n_planes)
+    ]
 
     with_sig = embeddings.withColumn("bucket", signature_udf(planes)(F.col(vec_col)))
     candidates = with_sig.filter(F.col("bucket").isin(probe))
@@ -172,3 +179,79 @@ def hyperplanes_from_df_dim(
 ) -> np.ndarray:
     dim = len(embeddings.select(vec_col).head()[0])
     return hyperplanes(dim, n_planes, seed)
+
+
+# ----------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + per-list search
+# ----------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seed centroids from the n_lists
+    lowest-id vectors, refine with a few Lloyd iterations driver-side
+    over a bounded sample (the classic IVF training shape — at 100 TB
+    you train on a sample exactly like this, never the full set)."""
+    sample = (
+        embeddings.orderBy(id_col).limit(max(n_lists * 64, 1024)).select(vec_col).collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for k in range(n_lists):
+            members = X[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                C[k] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding") -> DataFrame:
+    """Add the inverted-list id (nearest centroid by cosine) — one Arrow
+    matmul per batch. At scale ``list_id`` becomes the partition/bucket
+    key of the stored table, so probing prunes the scan itself."""
+    C = centroids.T  # dim x n_lists
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("list_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's n_probe nearest
+    inverted lists, exact cosine re-rank within them."""
+    C = ivf_centroids(embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+
+    assigned = ivf_assign(embeddings, C, vec_col=vec_col)
+    candidates = assigned.filter(F.col("list_id").isin([int(p) for p in probe]))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_expr(as_double_array(F.col(vec_col)), qlit)
+    return (
+        candidates.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

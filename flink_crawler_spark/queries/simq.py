@@ -120,12 +120,31 @@ def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_topk_lsh")  # rows-only: LSH candidate set is engine-internal
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-LSH bucket + multi-probe (scale path:
-    the bucket becomes a partition key at 100 TB, pruning the scan)."""
+    """Approximate top-k via sign-LSH bucket + Hamming-2 multi-probe.
+
+    Measured on the synthetic embeddings (near-uniform pairwise cosine):
+    recall@20 ~= 0.2 at ~15% of the data scanned — sign-LSH degrades
+    when neighbors are barely closer than random points. ann_topk_ivf
+    measures recall@20 ~= 0.8 on the same data and is the preferred
+    scale path; both are kept (LSH wins when real embedding clusters
+    exist and an unsupervised bucket key is needed at write time)."""
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qvec = [float(x) for x in qrow[0]]
     return ann_topk_lsh(emb, qvec, k=TOPK, n_planes=8, seed=42)
+
+
+@register("ann_topk_ivf")  # rows-only: IVF lists are engine-internal
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse quantizer + n_probe inverted lists + exact
+    re-rank) — the partition-pruning scale path: list_id is the bucket
+    key of the stored table at 100 TB."""
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    return ivf_topk(emb, qvec, k=TOPK, n_lists=16, n_probe=4)
 
 
 @register("embedding_near_dup_lsh")  # rows-only: LSH blocking is engine-internal

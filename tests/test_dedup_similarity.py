@@ -103,6 +103,17 @@ def test_ann_lsh_recovers_exact_top1(spark):
     assert got and got[0]["vec_id"] == 1
 
 
+def test_ivf_topk_recovers_exact_neighbors(spark):
+    from flink_crawler_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(df, [6.0, 2.0, 1.0], k=5).collect()}
+    approx = ivf_topk(df, [6.0, 2.0, 1.0], k=5, n_lists=4, n_probe=4).collect()
+    # with n_probe == n_lists IVF degenerates to exact search
+    assert {r["vec_id"] for r in approx} == exact
+
+
 def test_embedding_near_dup_pairs(spark):
     got = {
         (r["id_a"], r["id_b"])
