@@ -77,6 +77,8 @@ class CrawlConfig:
     max_outlinks: int = 50  # -maxoutlinks
     single_domain: str | None = None  # -singledomain (PLD-restricted crawl)
     html_only: bool = False  # -htmlonly (mime filter before parse)
+    domain_score_budget: int | None = None  # focused feedback: per-tick URL budget
+    domain_score_window: int = 10  # G1 moving-average window size
     agent: str = "flink-crawler"
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (extra action/tick)
@@ -160,6 +162,7 @@ def crawl(
     now_ms = start_ms
     trace_frames: list[DataFrame] = []
     parsed_frames: list[DataFrame] = []
+    domain_score_hist: list[DataFrame] = []  # (pld, seq, score) per tick
     stats: list[dict] = []
 
     def record(tick: int, operator: str, df: DataFrame, url_col: str = "url"):
@@ -225,14 +228,42 @@ def crawl(
         now_ms += cfg.tick_ms
 
         # persist (lazy) rather than checkpoint (eager job): the count()
-        # below materializes the cache; downstream branches then reuse it
-        frontier = select_frontier(
-            crawl_state,
-            now_ms=now_ms,
-            max_queue_size=cfg.max_queue_size,
-            min_fetch_score=cfg.min_fetch_score,
-            max_per_domain=cfg.max_per_domain,
-        ).persist()
+        # below materializes the cache; downstream branches then reuse it.
+        # With a domain_score_budget, frontier admission is quota'd by the
+        # per-domain moving-average score — the domain-score feedback edge
+        # (MovingAverageFunction -> UrlDBFunction timer policy, CTB:419-423)
+        if cfg.domain_score_budget is not None and domain_score_hist:
+            from pyspark.sql import Window
+
+            from ..operators.frontier import select_frontier_with_quotas
+
+            hist = domain_score_hist[0]
+            for h in domain_score_hist[1:]:
+                hist = hist.unionByName(h)
+            # G1: mean of the last N scores per domain (count window over
+            # arrival order — MovingAverageAccumulator semantics)
+            w = Window.partitionBy("pld").orderBy(F.col("seq").desc(), F.col("score"))
+            avg = (
+                hist.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cfg.domain_score_window)
+                .groupBy("pld")
+                .agg(F.avg("score").alias("score"))
+            )
+            frontier = select_frontier_with_quotas(
+                crawl_state,
+                avg,
+                now_ms=now_ms,
+                budget=cfg.domain_score_budget,
+                min_fetch_score=cfg.min_fetch_score,
+            ).persist()
+        else:
+            frontier = select_frontier(
+                crawl_state,
+                now_ms=now_ms,
+                max_queue_size=cfg.max_queue_size,
+                min_fetch_score=cfg.min_fetch_score,
+                max_per_domain=cfg.max_per_domain,
+            ).persist()
         n_frontier = frontier.count()
         if n_frontier == 0:
             frontier.unpersist()
@@ -291,7 +322,11 @@ def crawl(
         record(tick, "parsed", parsed)
         parsed_frames.append(parsed_output(parsed))
         outlinks = outlink_output(parsed)
-        _domain_scores = domain_score_output(parsed)  # G1 feed (metrics)
+        # G1 feedback: per-page domain scores enter the moving-average
+        # history that drives next tick's quotas (CTB:419-423 loop)
+        domain_score_hist.append(
+            domain_score_output(parsed).withColumn("seq", F.lit(tick).cast("long"))
+        )
 
         # U2: sitemap entries — robots-advertised sitemaps resolve on the
         # first tick; sitemap URLs discovered as links resolve via the
