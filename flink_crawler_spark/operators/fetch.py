@@ -153,10 +153,34 @@ def http_fetch(
     the same reason the reference's keyBy(pld) makes it hold
     (SURVEY §7 "hard parts").
 
-    ``fetcher(url) -> (http_status, content, content_type)`` is injected
-    (tests pass a dict-backed fake; production passes urllib/requests).
+    ``fetcher(url) -> (http_status, content, content_type)`` — or a
+    4-tuple ending in a redirect Location — is injected (tests pass a
+    dict-backed fake; production passes urllib/requests). Redirects are
+    followed up to ``max_redirects`` (SimpleHttpFetcher behavior); deep
+    chains map to HTTP_TOO_MANY_REDIRECTS
+    (utils/ExceptionUtils.java:246-330 status mapping).
     """
     cols = ["url", "pld", "score", "fetch_time"]
+    max_redirects = 5
+
+    def fetch_one(url):
+        fetched_url = url
+        for _ in range(max_redirects + 1):
+            res = fetcher(fetched_url)
+            code, content, ctype = res[0], res[1], res[2]
+            location = res[3] if len(res) > 3 else None
+            if code in (301, 302, 303, 307, 308):
+                if not location:
+                    return "HTTP_REDIRECTION_ERROR", None, None, fetched_url
+                fetched_url = location
+                continue
+            if code == 200:
+                return "FETCHED", content, ctype, fetched_url
+            if code == 404:
+                return "HTTP_NOT_FOUND", None, None, fetched_url
+            status = "HTTP_SERVER_ERROR" if code >= 500 else "HTTP_CLIENT_ERROR"
+            return status, None, None, fetched_url
+        return "HTTP_TOO_MANY_REDIRECTS", None, None, fetched_url
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
@@ -166,24 +190,16 @@ def http_fetch(
             out = []
             for row in pdf.itertuples(index=False):
                 try:
-                    code, content, ctype = fetcher(row.url)
+                    status, content, ctype, fetched_url = fetch_one(row.url)
                 except Exception:
-                    code, content, ctype = -1, b"", None
-                if code == 200:
-                    status = "FETCHED"
-                elif code == 404:
-                    status = "HTTP_NOT_FOUND"
-                elif code == -1:
-                    status = "ERROR_IOEXCEPTION"
-                else:
-                    status = "HTTP_SERVER_ERROR" if code >= 500 else "HTTP_CLIENT_ERROR"
+                    status, content, ctype, fetched_url = "ERROR_IOEXCEPTION", None, None, row.url
                 out.append(
                     {
                         "url": row.url,
                         "pld": row.pld,
                         "status": status,
                         "status_time": int(time.time() * 1000),
-                        "fetched_url": row.url,
+                        "fetched_url": fetched_url,
                         "headers": {"content-type": [ctype or ""]},
                         "content": content[:max_content_size] if content else None,
                         "content_type": ctype,

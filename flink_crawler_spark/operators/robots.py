@@ -178,6 +178,88 @@ def check_urls_against_robots(
     )
 
 
+ROBOTS_TTL_MS = {  # per-status rules-cache TTL (CheckUrlWithRobotsFunction.java:186-199)
+    "ok": 12 * 3_600_000,  # 200 -> 12 h
+    "missing": 24 * 3_600_000,  # 404 -> 24 h (allow-all)
+    "error": 1 * 3_600_000,  # 5xx -> 1 h (defer)
+}
+
+
+def refresh_robots_cache(
+    cache: DataFrame,
+    hosts_needed: DataFrame,
+    *,
+    fetcher,
+    now_ms: int,
+    agent: str = "flink-crawler",
+) -> DataFrame:
+    """Maintain the robots rules cache TABLE with per-status TTLs.
+
+    The reference keeps an in-memory per-operator cache with TTL expiry
+    (A1); set-based, the cache is a table with an ``expires_at`` column:
+    expired/missing hosts are (re)fetched via the injected fetcher and
+    merged back — everything else is reused.
+
+    ``cache``: rules columns + fetch_status + fetched_at + expires_at.
+    ``hosts_needed``: one ``host_root`` per distinct frontier host.
+    ``fetcher(robots_url) -> (http_status, body_bytes, content_type)``.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("host_root", T.StringType()),
+            T.StructField("disallow", T.ArrayType(T.StringType())),
+            T.StructField("allow", T.ArrayType(T.StringType())),
+            T.StructField("crawl_delay_ms", T.LongType()),
+            T.StructField("sitemaps", T.ArrayType(T.StringType())),
+            T.StructField("fetch_status", T.StringType()),
+            T.StructField("fetched_at", T.LongType()),
+            T.StructField("expires_at", T.LongType()),
+        ]
+    )
+
+    fresh = cache.filter(F.col("expires_at") > F.lit(now_ms)).select(
+        *[f.name for f in schema.fields]
+    )
+    stale_hosts = hosts_needed.join(
+        F.broadcast(fresh.select("host_root")), "host_root", "left_anti"
+    ).distinct()
+
+    def fetch_partition(batches):
+        for pdf in batches:
+            out = []
+            for host_root in pdf["host_root"]:
+                try:
+                    code, body, _ = fetcher(host_root + "/robots.txt")
+                except Exception:
+                    code, body = 500, b""
+                if code == 200:
+                    status, ttl = "ok", ROBOTS_TTL_MS["ok"]
+                    text = body.decode("utf-8", errors="replace")
+                elif code == 404:
+                    status, ttl = "missing", ROBOTS_TTL_MS["missing"]
+                    text = ""  # no robots -> allow-all
+                else:
+                    status, ttl = "error", ROBOTS_TTL_MS["error"]
+                    text = "User-agent: *\nDisallow: /"  # defer until retry
+                parsed = parse_robots_txt(text, agent)
+                out.append(
+                    {
+                        "host_root": host_root,
+                        "disallow": parsed["disallow"],
+                        "allow": parsed["allow"],
+                        "crawl_delay_ms": parsed["crawl_delay_ms"],
+                        "sitemaps": parsed["sitemaps"],
+                        "fetch_status": status,
+                        "fetched_at": now_ms,
+                        "expires_at": now_ms + ttl,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    new_rows = stale_hosts.select("host_root").mapInPandas(fetch_partition, schema)
+    return fresh.unionByName(new_rows)
+
+
 def robots_sitemap_urls(rules: DataFrame) -> DataFrame:
     """Sitemap URLs advertised by robots (the ``sitemap`` split of F3)."""
     return rules.select(F.explode("sitemaps").alias("url")).distinct()
