@@ -124,6 +124,38 @@ def stream_url_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the streaming runtime (session_window with
+    a 1 h gap) must produce exactly the sessions the batch lag-window
+    query derives — same oracle as sessionize_events."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_t", "2 hours")
+        .groupBy(F.session_window("ts_t", "1 hour"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "stream_sess_")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
 @register("stream_rate_gauge")  # rows-only: sliding-window gauge, no single-SQL oracle
 def stream_rate_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-rate gauge (TimedCounter, FetchUrlsFunction.java:169-224) as a

@@ -235,6 +235,89 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total) —
+    one pass, Spark expands the grouping sets map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@register(
+    "large_orders_q18",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(sum(CAST(round(l.l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+HAVING sum(CAST(round(l.l_quantity, 6) AS DECIMAL(28,6))) > 250
+ORDER BY total_qty DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-filter on an aggregate (HAVING) + top-k —
+    the frontier-style 'hot keys above a threshold' query."""
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    g = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(_dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return g.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc()).limit(100)
+
+
+@register(
+    "small_quantity_revenue_q17",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l.l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+""",
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key average as a self-join
+    (Catalyst decorrelates the subquery to exactly this plan)."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    j = li.join(pa, "l_partkey").filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    total = F.sum(F.round("l_extendedprice", 6).cast("decimal(28,6)")).cast("double")
+    return j.agg(
+        (total / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "topk_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
