@@ -125,6 +125,32 @@ def stream_url_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates with watermarked state) —
+    the continuous form of the training-pipeline dedup gate; must
+    converge to batch DISTINCT."""
+    stream = _event_stream(spark, sf_dir)
+    dedup = stream.withWatermark("ts_t", "24 hours").dropDuplicates(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_sessionize",
     oracle="""
 WITH gaps AS (

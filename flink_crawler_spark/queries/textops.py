@@ -161,6 +161,80 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_filter_pipeline",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         {DUCK_TOKS} AS toks,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+           * greatest(1.0 - punct_ratio * 4, 0.0)
+           * (0.5 + least(CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains({_stops_sql('en')}, x))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END * 5, 1.0) / 2)
+           * (CASE WHEN len(toks) > 0
+                   AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                   THEN 1.0 ELSE 0.5 END) AS quality
+  FROM feats
+)
+SELECT doc_id,
+       (n_tokens >= 10 AND quality >= 0.3) AS keep,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN quality < 0.3 THEN 'low_quality'
+            ELSE 'ok' END AS reason
+FROM parts
+""",
+)
+def doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data keep/drop decision: min token count + quality
+    threshold, with a reason column for filter-rate accounting — the
+    standard corpus-curation gate, expressed as one projection."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = token_count_expr(F.col("text"))
+    quality = quality_score_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ((n_tokens >= 10) & (quality >= 0.3)).alias("keep"),
+        F.when(n_tokens < 10, "too_short")
+        .when(quality < 0.3, "low_quality")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+
+
+@register(
+    "corpus_token_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS tokens_per_doc
+FROM toks
+""",
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting (the 'how big is this dataset in
+    tokens' question): explode once, aggregate counts + distinct."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.lit(n_docs), 6).alias("tokens_per_doc"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
