@@ -43,6 +43,25 @@ def test_rate_over_window_counts_trailing_range(spark):
     assert [r["events_in_window"] for r in got] == [1, 2, 3, 1]
 
 
+def test_session_window_boundary_matches_batch_rule(spark):
+    """An event exactly gap-later merges into the session in BOTH the
+    streaming session_window and the batch lag rule (gap > threshold
+    starts a new session) — pins the boundary the oracle relies on."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(hours=1)),  # exactly 1h: same session
+        (1, base + dt.timedelta(hours=2, seconds=1)),  # 1h1s: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_t timestamp")
+    n = df.groupBy(F.session_window("ts_t", "1 hour"), "user_id").count().count()
+    assert n == 2
+
+
 def test_status_counts(spark):
     rows = [("u1", "UNFETCHED"), ("u2", "UNFETCHED"), ("u3", "FETCHED")]
     df = spark.createDataFrame(rows, ["url", "status"])
