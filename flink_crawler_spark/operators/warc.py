@@ -111,7 +111,12 @@ def write_warc(
         import gzip
         import os
 
-        pid = os.getpid()
+        from pyspark import TaskContext
+
+        # partition id, NOT os.getpid(): Spark reuses Python workers, so
+        # two partitions on one worker would collide and overwrite files
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
         seg, written, out = 0, 0, None
         try:
             for row in rows:

@@ -49,7 +49,9 @@ def ingest_seeds(
         state, tick = merge_crawl_state(obs), 0
     else:
         current = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
-        state = merge_updates(current, obs)
+        # materialize + cut lineage BEFORE overwriting the path we just
+        # read ("cannot overwrite a path that is also being read from")
+        state = merge_updates(current, obs).localCheckpoint(eager=True)
     os.makedirs(state_dir, exist_ok=True)
     state.write.mode("overwrite").parquet(os.path.join(state_dir, f"state_t{tick}"))
     tmp = os.path.join(state_dir, "_LATEST.tmp")
