@@ -17,6 +17,7 @@ from .base import REGISTRY, QueryPair, register  # noqa: F401
 # import for registration side effects
 from . import core  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import urlq  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import dedupq  # noqa: E402,F401
