@@ -60,3 +60,246 @@ def cdx_lookup(
     if broadcast_index is True:
         idx = F.broadcast(idx)
     return keyed.join(idx, "surt_key", "left")
+
+
+# ---------------------------------------------------------------------------
+# Archive byte-range fetch (CommonCrawlFetcher.java:135-310)
+# ---------------------------------------------------------------------------
+#
+# Reference flow per URL: SURT lookup -> miss = 404; segment hit gives
+# (filename, offset, length, mime, status); unacceptable mime on a 200
+# aborts; otherwise a ranged read of one gzip member is gunzipped and
+# parsed as a WARC `response` record (HTTP status line + headers + body);
+# redirect statuses recurse with a fresh CDX lookup up to maxRedirects.
+#
+# Spark-first: per-URL recursion becomes set-at-a-time *rounds* in the
+# driver (bounded by max_redirects, typically <=3 joins total): each
+# round is cdx_lookup -> split(miss | mime-abort | hit) -> ranged reads
+# in mapInPandas -> redirect survivors become next round's frontier.
+# Hits repartition by archive `filename` so one task reads one segment
+# file sequentially (the locality the reference gets from its segment
+# cache, SegmentCache.java:232-256).
+
+CRLF_B = b"\r\n"
+
+
+def warc_response_record(url: str, http_status: int, headers: dict[str, str], body: bytes) -> bytes:
+    """One gzip member holding a WARC/1.0 `response` record (test/helper
+    builder — the same shape CommonCrawl archives store)."""
+    import gzip
+
+    status_line = f"HTTP/1.1 {http_status} X".encode()
+    http_block = status_line + CRLF_B
+    for k, v in headers.items():
+        http_block += f"{k}: {v}".encode() + CRLF_B
+    http_block += CRLF_B + body
+    warc_headers = (
+        b"WARC/1.0" + CRLF_B
+        + b"WARC-Type: response" + CRLF_B
+        + f"WARC-Target-URI: {url}".encode() + CRLF_B
+        + b"Content-Type: application/http; msgtype=response" + CRLF_B
+        + f"Content-Length: {len(http_block)}".encode() + CRLF_B
+        + CRLF_B
+    )
+    return gzip.compress(warc_headers + http_block + CRLF_B * 2)
+
+
+def parse_warc_member(raw: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Gunzip one WARC member and parse the HTTP response inside:
+    -> (http_status, headers lowercase-keyed, body)."""
+    import gzip
+
+    data = gzip.decompress(raw)
+    # WARC header block ends at the first blank line
+    warc_end = data.index(CRLF_B * 2)
+    warc_head = data[:warc_end].decode("utf-8", "replace").split("\r\n")
+    lengths = [l.split(":", 1)[1].strip() for l in warc_head if l.lower().startswith("content-length:")]
+    http_block = data[warc_end + 4 :]
+    if lengths:
+        http_block = http_block[: int(lengths[0])]
+    head_end = http_block.index(CRLF_B * 2)
+    head_lines = http_block[:head_end].decode("iso-8859-1").split("\r\n")
+    status = int(head_lines[0].split()[1])
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return status, headers, http_block[head_end + 4 :]
+
+
+def local_range_reader(filename: str, offset: int, length: int) -> bytes:
+    """Byte-range read from a local file — the file:// stand-in for the
+    S3 `GetObjectRequest.setRange` call. An s3/http reader drops in with
+    the same signature."""
+    with open(filename, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
+_REDIRECT_STATUSES = {301, 302, 303, 307, 308}
+
+
+def archive_fetch(
+    frontier,
+    cdx_index,
+    *,
+    range_reader=local_range_reader,
+    url_col: str = "url",
+    accept_mime: tuple[str, ...] | None = None,
+    redirect_mode: str = "FOLLOW_ALL",  # FOLLOW_ALL | FOLLOW_TEMP | FOLLOW_NONE
+    max_redirects: int = 3,
+    now_ms: int = 0,
+) -> DataFrame:
+    """Fetch frontier URLs out of a WARC archive via CDX byte ranges.
+
+    Returns FETCH_RESULT_SCHEMA-shaped rows: FETCHED on success,
+    HTTP_NOT_FOUND on CDX miss, ABORTED_INVALID_MIMETYPE on mime reject,
+    HTTP_MOVED_PERMANENTLY / HTTP_REDIRECTION_ERROR on disallowed
+    redirects, HTTP_TOO_MANY_REDIRECTS past the hop budget, and
+    ERROR_IOEXCEPTION on unreadable members. `fetched_url` carries the
+    final (post-redirect) URL like the reference's FetchedResult.
+    """
+    import pandas as pd
+
+    from ..schemas import FETCH_RESULT_SCHEMA
+
+    spark = frontier.sparkSession
+    result_cols = [f.name for f in FETCH_RESULT_SCHEMA.fields]
+
+    def empty_results():
+        return spark.createDataFrame([], FETCH_RESULT_SCHEMA)
+
+    def finalize(pdf_rows: list[dict]) -> DataFrame:
+        if not pdf_rows:
+            return empty_results()
+        return spark.createDataFrame(pd.DataFrame(pdf_rows, columns=result_cols), FETCH_RESULT_SCHEMA)
+
+    def status_row(orig_url: str, status: str, fetched_url: str | None = None) -> dict:
+        return {
+            "url": orig_url, "pld": None, "status": status, "status_time": now_ms,
+            "fetched_url": fetched_url or orig_url, "headers": {}, "content": None,
+            "content_type": None, "response_rate": 0, "next_fetch_time": None,
+        }
+
+    def read_round(hits: DataFrame) -> Iterator:
+        """mapInPandas body: ranged read + WARC parse per hit row.
+
+        Emits FETCH_RESULT rows; redirects come out with the raw numeric
+        status stashed in headers['__redirect'] for the driver to route.
+        """
+        def run(batches):
+            import time as _t
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    try:
+                        t0 = _t.monotonic()
+                        raw = range_reader(row.filename, int(row.warc_offset), int(row.warc_length))
+                        http_status, headers, body = parse_warc_member(raw)
+                        dt = max(_t.monotonic() - t0, 1e-3)
+                        rate = int(len(raw) / dt)
+                        hdrs = {k: [v] for k, v in headers.items()}
+                        if http_status in _REDIRECT_STATUSES and headers.get("location"):
+                            hdrs["__redirect"] = [str(http_status), headers["location"]]
+                            status = "FETCHING"  # placeholder, routed by driver
+                            content, ctype = None, None
+                        elif http_status == 200:
+                            status = "FETCHED"
+                            content = body
+                            ctype = headers.get("content-type")
+                        elif http_status == 404:
+                            status, content, ctype = "HTTP_NOT_FOUND", None, None
+                        elif http_status >= 500:
+                            status, content, ctype = "HTTP_SERVER_ERROR", None, None
+                        else:
+                            status, content, ctype = "HTTP_CLIENT_ERROR", None, None
+                        out.append({
+                            "url": row.orig_url, "pld": None, "status": status,
+                            "status_time": now_ms, "fetched_url": row.url,
+                            "headers": hdrs, "content": content, "content_type": ctype,
+                            "response_rate": rate, "next_fetch_time": None,
+                        })
+                    except Exception:
+                        out.append(status_row(row.orig_url, "ERROR_IOEXCEPTION", row.url))
+                yield pd.DataFrame(out, columns=result_cols)
+
+        return run
+
+    # round state: (orig_url, url) pairs still being chased
+    pending = frontier.select(F.col(url_col).alias("orig_url"), F.col(url_col).alias("url"))
+    finished: list[DataFrame] = []
+    driver_rows: list[dict] = []
+
+    for hop in range(max_redirects + 1):
+        if pending.isEmpty():
+            break
+        looked = cdx_lookup(pending, cdx_index, url_col="url")
+        missed = looked.filter(F.col("segment").isNull() if "segment" in looked.columns
+                               else F.col("filename").isNull())
+        finished.append(missed.select(
+            F.col("orig_url").alias("url"), F.lit(None).cast("string").alias("pld"),
+            F.lit("HTTP_NOT_FOUND").alias("status"), F.lit(now_ms).alias("status_time"),
+            F.col("url").alias("fetched_url"),
+            F.lit(None).cast("map<string,array<string>>").alias("headers"),
+            F.lit(None).cast("binary").alias("content"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(0).alias("response_rate"),
+            F.lit(None).cast("long").alias("next_fetch_time"),
+        ))
+        hits = looked.filter(~(F.col("segment").isNull() if "segment" in looked.columns
+                               else F.col("filename").isNull()))
+        if accept_mime is not None and "mime" in hits.columns:
+            bad = hits.filter(
+                (F.col("cdx_status") == 200) & ~F.col("mime").isin(*accept_mime)
+                if "cdx_status" in hits.columns else ~F.col("mime").isin(*accept_mime)
+            )
+            finished.append(bad.select(
+                F.col("orig_url").alias("url"), F.lit(None).cast("string").alias("pld"),
+                F.lit("ABORTED_INVALID_MIMETYPE").alias("status"),
+                F.lit(now_ms).alias("status_time"), F.col("url").alias("fetched_url"),
+                F.lit(None).cast("map<string,array<string>>").alias("headers"),
+                F.lit(None).cast("binary").alias("content"),
+                F.col("mime").alias("content_type"),
+                F.lit(0).alias("response_rate"),
+                F.lit(None).cast("long").alias("next_fetch_time"),
+            ))
+            hits = hits.join(bad.select("url"), "url", "left_anti")
+
+        # one task per archive segment file: sequential reads, reference
+        # segment-cache locality
+        fetched = (
+            hits.repartition(F.col("filename"))
+            .mapInPandas(read_round(hits), FETCH_RESULT_SCHEMA)
+            .persist()
+        )
+        redirects = fetched.filter(F.map_contains_key("headers", "__redirect")).collect()
+        finished.append(fetched.filter(~F.map_contains_key("headers", "__redirect")))
+
+        nxt = []
+        for r in redirects:
+            code, location = int(r.headers["__redirect"][0]), r.headers["__redirect"][1]
+            permanent = code in (301, 308)
+            follow = redirect_mode == "FOLLOW_ALL" or (
+                redirect_mode == "FOLLOW_TEMP" and not permanent
+            )
+            if not follow:
+                driver_rows.append(status_row(
+                    r.url,
+                    "HTTP_MOVED_PERMANENTLY" if permanent else "HTTP_REDIRECTION_ERROR",
+                    r.fetched_url,
+                ))
+            elif hop == max_redirects:
+                driver_rows.append(status_row(r.url, "HTTP_TOO_MANY_REDIRECTS", r.fetched_url))
+            else:
+                from urllib.parse import urljoin
+
+                nxt.append((r.url, urljoin(r.fetched_url, location)))
+        pending = spark.createDataFrame(nxt, "orig_url string, url string") if nxt else spark.createDataFrame([], "orig_url string, url string")
+
+    finished.append(finalize(driver_rows))
+    out = finished[0]
+    for df in finished[1:]:
+        out = out.unionByName(df)
+    return out

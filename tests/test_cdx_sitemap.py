@@ -58,3 +58,115 @@ def test_parse_sitemap_xml_body_variants():
     ]
     assert parse_sitemap_xml_body("") == []
     assert parse_sitemap_xml_body("<broken<xml>") == []
+
+
+# ---------------------------------------------------------------------------
+# Archive byte-range fetch (CommonCrawlFetcher flow, local file:// archive)
+# ---------------------------------------------------------------------------
+
+def _build_archive(tmp_path, pages):
+    """pages: [(url, http_status, headers, body)] -> (archive_path, cdx rows).
+
+    Concatenated gzip members, exactly like a CommonCrawl WARC file; the
+    CDX rows carry (url, filename, warc_offset, warc_length, mime).
+    """
+    from flink_crawler_spark.operators.commoncrawl import warc_response_record
+
+    path = str(tmp_path / "segment-00000.warc.gz")
+    rows, offset = [], 0
+    with open(path, "wb") as f:
+        for url, status, headers, body in pages:
+            member = warc_response_record(url, status, headers, body)
+            f.write(member)
+            rows.append((url, path, offset, len(member), headers.get("Content-Type", ""), status))
+            offset += len(member)
+    return path, rows
+
+
+def _cdx_df(spark, rows):
+    from flink_crawler_spark.operators.commoncrawl import surt_key_expr
+
+    df = spark.createDataFrame(
+        rows,
+        "url string, filename string, warc_offset long, warc_length long, mime string, cdx_status int",
+    )
+    return df.select(surt_key_expr(F.col("url")).alias("surt_key"),
+                     "filename", "warc_offset", "warc_length", "mime", "cdx_status")
+
+
+def test_archive_fetch_hit_miss_and_redirect(spark, tmp_path):
+    from flink_crawler_spark.operators.commoncrawl import archive_fetch
+
+    pages = [
+        ("http://a.example.com/page", 200, {"Content-Type": "text/html"}, b"<html>hello</html>"),
+        ("http://b.example.com/old", 301, {"Location": "http://a.example.com/page"}, b""),
+        ("http://c.example.com/loop", 302, {"Location": "http://c.example.com/loop"}, b""),
+    ]
+    _, cdx_rows = _build_archive(tmp_path, pages)
+    cdx = _cdx_df(spark, cdx_rows)
+    frontier = spark.createDataFrame(
+        [("http://a.example.com/page",), ("http://b.example.com/old",),
+         ("http://missing.example.com/",), ("http://c.example.com/loop",)], ["url"]
+    )
+    got = {r["url"]: r for r in archive_fetch(frontier, cdx, max_redirects=2, now_ms=1000).collect()}
+    assert got["http://a.example.com/page"]["status"] == "FETCHED"
+    assert bytes(got["http://a.example.com/page"]["content"]) == b"<html>hello</html>"
+    # 301 followed through a second CDX lookup to the target page
+    assert got["http://b.example.com/old"]["status"] == "FETCHED"
+    assert got["http://b.example.com/old"]["fetched_url"] == "http://a.example.com/page"
+    # CDX miss -> 404 (CommonCrawlFetcher.java:166-170)
+    assert got["http://missing.example.com/"]["status"] == "HTTP_NOT_FOUND"
+    # self-redirect exhausts the hop budget
+    assert got["http://c.example.com/loop"]["status"] == "HTTP_TOO_MANY_REDIRECTS"
+
+
+def test_archive_fetch_redirect_modes_and_mime(spark, tmp_path):
+    from flink_crawler_spark.operators.commoncrawl import archive_fetch
+
+    pages = [
+        ("http://a.example.com/perm", 301, {"Location": "http://a.example.com/t"}, b""),
+        ("http://a.example.com/temp", 302, {"Location": "http://a.example.com/t"}, b""),
+        ("http://a.example.com/t", 200, {"Content-Type": "text/html"}, b"<html>t</html>"),
+        ("http://a.example.com/img", 200, {"Content-Type": "image/png"}, b"\x89PNG"),
+    ]
+    _, cdx_rows = _build_archive(tmp_path, pages)
+    cdx = _cdx_df(spark, cdx_rows)
+    frontier = spark.createDataFrame(
+        [("http://a.example.com/perm",), ("http://a.example.com/temp",),
+         ("http://a.example.com/img",)], ["url"]
+    )
+    # FOLLOW_TEMP: temp redirect followed, permanent reported as moved
+    got = {r["url"]: r for r in archive_fetch(
+        frontier, cdx, redirect_mode="FOLLOW_TEMP", accept_mime=("text/html",), now_ms=1
+    ).collect()}
+    assert got["http://a.example.com/perm"]["status"] == "HTTP_MOVED_PERMANENTLY"
+    assert got["http://a.example.com/temp"]["status"] == "FETCHED"
+    # 200 with unacceptable mime aborts before any byte-range read
+    assert got["http://a.example.com/img"]["status"] == "ABORTED_INVALID_MIMETYPE"
+
+    # FOLLOW_NONE: both redirects refused
+    got2 = {r["url"]: r for r in archive_fetch(
+        frontier, cdx, redirect_mode="FOLLOW_NONE", now_ms=1
+    ).collect()}
+    assert got2["http://a.example.com/perm"]["status"] == "HTTP_MOVED_PERMANENTLY"
+    assert got2["http://a.example.com/temp"]["status"] == "HTTP_REDIRECTION_ERROR"
+
+
+def test_warc_member_roundtrip(tmp_path):
+    from flink_crawler_spark.operators.commoncrawl import (
+        local_range_reader,
+        parse_warc_member,
+        warc_response_record,
+    )
+
+    m1 = warc_response_record("http://x/1", 200, {"Content-Type": "text/html"}, b"AA")
+    m2 = warc_response_record("http://x/2", 404, {}, b"")
+    path = str(tmp_path / "seg.warc.gz")
+    with open(path, "wb") as f:
+        f.write(m1)
+        f.write(m2)
+    # ranged read of the SECOND member only (offset past member 1)
+    status, headers, body = parse_warc_member(local_range_reader(path, len(m1), len(m2)))
+    assert status == 404 and body == b""
+    status1, headers1, body1 = parse_warc_member(local_range_reader(path, 0, len(m1)))
+    assert status1 == 200 and body1 == b"AA" and headers1["content-type"] == "text/html"
