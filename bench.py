@@ -28,6 +28,15 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, shuffle machinery, Arrow/Python workers,
+    # parquet footer reader) so the first timed query measures the query,
+    # not session startup — measured at ~4-5 s absorbed by whichever
+    # query happens to run first.
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.groupBy("n_regionkey").count().collect()
+    warm.mapInPandas(lambda it: it, warm.schema).count()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, pair in q.REGISTRY.items():

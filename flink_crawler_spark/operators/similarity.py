@@ -255,3 +255,131 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Arrow kernels — bit-identical to the SQL left-associated sums
+# ---------------------------------------------------------------------------
+#
+# The oracle-compared brute-force queries write dot products as explicit
+# left-associated 64-term sums so DuckDB and Spark agree bit-for-bit.
+# Whole-stage codegen handles that, but a 64-term array-index expression
+# is a large janino unit and evaluates scalar-at-a-time. These kernels
+# produce the SAME doubles from numpy: elementwise column accumulation
+# (acc = acc + a_i*b_i) IS the left-associated order, every mul/add a
+# single IEEE-754 double op, and float32->float64 widening is exact.
+# Only the final round(dot/nprod, 6) happens JVM-side so the rounding
+# semantics stay the engines' own (as everywhere else in the repo).
+
+def _leftassoc_dot_matrix(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """(m,d) x (n,d) -> (m,n) dots, left-associated over d."""
+    P = A[:, 0:1] * B[:, 0][None, :]
+    for i in range(1, A.shape[1]):
+        P = P + A[:, i : i + 1] * B[:, i][None, :]
+    return P
+
+
+def _leftassoc_norm(A: "np.ndarray") -> "np.ndarray":
+    acc = A[:, 0] * A[:, 0]
+    for i in range(1, A.shape[1]):
+        acc = acc + A[:, i] * A[:, i]
+    return np.sqrt(acc)
+
+
+def exact_cosine_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    prefilter_margin: float = 1e-6,
+) -> DataFrame:
+    """All pairs with round(cosine, 6) >= threshold — exact brute force.
+
+    The right side is collected + broadcast (the bench-scale ground-truth
+    path; LSH/IVF are the 100 TB paths), the left side streams through
+    mapInPandas partitions. The kernel prefilters with a safety margin on
+    the unrounded cosine; the authoritative round(dot/nprod) >= threshold
+    filter runs JVM-side, so results match the SQL formulation exactly.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
+    B = np.asarray([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+    nrm_b = _leftassoc_norm(B)
+    bc = spark.sparkContext.broadcast((ids_b, B, nrm_b))
+
+    def run(batches):
+        ids_r, Bm, nb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ida = pdf[id_col].to_numpy()
+            P = _leftassoc_dot_matrix(A, Bm)
+            na = _leftassoc_norm(A)
+            nprod = na[:, None] * nb[None, :]
+            c = P / nprod
+            mask = (c >= threshold - prefilter_margin) & (ida[:, None] < ids_r[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ida[ii],
+                    "id_b": ids_r[jj],
+                    "dot": P[ii, jj],
+                    "nprod": nprod[ii, jj],
+                }
+            )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    cand = (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(run, "id_a long, id_b long, dot double, nprod double")
+    )
+    cosine = F.round(F.col("dot") / F.col("nprod"), round_digits)
+    return (
+        cand.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def exact_cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    *,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k against one query vector via the same Arrow kernel;
+    ordering/limit stays JVM-side (TakeOrderedAndProject)."""
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float32).astype(np.float64)[None, :]
+    nq = float(_leftassoc_norm(q)[0])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = _leftassoc_dot_matrix(A, q)[:, 0]
+            na = _leftassoc_norm(A)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "dot": P, "nprod": na * nq}
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        run, "vec_id long, dot double, nprod double"
+    )
+    cosine = F.round(F.col("dot") / F.col("nprod"), round_digits)
+    return (
+        cand.select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

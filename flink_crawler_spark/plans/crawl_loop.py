@@ -152,6 +152,10 @@ def crawl(
     reference.
     """
     cfg = config or CrawlConfig()
+    # the mock-web join hits `pages` every tick — cache it once instead of
+    # re-deriving the fixture (scan + render) per tick; materialized by
+    # tick 1's job, dropped before returning
+    pages = pages.persist()
     empty_rules = robots_rules is None
     if empty_rules:
         robots_rules = spark.createDataFrame(
@@ -264,10 +268,11 @@ def crawl(
                 min_fetch_score=cfg.min_fetch_score,
                 max_per_domain=cfg.max_per_domain,
             ).persist()
-        n_frontier = frontier.count()
-        if n_frontier == 0:
-            frontier.unpersist()
-            break
+        # NOTE: no eager count here — the frontier persist is materialized
+        # by the state-checkpoint job below, and the emptiness check reads
+        # that cache afterwards. One Spark job per tick, not two; on the
+        # terminal (empty-frontier) tick the whole dataflow runs over
+        # empty frames and the merge is an exact no-op.
         record(tick, "frontier", frontier)
 
         # A1: robots routing (skipped entirely when there are no rules —
@@ -354,8 +359,16 @@ def crawl(
         # grows with every tick and analysis time explodes. This one job
         # also materializes the frontier/results/parsed caches above.
         new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
+        n_frontier = frontier.count()  # reads the cache the job above filled
         frontier.unpersist()
         results.unpersist()  # parsed stays cached for the final union
+        if n_frontier == 0:
+            # terminal tick: updates were empty, so new_state == crawl_state
+            # (singleton merge groups are identity); stop like the
+            # empty-frontier break did, one job later but one job cheaper
+            # on every non-terminal tick
+            crawl_state = new_state
+            break
 
         if cfg.state_dir is not None:
             import os
@@ -391,6 +404,7 @@ def crawl(
         for f in trace_frames[1:]:
             trace = trace.unionByName(f)
 
+    pages.unpersist()  # late trace/parsed actions recompute deterministically
     return CrawlResult(
         crawl_state=crawl_state, parsed=parsed_all, trace=trace, ticks=tick, stats=stats
     )
