@@ -350,3 +350,66 @@ def html_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlink_output(parsed).select(
         "source_url", "url", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "html_tree_parse",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+parsed AS (
+  SELECT 'http://p' || CAST(doc_id % 20 AS VARCHAR) || '.ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'Doc & ' || CAST(doc_id AS VARCHAR) AS title,
+         'Body ' || CAST(doc_id AS VARCHAR) || ' text A' || CAST(doc_id AS VARCHAR)
+                 || ' B' || CAST(doc_id AS VARCHAR) || ' skip' AS parsed_text,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS n_outlinks,
+         CASE WHEN doc_id % 7 = 0 THEN [NULL]
+              ELSE ['http://b' || CAST(doc_id AS VARCHAR) || '.ex.com/dir/rel' || CAST(doc_id AS VARCHAR) || '.html',
+                    'http://abs.ex.com/x?a=' || CAST(doc_id AS VARCHAR) || '&b=2']
+         END AS links
+  FROM d
+)
+SELECT url, title, parsed_text, CAST(n_outlinks AS INT) AS n_outlinks,
+       unnest(links) AS outlink
+FROM parsed
+""",
+)
+def html_tree_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Tika-grade HTML tree parser (parse_pages_html) against an
+    exact oracle: pages rendered with entities, base-href-relative and
+    absolute links, per-anchor rel, and meta-robots nofollow on every
+    7th doc. The oracle states what a correct parser MUST produce —
+    entity decode, urljoin resolution, nofollow suppression — as plain
+    string algebra over the same doc ids."""
+    from ..operators.parse import parse_pages_html
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    i = F.col("doc_id").cast("string")
+    nofollow = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<meta name="ROBOTS" content="noindex, NOFOLLOW">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; "), i, F.lit("</title>"),
+        F.lit('<base href="http://b'), i, F.lit('.ex.com/dir/">'),
+        nofollow,
+        F.lit("<script>var x = '<a href=\"http://nope.com/\">';</script>"),
+        F.lit("</head>\n<body>Body "), i, F.lit(" text\n"),
+        F.lit('<a href="rel'), i, F.lit('.html">A'), i, F.lit("</a>\n"),
+        F.lit('<a href="http://abs.ex.com/x?a='), i, F.lit('&amp;b=2" rel="nofollow">B'),
+        i, F.lit("</a>\n<a href=\"#frag\">skip</a></body></html>"),
+    )
+    fetch_results = docs.select(
+        F.concat(
+            F.lit("http://p"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".ex.com/doc/"), i,
+        ).alias("url"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 20).cast("string"), F.lit(".ex.com")).alias("pld"),
+        F.lit("FETCHED").alias("status"),
+        F.encode(html, "UTF-8").alias("content"),
+        F.lit(0).cast("long").alias("status_time"),
+    )
+    parsed = parse_pages_html(fetch_results)
+    return parsed.select(
+        "url", "title", "parsed_text", F.col("n_outlinks").cast("int").alias("n_outlinks"),
+        F.explode_outer("outlinks").alias("outlink"),
+    )
