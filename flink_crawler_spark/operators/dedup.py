@@ -200,3 +200,55 @@ def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp + term
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (HashMin).
+
+    The dedup-clustering step after near-dup pair generation: every doc
+    gets cluster_id = min doc_id reachable through the near-dup graph.
+    Driver-side loop (Spark iterations live in the driver, SURVEY §7);
+    each round is one join + one aggregate, lineage truncated per round
+    via localCheckpoint so the plan stays O(1). Rounds needed = graph
+    diameter — for near-dup clusters (tiny, dense) effectively 2-3.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # neighbor minimum, merged with own label
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # the changed count reads the frame the checkpoint job just
+        # materialized — no extra join, near-free second action
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

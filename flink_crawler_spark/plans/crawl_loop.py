@@ -80,6 +80,7 @@ class CrawlConfig:
     domain_score_budget: int | None = None  # focused feedback: per-tick URL budget
     domain_score_window: int = 10  # G1 moving-average window size
     agent: str = "flink-crawler"
+    parser: str = "regex"  # BasePageParser slot: "regex" (codegen) | "tree" (HTML parser)
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (extra action/tick)
     state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
@@ -323,7 +324,11 @@ def crawl(
 
         # U1: parse + side outputs (persisted: 4 outputs off one frame,
         # and parsed_frames are unioned after the loop)
-        parsed = parse_pages(results, scorer=scorer, max_outlinks=cfg.max_outlinks).persist()
+        if cfg.parser == "tree":
+            from ..operators.parse import parse_pages_html as _parse_fn
+        else:
+            _parse_fn = parse_pages
+        parsed = _parse_fn(results, scorer=scorer, max_outlinks=cfg.max_outlinks).persist()
         record(tick, "parsed", parsed)
         parsed_frames.append(parsed_output(parsed))
         outlinks = outlink_output(parsed)

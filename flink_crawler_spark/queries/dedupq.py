@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dedup,
+    near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard,
@@ -157,3 +158,57 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (token-count weighted)."""
     docs = t(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+JACCARD_THRESHOLD = 0.6
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) x),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN shs a ON p.id_a = a.doc_id
+  JOIN shs b ON p.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY id
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup clustering: MinHash -> LSH candidates -> exact
+    Jaccard verify -> connected components (iterative HashMin in the
+    driver). The oracle recomputes the same graph and takes the
+    transitive-closure min label via a recursive CTE — any drift in
+    signatures, banding, verification, or the component iteration
+    breaks the match."""
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    edges = near_dup_pairs(
+        docs, threshold=JACCARD_THRESHOLD, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=3
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    ).select("doc_id", "cluster_id")

@@ -121,3 +121,15 @@ def test_embedding_near_dup_pairs(spark):
     }
     assert (1, 2) in got
     assert all({a, b} != {1, 5} for a, b in got)
+
+
+def test_connected_components_known_graph(spark):
+    from flink_crawler_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    # components: {0,1,2,3} (chain), {4,5} and {6} {7} singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 0), (4, 5)], ["src", "dst"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}

@@ -82,3 +82,28 @@ def test_parse_pages_html_dataframe(spark):
     assert r["outlinks"][0] == "http://ex.com/sub/page2.html"
     assert r["score"] == 1.0
     assert r["outlink_details"][1]["rel"] == "nofollow"
+
+
+def test_crawl_loop_with_tree_parser(spark):
+    """The BasePageParser slot: the tree parser drops into the crawl loop
+    and reaches the same pages as the regex fast path."""
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+    from flink_crawler_spark.sources.fixtures import render_pages, web_graph_from_adjacency
+
+    adjacency = {
+        "http://d1.com/": ["http://d1.com/a", "http://d2.com/"],
+        "http://d1.com/a": ["http://d2.com/deep"],
+        "http://d2.com/": [],
+        "http://d2.com/deep": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([("http://d1.com/", 1.0)], ["url", "score"])
+    cfg = CrawlConfig(max_ticks=6, force_crawl_delay_ms=0, parser="tree", trace=False)
+    res = crawl(spark, seeds, pages=pages, config=cfg)
+    status = {r["url"]: r["status"] for r in res.crawl_state.collect()}
+    assert status == {
+        "http://d1.com/": "FETCHED",
+        "http://d1.com/a": "FETCHED",
+        "http://d2.com/": "FETCHED",
+        "http://d2.com/deep": "FETCHED",
+    }
