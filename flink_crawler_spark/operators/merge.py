@@ -101,3 +101,72 @@ def merge_updates(state: DataFrame, updates: DataFrame) -> DataFrame:
     """
     cols = list(OBS_COLS)
     return merge_crawl_state(state.select(*cols).unionByName(updates.select(*cols)))
+
+
+def _rank_struct(side: str) -> Column:
+    """Total merge order for non-UNFETCHED rows: status_time, then the
+    declared FetchStatus priority, then status/score/nft for determinism
+    (same order merge_crawl_state's argmax uses)."""
+    return F.struct(
+        F.col(f"{side}.status_time"),
+        status_priority_expr(F.col(f"{side}.status")).alias("prio"),
+        F.col(f"{side}.status"),
+        F.col(f"{side}.score"),
+        F.col(f"{side}.next_fetch_time"),
+    )
+
+
+def merge_updates_join(state: DataFrame, updates: DataFrame) -> DataFrame:
+    """Tick merge as a JOIN against the state table instead of a union
+    re-aggregation — the 100 TB shape for a bucketed URL DB.
+
+    ``merge_updates`` shuffles (state ∪ updates) on every tick; fine
+    when state fits the shuffle tier, wrong once the URL DB is tens of
+    TB. Here the per-tick delta (small) is folded to one row per url by
+    ``merge_crawl_state`` and pair-merged into state via a full-outer
+    join on the key. When ``state`` is a table bucketed+sorted by
+    ``url`` (operators/state_table.py), the join plans as a bucket-local
+    sort-merge join: the ONLY Exchange in the plan is the delta's
+    (asserted in tests/test_bucketed_state.py).
+
+    The pairwise combine is exactly the lattice
+    (urldb/DefaultUrlStateMerger.java:18-61): associativity of the
+    n-way fold makes pre-aggregating the delta safe — UNFETCHED scores
+    sum, any non-UNFETCHED winner beats all UNFETCHED contributions,
+    two winners compare by the same total order the argmax uses.
+    """
+    cols = list(OBS_COLS)
+    u = merge_crawl_state(updates.select(*cols))
+    s = state.select(*cols)
+    j = s.alias("s").join(u.alias("u"), "url", "full_outer")
+
+    s_present = F.col("s.status").isNotNull()
+    u_present = F.col("u.status").isNotNull()
+    s_uf = F.col("s.status") == UNFETCHED
+    u_uf = F.col("u.status") == UNFETCHED
+    both_uf = s_present & u_present & s_uf & u_uf
+    s_wins_rank = _rank_struct("s") >= _rank_struct("u")
+
+    def pick(field: str, both_uf_val: Column) -> Column:
+        take_s = F.col(f"s.{field}")
+        take_u = F.col(f"u.{field}")
+        return (
+            F.when(~u_present, take_s)
+            .when(~s_present, take_u)
+            .when(both_uf, both_uf_val)
+            .when(s_uf, take_u)      # non-UNFETCHED update wins
+            .when(u_uf, take_s)      # non-UNFETCHED state survives
+            .when(s_wins_rank, take_s)
+            .otherwise(take_u)
+        )
+
+    return j.select(
+        "url",
+        F.coalesce("s.pld", "u.pld").alias("pld"),
+        pick("status", F.lit(UNFETCHED)).alias("status"),
+        pick("status_time", F.greatest("s.status_time", "u.status_time")).alias("status_time"),
+        pick("score", F.col("s.score") + F.col("u.score")).alias("score"),
+        pick(
+            "next_fetch_time", F.least("s.next_fetch_time", "u.next_fetch_time")
+        ).alias("next_fetch_time"),
+    )

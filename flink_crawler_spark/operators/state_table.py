@@ -1,0 +1,60 @@
+"""Bucketed crawl-state table — the durable URL DB at 100 TB.
+
+The reference keeps the URL DB in Flink keyed MapState
+(functions/UrlDBFunction.java:94-139); the batch-loop engine keeps it
+as data. At bench scale a plain parquet path suffices
+(plans/crawl_loop.py state_dir); at 100 B tracked URLs the state table
+must be BUCKETED by the merge key so the per-tick merge never shuffles
+the state side:
+
+  * saved via ``bucketBy(n, "url").sortBy("url")`` — Spark records the
+    bucketing in the catalog and every scan reports
+    ``outputPartitioning = HashPartitioning(url, n)``
+  * ``merge_updates_join`` (operators/merge.py) then plans as a
+    bucket-local sort-merge join: the only Exchange is the small
+    per-tick delta's, and a ``groupBy("url")`` over the state is
+    Exchange-free
+
+Pick ``buckets`` so one bucket ~ a few GB at target scale (e.g. 16384
+buckets for a 30 TB state table); the bucket count is a physical-layout
+constant the table keeps for life, so size it for the END state of the
+crawl, not the seed list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed_state(state: DataFrame, table: str, *, buckets: int = 64) -> None:
+    """Persist the crawl state as a bucketed+sorted catalog table."""
+    (
+        state.write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_bucketed_state(spark: SparkSession, table: str) -> DataFrame:
+    """Read the bucketed state; scans report HashPartitioning(url, n) so
+    downstream key-aligned joins/aggregations skip their Exchange."""
+    return spark.table(table)
+
+
+def tick_merge_bucketed(
+    spark: SparkSession, table: str, updates: DataFrame, *, buckets: int = 64
+) -> DataFrame:
+    """One durable tick: join-merge the delta into the bucketed table and
+    atomically replace it (write to a staging table, then swap). Returns
+    the new state frame."""
+    from .merge import merge_updates_join
+
+    state = load_bucketed_state(spark, table)
+    merged = merge_updates_join(state, updates)
+    staging = f"{table}__staging"
+    save_bucketed_state(merged, staging, buckets=buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return load_bucketed_state(spark, table)

@@ -1,0 +1,111 @@
+"""Bucketed URL-DB state: the 100 TB merge shape.
+
+Two properties:
+  1. merge_updates_join == merge_updates on every lattice case
+     (associativity of the fold makes delta pre-aggregation safe).
+  2. With the state table bucketed+sorted by url, the tick merge plans
+     as a bucket-local sort-merge join — the ONLY Exchange in the plan
+     belongs to the small delta; a groupBy(url) over the state is
+     Exchange-free.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_crawler_spark.operators.merge import merge_updates, merge_updates_join
+
+OBS = "url string, pld string, status string, status_time long, score double, next_fetch_time long"
+
+
+def obs(spark, rows):
+    return spark.createDataFrame(rows, OBS)
+
+
+@pytest.fixture()
+def lattice_frames(spark):
+    state = obs(spark, [
+        ("u1", "a.com", "UNFETCHED", 100, 1.0, 500),     # UF + UF updates -> sums
+        ("u2", "a.com", "FETCHED", 200, 2.0, 900),       # winner vs UF update
+        ("u3", "b.com", "UNFETCHED", 100, 1.0, 500),     # UF beaten by FETCHED update
+        ("u4", "b.com", "FETCHED", 300, 1.0, 800),       # two winners: newer time wins
+        ("u5", "c.com", "HTTP_NOT_FOUND", 300, 1.0, 800),# tie time: priority breaks
+        ("u6", "c.com", "FETCHED", 50, 9.0, 100),        # state-only URL
+    ])
+    updates = obs(spark, [
+        ("u1", "a.com", "UNFETCHED", 150, 2.5, 400),
+        ("u1", "a.com", "UNFETCHED", 120, 1.5, 600),
+        ("u2", "a.com", "UNFETCHED", 500, 5.0, 100),
+        ("u3", "b.com", "FETCHED", 400, 3.0, 999),
+        ("u4", "b.com", "FETCHED", 350, 4.0, 700),
+        ("u5", "c.com", "FETCHED", 300, 2.0, 700),       # FETCHED prio 25 < 50
+        ("u7", "d.com", "UNFETCHED", 10, 0.5, 50),       # brand-new URL
+    ])
+    return state, updates
+
+
+def test_join_merge_equals_union_merge(spark, lattice_frames):
+    state, updates = lattice_frames
+    a = {r["url"]: r.asDict() for r in merge_updates(state, updates).collect()}
+    b = {r["url"]: r.asDict() for r in merge_updates_join(state, updates).collect()}
+    assert a == b
+    # spot-check the lattice itself
+    assert a["u1"]["score"] == 5.0 and a["u1"]["status_time"] == 150 and a["u1"]["next_fetch_time"] == 400
+    assert a["u2"]["status"] == "FETCHED" and a["u2"]["score"] == 2.0
+    assert a["u3"]["status"] == "FETCHED" and a["u3"]["status_time"] == 400
+    assert a["u4"]["status_time"] == 350
+    assert a["u5"]["status"] == "HTTP_NOT_FOUND"  # priority 50 beats FETCHED 25 at equal time
+    assert a["u6"]["status"] == "FETCHED"
+    assert a["u7"]["status"] == "UNFETCHED"
+
+
+def test_bucketed_state_merge_shuffles_only_the_delta(spark, lattice_frames, tmp_path):
+    from flink_crawler_spark.operators.state_table import (
+        load_bucketed_state,
+        save_bucketed_state,
+        tick_merge_bucketed,
+    )
+
+    state, updates = lattice_frames
+    big_state = state.unionByName(
+        obs(spark, [(f"http://x/{i}", "x.com", "UNFETCHED", 1, 1.0, 1) for i in range(2000)])
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # bucket count == spark.sql.shuffle.partitions: the delta's
+        # groupBy output partitioning then directly satisfies the join's
+        # requirement, so the plan needs exactly ONE Exchange. A mismatched
+        # bucket count costs a second (delta-side) Exchange — size buckets
+        # as a multiple of the shuffle parallelism.
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        save_bucketed_state(big_state, "crawl_state_test", buckets=n_buckets)
+        st = load_bucketed_state(spark, "crawl_state_test")
+
+        # groupBy on the bucket key: no Exchange at all
+        agg_plan = (
+            st.groupBy("url").agg(F.sum("score"))._jdf.queryExecution().executedPlan().toString()
+        )
+        assert agg_plan.count("Exchange") == 0
+
+        merged = merge_updates_join(st, updates)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one Exchange: the delta's. The bucketed state side reads
+        # pre-partitioned (HashPartitioning(url, n)) and never shuffles.
+        assert plan.count("Exchange") == 1
+
+        # durable tick swap keeps the data correct and the table bucketed
+        new_state = tick_merge_bucketed(spark, "crawl_state_test", updates, buckets=n_buckets)
+        got = {r["url"]: r.asDict() for r in new_state.filter(~F.col("url").startswith("http://x/")).collect()}
+        want = {r["url"]: r.asDict() for r in merge_updates(state, updates).collect()}
+        assert got == want
+        plan2 = (
+            new_state.groupBy("url").agg(F.sum("score"))._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan2.count("Exchange") == 0  # still bucketed after the swap
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS crawl_state_test")
+        spark.sql("DROP TABLE IF EXISTS crawl_state_test__staging")
