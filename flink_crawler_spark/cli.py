@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxticks", type=int, default=10, help="max crawl-loop iterations")
     p.add_argument("--htmlonly", action="store_true", help="only parse text/html pages")
     p.add_argument("--minfetchscore", type=float, default=0.0, help="focused-crawl score threshold")
+    p.add_argument(
+        "--parser", choices=("regex", "tree"), default="regex",
+        help="page parser slot: codegen regex fast path or HTML tree parser",
+    )
     return p
 
 
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         max_outlinks=args.maxoutlinks,
         single_domain=args.singledomain,
         html_only=args.htmlonly,
+        parser=args.parser,
         agent=args.agent,
         trace=False,
         state_dir=args.checkpointdir,
