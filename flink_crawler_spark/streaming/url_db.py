@@ -167,3 +167,98 @@ def run_obs_stream_to_state(spark, obs_dir: str, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain timers: the UrlDBFunction timer -> FetchQueue emission path
+# (functions/UrlDBFunction.java:192-235, 261-323) as ProcessingTimeTimeout
+# ---------------------------------------------------------------------------
+
+def _clamp_interval(ms: float) -> int:
+    """checkIntervalForDomain clamp (UrlDBFunction.java:333-351): 1..1000 ms."""
+    return int(min(max(ms, 1), 1000))
+
+
+def _url_db_timer_fn(base_interval_ms: int, max_per_fire: int, min_fetch_score: float):
+    def fn(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import time as _t
+
+        pld = key[0]
+        if state.exists:
+            urls, statuses, times, scores, nfts = state.get
+            db: dict[str, tuple[str, int, float, int]] = {
+                u: (s, t, sc, n) for u, s, t, sc, n in zip(urls, statuses, times, scores, nfts)
+            }
+        else:
+            db = {}
+        out: list[dict] = []
+        now = int(_t.time() * 1000)
+
+        if state.hasTimedOut:
+            # timer fire: admit the domain's best UNFETCHED URL(s) to the
+            # fetch queue — status becomes QUEUED and the status-change row
+            # is emitted (the reference's side-output loopback)
+            cands = sorted(
+                (
+                    (u, v)
+                    for u, v in db.items()
+                    if v[0] == UNFETCHED and v[2] >= min_fetch_score
+                ),
+                key=lambda kv: (-kv[1][2], kv[0]),
+            )[:max_per_fire]
+            for u, v in cands:
+                db[u] = ("QUEUED", now, v[2], v[3])
+                out.append(
+                    {"url": u, "pld": pld, "status": "QUEUED", "status_time": now,
+                     "score": v[2], "next_fetch_time": v[3]}
+                )
+        else:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    db[row.url] = merge_one(
+                        db.get(row.url), row.status, int(row.status_time),
+                        float(row.score), int(row.next_fetch_time),
+                    )
+
+        items = sorted(db.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                [v[2] for _, v in items],
+                [v[3] for _, v in items],
+            )
+        )
+        # (re-)arm: score-proportional polling — better domains fire more
+        # often (avg score over the domain's URLs vs the 200 ms base)
+        avg_score = (
+            sum(v[2] for _, v in items) / len(items) if items else 1.0
+        ) or 0.01
+        state.setTimeoutDuration(_clamp_interval(base_interval_ms / max(avg_score, 0.01)))
+        yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+
+    return fn
+
+
+def url_db_with_timers(
+    obs_stream: DataFrame,
+    *,
+    base_interval_ms: int = 200,
+    max_per_fire: int = 1,
+    min_fetch_score: float = 0.0,
+) -> DataFrame:
+    """Streaming URL DB with per-domain processing-time timers: incoming
+    observations merge into keyed state; each domain's timer re-arms at a
+    score-scaled interval and admits its best UNFETCHED URL as QUEUED —
+    the continuous form of the frontier-selection quota the batch loop
+    computes per tick."""
+    return obs_stream.groupBy("pld").applyInPandasWithState(
+        _url_db_timer_fn(base_interval_ms, max_per_fire, min_fetch_score),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -72,3 +72,46 @@ def test_restarted_stream_does_not_redeliver_seeds(spark, tmp_path):
     rows = state.collect()
     assert len(rows) == 1  # no duplicate state rows after restart
     assert rows[0]["status"] == "FETCHED"
+
+
+def test_url_db_per_domain_timers(spark, tmp_path):
+    """Per-domain processing-time timers (UrlDBFunction.java:192-235):
+    each domain's timer re-arms and admits its best UNFETCHED URL as
+    QUEUED — score order within the domain, every URL eventually
+    admitted."""
+    import time
+    import uuid
+
+    from flink_crawler_spark.streaming.url_db import OBS_SCHEMA, url_db_with_timers
+
+    obs_dir = str(tmp_path / "obs")
+    rows = [
+        ("http://a.com/1", "a.com", "UNFETCHED", 1, 5.0, 0),
+        ("http://a.com/2", "a.com", "UNFETCHED", 1, 9.0, 0),
+        ("http://b.com/1", "b.com", "UNFETCHED", 1, 2.0, 0),
+    ]
+    spark.createDataFrame(rows, OBS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(obs_dir)
+    stream = spark.readStream.schema(OBS_SCHEMA).parquet(obs_dir)
+    out = url_db_with_timers(stream, base_interval_ms=200, max_per_fire=1)
+    name = "timerdb_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        want = {u for u, *_ in rows}
+        deadline = time.time() + 30
+        got = []
+        while time.time() < deadline:
+            got = spark.sql(f"SELECT * FROM {name}").collect()
+            if {r["url"] for r in got} >= want:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert {r["url"] for r in got} == want
+    assert all(r["status"] == "QUEUED" for r in got)
+    a_order = [r["url"] for r in sorted(got, key=lambda r: r["status_time"]) if r["pld"] == "a.com"]
+    assert a_order[0] == "http://a.com/2"  # score 9.0 admitted before 5.0
