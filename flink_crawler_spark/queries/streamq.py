@@ -196,3 +196,73 @@ def stream_rate_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"), "event_type", "n"
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS delta_ms
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <  epoch_ms(c.ts) + 1800000
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click -> purchase within
+    30 minutes, per user): both sides are real file streams with 1-hour
+    watermarks; the interval condition bounds the join state so neither
+    side buffers forever — the scale requirement for stream-stream joins.
+    Inner join + watermark converges exactly to the batch join (oracle).
+    """
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_t").alias("c_time"),
+            (F.col("ts") / 1_000_000).cast("long").alias("c_ms"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_t").alias("p_time"),
+            (F.col("ts") / 1_000_000).cast("long").alias("p_ms"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_time") >= F.col("c_time"))
+        & (F.col("p_time") < F.col("c_time") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    spark_ = joined.sparkSession
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table(name).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_ms") - F.col("c_ms")).alias("delta_ms"),
+    )
