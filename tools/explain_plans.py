@@ -26,13 +26,24 @@ KEY_QUERIES = [
     "lsh_candidate_pairs",
     "surt_cdx_lookup",
     "moving_avg_10",
+    "forecast_revenue_q6",
+    "volume_shipping_q7",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "disjunctive_revenue_q19",
+    "order_priority_exists_q4",
 ]
+
+# queries that intentionally attach a 1-row scalar (threshold/average)
+# via broadcast cross join — BroadcastNestedLoopJoin with a single-row
+# build side is O(n) and shuffle-free, the right plan for the pattern
+SCALAR_BROADCAST_OK = {"idle_customers_q22", "nation_balance_share_q11", "market_share_q8"}
 
 
 def audit(name: str, plan: str) -> list[str]:
     notes = []
-    if "BroadcastNestedLoopJoin" in plan:
-        notes.append("BroadcastNestedLoopJoin present (cartesian-ish; OK only for theta joins)")
+    if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BROADCAST_OK:
+        notes.append("BroadcastNestedLoopJoin present (cartesian-ish; OK only for theta joins or 1-row scalar broadcasts)")
     if re.search(r"\bSortMergeJoin\b", plan) and "broadcast" in name:
         notes.append("sort-merge join where broadcast expected")
     if "TakeOrderedAndProject" not in plan and re.search(r"\btopk|priority_q3", name):
