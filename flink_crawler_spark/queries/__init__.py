@@ -18,6 +18,7 @@ from .base import REGISTRY, QueryPair, register  # noqa: F401
 from . import core  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 from . import urlq  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import dedupq  # noqa: E402,F401

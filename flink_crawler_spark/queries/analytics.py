@@ -1,0 +1,141 @@
+"""Analytics breadth: CUBE grouping sets, exact percentiles, ntile
+deciles, running totals — aggregate/window shapes the reference engine
+never had (SURVEY §4.1 "free upgrades" via Catalyst) that a
+training-data pipeline leans on for corpus statistics.
+
+Decimal discipline as everywhere: any summed double routes through
+round(x,6)::DECIMAL(28,6) so partition order can't move a bit. Window
+running sums accumulate in DECIMAL (associative), not double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+
+def _dsum(col, alias):
+    return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+@register(
+    "order_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-for-bit): one shuffle, the
+    per-group sort happens inside the aggregate. The approx path at
+    100 TB is `approx_percentile` (t-digest) — same query shape."""
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "revenue_cube",
+    oracle="""
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY CUBE (n.n_name, CAST(year(o.o_orderdate) AS BIGINT))
+""",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, year): all four grouping sets in one pass —
+    Catalyst expands to a single Expand + hash aggregate (one shuffle),
+    not four scans."""
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    j = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("long").alias("o_year"), "o_totalprice")
+    )
+    return j.cube("n_name", "o_year").agg(
+        _dsum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "customer_deciles",
+    oracle="""
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(c_acctbal), 6) AS lo,
+       round(max(c_acctbal), 6) AS hi
+FROM (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY decile
+""",
+)
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile assignment (deterministic: total order with key
+    tie-break) folded to per-decile stats. The global window sorts once;
+    at 100 TB the same statistic comes from approx quantile boundaries +
+    a range join — this is the exact baseline."""
+    cu = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cu.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 6).alias("lo"),
+            F.round(F.max("c_acctbal"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "orders_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey % 100 = 0
+""",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue: partitioned cumulative window (ROWS
+    UNBOUNDED PRECEDING). The accumulator is DECIMAL so the prefix sums
+    are exact and engine-independent; partitioning keeps window state
+    per-customer, embarrassingly parallel across customers."""
+    od = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
