@@ -52,6 +52,15 @@ def main() -> int:
             # intra-query persist() handles must not leak into the next
             # query's timing (cache memory pressure compounds over a run)
             spark.catalog.clearCache()
+            # measured: without collecting the Python wrappers (which
+            # releases localCheckpoint RDDs + streaming state through
+            # ContextCleaner) and nudging the JVM, a multi-job query
+            # late in the run degrades up to 4x (64 s vs 17 s for the
+            # crawl loop after the streaming block)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {
