@@ -182,7 +182,7 @@ def archive_fetch(
             "content_type": None, "response_rate": 0, "next_fetch_time": None,
         }
 
-    def read_round(hits: DataFrame) -> Iterator:
+    def read_round():
         """mapInPandas body: ranged read + WARC parse per hit row.
 
         Emits FETCH_RESULT rows; redirects come out with the raw numeric
@@ -271,7 +271,7 @@ def archive_fetch(
         # segment-cache locality
         fetched = (
             hits.repartition(F.col("filename"))
-            .mapInPandas(read_round(hits), FETCH_RESULT_SCHEMA)
+            .mapInPandas(read_round(), FETCH_RESULT_SCHEMA)
             .persist()
         )
         redirects = fetched.filter(F.map_contains_key("headers", "__redirect")).collect()

@@ -127,3 +127,27 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=PAIR_THRESHOLD, n_planes=8, seed=42)
+
+
+@register("ann_recall_report")  # rows-only: candidate sets are engine-internal
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality gate: recall@k of each approximate
+    method against the exact brute-force top-k, as data. Deterministic
+    (seeded hyperplanes / quantizer), so the number is reproducible —
+    this is the query a 100 TB deployment runs on a sample before
+    trusting an index configuration."""
+    from ..operators.similarity import exact_cosine_topk, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    truth = exact_cosine_topk(emb, qvec, k=TOPK).select("vec_id")
+    lsh = ann_topk_lsh(emb, qvec, k=TOPK, n_planes=8, seed=42).select("vec_id")
+    ivf = ivf_topk(emb, qvec, k=TOPK, n_lists=16, n_probe=4).select("vec_id")
+
+    def recall(approx: DataFrame, method: str) -> DataFrame:
+        hits = approx.join(truth, "vec_id", "left_semi").count()
+        return spark.createDataFrame(
+            [(method, TOPK, float(hits) / TOPK)], "method string, k int, recall double"
+        )
+
+    return recall(lsh, "lsh_hamming2").unionByName(recall(ivf, "ivf_16x4"))
