@@ -231,6 +231,7 @@ def archive_fetch(
     pending = frontier.select(F.col(url_col).alias("orig_url"), F.col(url_col).alias("url"))
     finished: list[DataFrame] = []
     driver_rows: list[dict] = []
+    round_caches: list[DataFrame] = []
 
     for hop in range(max_redirects + 1):
         if pending.isEmpty():
@@ -274,6 +275,7 @@ def archive_fetch(
             .mapInPandas(read_round(), FETCH_RESULT_SCHEMA)
             .persist()
         )
+        round_caches.append(fetched)
         redirects = fetched.filter(F.map_contains_key("headers", "__redirect")).collect()
         finished.append(fetched.filter(~F.map_contains_key("headers", "__redirect")))
 
@@ -302,4 +304,10 @@ def archive_fetch(
     out = finished[0]
     for df in finished[1:]:
         out = out.unionByName(df)
+    # materialize the bounded final result, then free every per-round
+    # cache — otherwise repeated archive_fetch calls leak persist()
+    # handles for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    for df in round_caches:
+        df.unpersist()
     return out

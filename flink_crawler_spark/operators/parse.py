@@ -272,7 +272,8 @@ def _parse_html_doc(page_url: str, html: str, max_outlinks: int) -> dict:
         pass
     ex._flush_anchor()
 
-    base = ex.base or page_url
+    # a relative <base href> resolves against the page URL itself first
+    base = urljoin(page_url, ex.base) if ex.base else page_url
     seen: set[str] = set()
     out_urls: list[str] = []
     details: list[tuple[str, str, str]] = []

@@ -39,7 +39,13 @@ def save_bucketed_state(state: DataFrame, table: str, *, buckets: int = 64) -> N
 
 def load_bucketed_state(spark: SparkSession, table: str) -> DataFrame:
     """Read the bucketed state; scans report HashPartitioning(url, n) so
-    downstream key-aligned joins/aggregations skip their Exchange."""
+    downstream key-aligned joins/aggregations skip their Exchange.
+
+    Recovery: if a tick crashed between the two renames in
+    ``tick_merge_bucketed``, the previous state survives as
+    ``<table>__old`` — restore it."""
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(f"{table}__old"):
+        spark.sql(f"ALTER TABLE {table}__old RENAME TO {table}")
     return spark.table(table)
 
 
@@ -47,14 +53,22 @@ def tick_merge_bucketed(
     spark: SparkSession, table: str, updates: DataFrame, *, buckets: int = 64
 ) -> DataFrame:
     """One durable tick: join-merge the delta into the bucketed table and
-    atomically replace it (write to a staging table, then swap). Returns
-    the new state frame."""
+    crash-safely replace it (write to a staging table, rename the old
+    state aside, swap, drop the backup — every crash window leaves a
+    recoverable table). Returns the new state frame."""
     from .merge import merge_updates_join
 
     state = load_bucketed_state(spark, table)
     merged = merge_updates_join(state, updates)
     staging = f"{table}__staging"
     save_bucketed_state(merged, staging, buckets=buckets)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # crash-safe swap: the old state is renamed aside (recoverable) before
+    # the staging table takes the name; only then is the backup dropped.
+    # A crash in any window leaves either <table> or <table>__old existing
+    # — load_bucketed_state restores from __old automatically.
+    old = f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
     return load_bucketed_state(spark, table)

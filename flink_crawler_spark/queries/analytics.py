@@ -16,8 +16,7 @@ from pyspark.sql import functions as F
 from .base import register, t
 
 
-def _dsum(col, alias):
-    return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
+from .base import dsum as _dsum  # single decimal-discipline definition
 
 
 @register(

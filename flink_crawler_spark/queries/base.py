@@ -31,6 +31,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def dsum(col, alias: str):
+    """Exact order-independent sum of a double expression: round to 6dp,
+    sum as DECIMAL(28,6), expose as DOUBLE — THE decimal discipline every
+    oracle-compared sum uses (single definition; do not copy)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+def ts_lit(s: str):
+    """timestamp_ntz literal for date-filter pushdown."""
+    from pyspark.sql import functions as F
+
+    return F.lit(s).cast("timestamp_ntz")
+
+
 def ts_millis(col):
     """Epoch millis from a parquet TIMESTAMP_NTZ column (UTC session)."""
     from pyspark.sql import functions as F

@@ -221,14 +221,18 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side buffers forever — the scale requirement for stream-stream joins.
     Inner join + watermark converges exactly to the batch join (oracle).
     """
+    # ms-truncated integer time on BOTH the payload and the join/watermark
+    # column: `ts div 1000000` is exact on int64 nanos (float division is
+    # not past 2^53), and joining on timestamp_millis keeps the interval
+    # comparison at the same precision the oracle's epoch_ms uses
     clicks = (
         _event_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
-            F.col("ts_t").alias("c_time"),
-            (F.col("ts") / 1_000_000).cast("long").alias("c_ms"),
+            F.expr("timestamp_millis(ts div 1000000)").alias("c_time"),
+            F.expr("ts div 1000000").alias("c_ms"),
         )
         .withWatermark("c_time", "1 hour")
     )
@@ -238,8 +242,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
-            F.col("ts_t").alias("p_time"),
-            (F.col("ts") / 1_000_000).cast("long").alias("p_ms"),
+            F.expr("timestamp_millis(ts div 1000000)").alias("p_time"),
+            F.expr("ts div 1000000").alias("p_ms"),
         )
         .withWatermark("p_time", "1 hour")
     )

@@ -19,12 +19,8 @@ from pyspark.sql import functions as F
 from .base import register, t
 
 
-def _dsum(col, alias):
-    return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
-
-
-def _ts(s: str):
-    return F.lit(s).cast("timestamp_ntz")
+from .base import dsum as _dsum  # single decimal-discipline definition
+from .base import ts_lit as _ts
 
 
 # ---------------------------------------------------------------------------

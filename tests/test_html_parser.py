@@ -107,3 +107,13 @@ def test_crawl_loop_with_tree_parser(spark):
         "http://d2.com/": "FETCHED",
         "http://d2.com/deep": "FETCHED",
     }
+
+
+def test_relative_base_href_resolves_against_page_url():
+    """A relative <base href> must itself resolve against the page URL
+    before links resolve against it (review finding: such links were
+    silently dropped)."""
+    html = ('<html><head><base href="/b/"></head>'
+            '<body><a href="x.html">X</a><a href="../up.html">U</a></body></html>')
+    d = _parse_html_doc("http://ex.com/a/page.html", html, 50)
+    assert d["outlinks"] == ["http://ex.com/b/x.html", "http://ex.com/up.html"]
