@@ -78,3 +78,84 @@ def politeness_gaps(
 def status_counts(crawl_state: DataFrame) -> DataFrame:
     """Per-status row counts (metrics/CounterUtils.java:64-146 observable form)."""
     return crawl_state.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+) -> DataFrame:
+    """As-of (backward) join: each left row picks the right row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same key.
+
+    The classic feature-store / point-in-time-correctness operator
+    (generalizes the politeness as-of lookup J4). Spark has no ASOF
+    JOIN; a range join would explode. This is the scalable idiom: union
+    both sides, ONE shuffle on the key, and a running `last_value(...,
+    ignorenulls)` window carries the latest right payload forward onto
+    left rows — O(1) window state per key, linear cost, no range
+    explosion. Ties (left_ts == right_ts) match, like DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` (the oracle).
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    ).select(F.col(key), "__ts", "__side", "__p", *[c for c in l_cols if c != key])
+
+    unioned = r.select(
+        key, "__ts", "__side", "__p",
+        *[F.lit(None).cast(dict(zip(l.schema.names, l.schema.fields))[c].dataType).alias(c)
+          for c in l.columns if c not in (key, "__ts", "__side", "__p")],
+    ).unionByName(l)
+
+    # right rows sort before left rows at equal ts so ties match
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).drop("__side", "__p")
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__match")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per group via salting.
+
+    COUNT DISTINCT has no map-side partial aggregation — a hot group
+    funnels every one of its values through one task. Salting by a hash
+    of the VALUE keeps exactness (each distinct value lands in exactly
+    one bucket, so per-bucket distinct counts sum to the total) while
+    spreading a hot group over ``buckets`` tasks. Two shuffles, both
+    balanced — the standard skew-breaking shape for distinct aggregation
+    at 100 TB.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(buckets)).alias("__salt")
+    partial = (
+        df.select(F.col(group_col), F.col(value_col), salt)
+        .groupBy(group_col, "__salt")
+        .agg(F.count_distinct(F.col(value_col)).alias("__d"))
+    )
+    return partial.groupBy(group_col).agg(F.sum("__d").alias("n_distinct"))

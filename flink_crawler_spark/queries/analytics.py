@@ -138,3 +138,62 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
     )
+
+
+@register(
+    "events_asof_signup",
+    oracle="""
+SELECT c.event_id,
+       c.user_id,
+       s.event_id AS signup_event_id,
+       CAST(epoch_ms(s.ts) AS BIGINT) AS signup_ms
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id AND epoch_ms(c.ts) >= epoch_ms(s.ts)
+""",
+)
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: each click picks the user's most recent
+    prior-or-equal signup (operators/windows.py::as_of_join — union +
+    one key shuffle + running last_value; no range-join explosion).
+    DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.windows import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    ms = F.expr("ts div 1000000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ms.alias("c_ms")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("signup_event_id"),
+        ms.alias("signup_ms"),
+    )
+    out = as_of_join(
+        clicks,
+        signups,
+        key="user_id",
+        left_ts="c_ms",
+        right_ts="signup_ms",
+        right_cols=("signup_event_id", "signup_ms"),
+    )
+    return out.select("event_id", "user_id", "signup_event_id", "signup_ms")
+
+
+@register(
+    "distinct_users_salted",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts via value-hash salting
+    (operators/windows.py::salted_count_distinct) — COUNT DISTINCT has
+    no partial aggregation, so a hot group bottlenecks one task; salting
+    by the VALUE hash spreads it over 16 while summing to the exact
+    answer (each distinct value lands in exactly one bucket)."""
+    from ..operators.windows import salted_count_distinct
+
+    ev = t(spark, sf_dir, "events")
+    return salted_count_distinct(ev, group_col="event_type", value_col="user_id")
