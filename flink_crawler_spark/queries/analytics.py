@@ -197,3 +197,82 @@ def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return salted_count_distinct(ev, group_col="event_type", value_col="user_id")
+
+
+@register(
+    "event_value_bands",
+    oracle="""
+WITH bands AS (
+  SELECT n_nationkey AS band_id,
+         n_nationkey * 4.0 AS lo,
+         (n_nationkey + 1) * 4.0 AS hi
+  FROM nation
+)
+SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id
+""",
+)
+def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (banded) join: events land in value bands via a non-equi
+    interval condition. The band table broadcasts, so the theta join is
+    a BroadcastNestedLoopJoin over a 25-row build side — O(n·bands)
+    with bands tiny, the right plan; at huge band counts the scale path
+    is bucketizing the probe value (width_bucket) into an equi-join,
+    which this query's fixed-width bands make trivial."""
+    ev = t(spark, sf_dir, "events")
+    na = t(spark, sf_dir, "nation")
+    bands = na.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        ((F.col("n_nationkey") + 1) * 4.0).alias("hi"),
+    )
+    j = ev.join(
+        F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi)
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), "total"),
+    )
+
+
+@register(
+    "hierarchical_time_rollup",
+    oracle="""
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hourly rollup is
+    computed FROM the 5-minute partial aggregate, not from raw events —
+    the multi-resolution reuse pattern (materialize fine partials once,
+    derive every coarser resolution). Exact because counts and
+    decimal-disciplined sums re-aggregate losslessly; the oracle goes
+    straight from raw events to hours and must agree."""
+    ev = t(spark, sf_dir, "events")
+    minute5 = (
+        ev.select(
+            (F.expr("ts div 1000000") - F.expr("ts div 1000000") % 300000).alias("m5_ms"),
+            "event_type",
+            "value",
+        )
+        .groupBy("m5_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("total_dec"),
+        )
+    )
+    return (
+        minute5.withColumn("hour_ms", F.col("m5_ms") - F.col("m5_ms") % 3_600_000)
+        .groupBy("hour_ms", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").cast("double").alias("total"),
+        )
+    )
