@@ -29,7 +29,7 @@ from .base import EV_MS, EV_SEC, register, t, ts_millis
 OBS_SQL = """
 obs AS (
   SELECT 'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
-             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+             || CAST(l_partkey % 5000 AS VARCHAR) AS url,
          'd' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com' AS pld,
          CASE l_returnflag WHEN 'R' THEN 'FETCHED'
                            WHEN 'A' THEN 'HTTP_NOT_FOUND'
@@ -86,7 +86,7 @@ def crawl_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://d"),
             (F.col("l_suppkey") % 50).cast("string"),
             F.lit(".example.com/p/"),
-            (F.col("l_partkey") % 500).cast("string"),
+            (F.col("l_partkey") % 5000).cast("string"),
         ).alias("url"),
         F.concat(
             F.lit("d"), (F.col("l_suppkey") % 50).cast("string"), F.lit(".example.com")
@@ -346,7 +346,7 @@ def domain_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH o1 AS (
   SELECT 'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
-             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+             || CAST(l_partkey % 5000 AS VARCHAR) AS url,
          l_quantity / 10 AS score
   FROM lineitem
 ),
@@ -374,7 +374,7 @@ def union_outlinks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://d"),
             (F.col("l_suppkey") % 50).cast("string"),
             F.lit(".example.com/p/"),
-            (F.col("l_partkey") % 500).cast("string"),
+            (F.col("l_partkey") % 5000).cast("string"),
         ).alias("url"),
         (F.col("l_quantity") / 10).alias("score"),
     )
