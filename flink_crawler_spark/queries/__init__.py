@@ -26,6 +26,8 @@ from . import simq  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 from . import crawlq  # noqa: E402,F401
 from . import multimodalq  # noqa: E402,F401
+from . import sketchq  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 
 
 def queries():

@@ -1,0 +1,124 @@
+"""Analytics breadth batch 3: event-funnel conversion and snapshot
+diffing — the change-data-capture and behavioral-analytics shapes a
+long-running crawl/state pipeline reports on.
+
+Funnel = the crawl lifecycle's own observability shape (seeded → fetched
+→ parsed is a funnel over the status stream, §2.9 G3); snapshot diff =
+what the durable crawl_state table (§7 build plan) emits between ticks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import EV_MS, register, t
+from .base import dsum as _dsum
+from .base import ts_lit as _ts
+
+_DAY_MS = 86_400_000
+
+
+# ---------------------------------------------------------------------------
+# Three-step funnel with a per-step conversion window: first view, first
+# click within 1 day of that view, first purchase within 1 day of that
+# click. Each step is a groupBy-min plus an equi-join with a range
+# conjunct — no window functions, so every step partial-aggregates
+# map-side and the joins stay key-partitioned on user_id.
+# Timestamps compared at millisecond precision in both engines
+# (events.parquet is TIMESTAMP(NANOS): Spark reads BIGINT nanos, DuckDB
+# truncates to micros — ms is the shared grid).
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+v AS (SELECT user_id, min(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ms) AS t1 FROM e JOIN v ON e.user_id = v.user_id
+       AND e.ms > v.t0 AND e.ms <= v.t0 + {_DAY_MS}
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ms) AS t2 FROM e JOIN c ON e.user_id = c.user_id
+       AND e.ms > c.t1 AND e.ms <= c.t1 + {_DAY_MS}
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(EV_MS).alias("ms")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ms").alias("t0")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ms") > F.col("t0")) & (F.col("ms") <= F.col("t0") + _DAY_MS))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ms") > F.col("t1")) & (F.col("ms") <= F.col("t1") + _DAY_MS))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"))
+    )
+    steps = (
+        v.select(F.lit("view").alias("step"), "user_id")
+        .unionByName(c.select(F.lit("click").alias("step"), "user_id"))
+        .unionByName(p.select(F.lit("purchase").alias("step"), "user_id"))
+    )
+    return steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC shape): per-customer order state at an early cutoff
+# vs. now, full-outer-joined and classified new/grown/unchanged with
+# amount deltas. This is exactly what the durable crawl_state table
+# produces between ticks (status-transition records, §2.5 side output) —
+# expressed set-at-a-time. Both aggregates shuffle once on the same key,
+# so the full-outer join is co-partitioned (no extra exchange under AQE).
+@register(
+    "customer_snapshot_diff",
+    oracle="""
+WITH a AS (SELECT o_custkey, count(*) AS n,
+                  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS amt
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY o_custkey),
+b AS (SELECT o_custkey, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS amt
+      FROM orders GROUP BY o_custkey)
+SELECT CAST(coalesce(b.o_custkey, a.o_custkey) AS BIGINT) AS custkey,
+       CASE WHEN a.o_custkey IS NULL THEN 'new'
+            WHEN b.n = a.n THEN 'unchanged'
+            ELSE 'grown' END AS change_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(b.amt, 0) - coalesce(a.amt, 0) AS DOUBLE) AS amt_delta
+FROM b FULL OUTER JOIN a ON a.o_custkey = b.o_custkey
+""",
+)
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+
+    def snap(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "amt")
+        )
+
+    a = snap(od.filter(F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))).alias("a")
+    b = snap(od).alias("b")
+    j = b.join(a, F.col("b.o_custkey") == F.col("a.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("a.o_custkey")).cast("bigint").alias("custkey"),
+        F.when(F.col("a.o_custkey").isNull(), "new")
+        .when(F.col("b.n") == F.col("a.n"), "unchanged")
+        .otherwise("grown")
+        .alias("change_type"),
+        F.coalesce(F.col("a.n"), F.lit(0)).cast("bigint").alias("n_before"),
+        F.coalesce(F.col("b.n"), F.lit(0)).cast("bigint").alias("n_after"),
+        (F.coalesce(F.col("b.amt"), F.lit(0.0)) - F.coalesce(F.col("a.amt"), F.lit(0.0)))
+        .cast("double")
+        .alias("amt_delta"),
+    )

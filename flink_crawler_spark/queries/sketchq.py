@@ -1,0 +1,156 @@
+"""Sketch & sampling operators — the approximate-but-reproducible tier a
+100 TB pipeline needs: KMV distinct-count sketches, bloom-style membership
+pruning, and deterministic hash-stratified sampling.
+
+The reference carries a (dead-code) ``BloomFilter``
+(`fc/utils/BloomFilter.java:74-131`) intended for frontier membership
+checks; here the same idea is revived as set-based, exactly-checkable
+queries. Every query below is *deterministic* — the "approximation" is a
+pure function of md5/xxhash values both engines compute identically — so
+each gets a full DuckDB value oracle rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+# KMV hash: top-15 hex chars of md5 → 60-bit integer, identical in Spark
+# (conv) and DuckDB ('0x…'::BIGINT). Hash space = 16^15 = 2^60.
+_HASH_SPACE = float(1 << 60)
+_K = 32
+
+
+def _md5_60bit(col):
+    """60-bit integer from md5 of a bigint's string form (engine-portable)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch. Unlike HyperLogLog, KMV
+# over a *portable* hash is bit-reproducible across engines, so the
+# estimate itself is value-oracled. Months with < k distinct customers
+# report exact counts (the sketch is lossless below k).
+#
+# Scale path: KMV sketches are mergeable — per-partition bottom-k arrays
+# union-and-truncate associatively, so at 100 TB this becomes a two-level
+# partial aggregation with k·8 bytes of state per group instead of the
+# window-over-distinct used here (which shuffles each distinct pair once).
+@register(
+    "kmv_distinct_custkey_monthly",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                            o_custkey FROM orders),
+h AS (SELECT month, CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM du),
+r AS (SELECT month, hv,
+             row_number() OVER (PARTITION BY month ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY month) AS n
+      FROM h)
+SELECT month,
+       CAST(max(n) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN max(n) <= {_K} THEN CAST(max(n) AS DOUBLE)
+                 ELSE round({_K - 1}.0 * {_HASH_SPACE!r} / CAST(max(CASE WHEN rn = {_K} THEN hv END) AS DOUBLE), 6)
+            END AS DOUBLE) AS kmv_estimate
+FROM r GROUP BY month
+""",
+)
+def kmv_distinct_custkey_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    du = od.select(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month"),
+        "o_custkey",
+    ).distinct()
+    h = du.withColumn("hv", _md5_60bit(F.col("o_custkey")))
+    r = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("month").orderBy("hv"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("month")))
+    agg = r.groupBy("month").agg(
+        F.max("n").cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rn") == _K, F.col("hv"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_exact") <= _K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(_K - 1)) * F.lit(_HASH_SPACE) / F.col("hk").cast("double"), 6)
+    )
+    return agg.select("month", "n_exact", est.cast("double").alias("kmv_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style membership pruning: a bucket bitmap of the (small) "seen"
+# key set is broadcast and applied as a prefilter on the probe side
+# *before* the shuffle join; the exact semi/inner join then removes the
+# false positives, so the result is exact and the oracle is the plain
+# join. Mirrors the reference's intended BloomFilter frontier check
+# (`fc/utils/BloomFilter.java:74-131`, unwired).
+#
+# Scale path: at 100 TB the probe side is the ~100B-tracked-links frontier
+# scan; a 4096-bucket bitmap (or Spark's runtime bloom filter,
+# spark.sql.optimizer.runtime.bloomFilter.enabled) drops non-members
+# before the exchange, which is where the win is. The prefilter can only
+# shrink the probe side — never change the answer.
+@register(
+    "bloom_bucket_prefilter",
+    oracle="""
+SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n_hot_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+GROUP BY c.c_custkey
+""",
+)
+def bloom_bucket_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = t(spark, sf_dir, "customer")
+    hot = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey")
+    )
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(4096))  # noqa: E731
+    bitmap = hot.select(bucket(F.col("o_custkey")).alias("b")).distinct().agg(
+        F.collect_set("b").alias("bm")
+    )
+    pruned = (
+        cu.join(F.broadcast(bitmap))
+        .filter(F.array_contains(F.col("bm"), bucket(F.col("c_custkey"))))
+        .drop("bm")
+    )
+    return (
+        pruned.join(hot, pruned.c_custkey == hot.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hot_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-stratified sampling: a 1/16 per-language sample keyed
+# on md5(doc_id) — the reproducible alternative to rand()-based
+# df.sample() that a training-data pipeline needs (same sample every run,
+# every engine, any partitioning; sampling decision is per-row, so it
+# pushes down and never shuffles).
+@register(
+    "hash_stratified_sample",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+GROUP BY lang
+""",
+)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1) == "0"
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -653,3 +653,72 @@ def nation_balance_share_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.join(F.broadcast(total)).filter(
         F.col("balance") > F.col("thr")
     ).select("n_name", "balance")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (the one TPC-H shape previously missing).
+# No partsupp table in the synthetic schema, so supply cost is derived
+# from lineitem as the minimum observed unit price per (part, supplier).
+# The correlated "= (SELECT min(...))" is expressed as a window-min +
+# filter — semantically identical, and Catalyst keeps the window on the
+# same partitioning as the preceding aggregate. Dimension filters (part
+# type/size, supplier region) are broadcast-joined BEFORE the big
+# aggregate so the lineitem scan is pruned early (§4.1 early-filtering).
+# Costs compared as DECIMAL(28,6) so min/equality are exact across engines.
+@register(
+    "min_cost_supplier_q2",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(round(l.l_extendedprice / l.l_quantity, 6) AS DECIMAL(28,6))) AS supplycost
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+), elig AS (
+  SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.supplycost,
+         min(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS mincost
+  FROM part p
+  JOIN ps ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_type = 'PROMO' AND p.p_size <= 10 AND r.r_name = 'ASIA'
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       CAST(supplycost AS DOUBLE) AS supplycost
+FROM elig WHERE supplycost = mincost
+""",
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pa = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = t(spark, sf_dir, "nation").join(
+        F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    su = t(spark, sf_dir, "supplier").join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    pruned = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+    )
+    ps = pruned.groupBy("p_partkey", "p_brand", "s_name", "n_name").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.withColumn("mincost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("mincost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+    )
