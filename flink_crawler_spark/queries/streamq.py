@@ -270,3 +270,89 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("p_ms") - F.col("c_ms")).alias("delta_ms"),
     )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(coalesce(p.event_id, -1) AS BIGINT) AS purchase_id,
+       CAST(coalesce(epoch_ms(p.ts) - epoch_ms(c.ts), -1) AS BIGINT) AS delta_ms
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <  epoch_ms(c.ts) + 1800000
+""",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the hard
+    streaming case: unmatched left rows may only be emitted once the
+    watermark has passed their join window, and under an availableNow
+    replay the watermark normally stops at max(event_time) - delay,
+    leaving the tail of unmatched rows stuck in state forever.
+
+    The fix is a *sentinel flush*: a far-future (+3 h) event for a
+    reserved user id is appended to the source directory as a second
+    file. The batch watermark then advances past every real event's join
+    window, and the no-data micro-batch availableNow runs after the data
+    batch evicts the join state and emits every unmatched row — the
+    streaming result converges EXACTLY to the batch left join, which is
+    the oracle. Sentinel rows are dropped from the output; null join
+    columns are coalesced to -1 on both engines so the value hash is
+    null-free.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs_ssj_left_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    mx = spark.read.parquet(path).agg(F.max("ts"), F.max("event_id")).first()
+    sentinel_ts = mx[0] + 3 * 3600 * 10**9
+    sentinel = [
+        (mx[1] + 1, sentinel_ts, -1, "click", 0.0, "{}"),
+        (mx[1] + 2, sentinel_ts, -1, "purchase", 0.0, "{}"),
+    ]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+
+    def side(event_type: str, pre: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(stream_dir)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("event_id").alias(f"{pre}_id"),
+                F.expr("timestamp_millis(ts div 1000000)").alias(f"{pre}_time"),
+                F.expr("ts div 1000000").alias(f"{pre}_ms"),
+            )
+            .withWatermark(f"{pre}_time", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_time") >= F.col("c_time"))
+        & (F.col("p_time") < F.col("c_time") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    name = "ssjl_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("c_user") != -1)
+        .select(
+            F.col("c_user").alias("user_id"),
+            F.col("c_id").alias("click_id"),
+            F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("purchase_id"),
+            F.coalesce(F.col("p_ms") - F.col("c_ms"), F.lit(-1)).cast("bigint").alias("delta_ms"),
+        )
+    )
