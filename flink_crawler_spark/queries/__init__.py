@@ -29,6 +29,7 @@ from . import multimodalq  # noqa: E402,F401
 from . import sketchq  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import sqlbreadth  # noqa: E402,F401
+from . import sourcesq  # noqa: E402,F401
 
 
 def queries():

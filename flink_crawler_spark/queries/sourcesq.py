@@ -1,0 +1,71 @@
+"""Source/sink format matrix as oracle queries: JSON-lines and CSV
+round-trips through real write-then-readStream-able directories.
+
+The reference's only text sink is the ``url \\t text`` writeAsText path
+(CTB:455-463, W3) and its only file source is the seed list (S1). A
+standalone engine needs the full format matrix; these queries prove the
+JSON and CSV paths are lossless for the types that survive those formats
+(int64, double, string): the aggregate over write->read-back must hash
+identically to the oracle computed on the original parquet. Doubles
+survive because Spark serializes them shortest-roundtrip in both
+formats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register, t
+from .base import dsum as _dsum
+
+_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice"), "revenue"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
+@register("json_sink_source_roundtrip", oracle=_ORACLE)
+def json_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> JSON-lines sink -> JSON source (explicit schema, no
+    inference pass) -> aggregate. Partitioned write, partitioned read —
+    the round-trip must be exact."""
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_json_rt_"), "orders_json")
+    od.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(out)
+    return _roundtrip_agg(back)
+
+
+@register("csv_sink_source_roundtrip", oracle=_ORACLE)
+def csv_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV sink (header) -> CSV source (explicit schema) ->
+    aggregate. Quoting matters: o_orderpriority contains spaces, and
+    '4-NOT SPECIFIED' must survive the trip un-split."""
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_csv_rt_"), "orders_csv")
+    od.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("o_orderkey bigint, o_orderpriority string, o_totalprice double")
+        .option("header", True)
+        .csv(out)
+    )
+    return _roundtrip_agg(back)

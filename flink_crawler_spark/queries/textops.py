@@ -6,7 +6,7 @@ Oracle mirrors are generated from the same constants
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -253,4 +253,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_expr(F.col("text")).alias("fingerprint"),
         min_shingle_fingerprint_expr(F.col("text"), 5).alias("min_shingle_fp"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored) x
+WHERE rn <= 5
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the classic training-corpus
+    relevance feature, pure DataFrame ops: explode -> two aggregations
+    (term frequency per doc, document frequency per term) -> broadcast
+    the tiny df/N side -> window top-k. Ranking happens on the ROUNDED
+    score (then term asc) so 1-ulp ln() differences between engines can
+    never flip the top-k cut.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "tok", F.col("tf").cast("bigint").alias("tf"), "tfidf")
     )
