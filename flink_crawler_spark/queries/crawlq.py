@@ -491,3 +491,82 @@ def pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Bounded single-source shortest path (Bellman-Ford, 8 relaxation rounds)
+# — completes the iterative-algorithm family (PageRank = fixed-point,
+# reachability = unweighted BFS, connected components = label prop; this
+# adds WEIGHTED relaxation with min-fold). Weights are small integers so
+# dist arithmetic is exact in both engines.
+
+SSSP_ROUNDS = 8
+
+# sparse derived graph: ~12k weighted edges over 5000 nodes at sf0.01
+# (l_quantity is integral in this dataset, so Spark's truncating
+# double->bigint cast and DuckDB's rounding cast agree)
+SSSP_EDGES_SQL = """
+edges AS (
+  SELECT l_orderkey % 5000 AS src, (l_orderkey * 31 + l_partkey) % 5000 AS dst,
+         min(CAST(l_quantity AS BIGINT) % 9 + 1) AS w
+  FROM lineitem WHERE l_quantity <= 10 GROUP BY 1, 2
+)
+"""
+
+
+def _sssp_sql(rounds: int) -> str:
+    layers = []
+    cur = "d0"
+    for k in range(1, rounds + 1):
+        layers.append(f"""
+d{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {cur}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM {cur} p JOIN edges e ON e.src = p.node
+  ) u GROUP BY node
+)""")
+        cur = f"d{k}"
+    return ",".join(layers)
+
+
+@register(
+    "sssp_bellman_ford",
+    oracle=f"""
+WITH {SSSP_EDGES_SQL.strip()},
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+{_sssp_sql(SSSP_ROUNDS).strip()}
+SELECT node, dist FROM d{SSSP_ROUNDS}
+""",
+)
+def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-loop Bellman-Ford from node 0: each round relaxes every
+    edge from the current frontier and min-folds into the distance
+    table (join + union + groupBy-min — all exact integer arithmetic).
+    The oracle is the identical recurrence unrolled as SQL CTE layers.
+    At 100 TB: distance table bucketed by node (state_table pattern),
+    edges partitioned once and reused every round; the min-fold
+    partial-aggregates map-side so each round is one shuffle of the
+    (small) changed set, not the full graph."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 10)
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("src"),
+            ((F.col("l_orderkey") * 31 + F.col("l_partkey")) % 5000).alias("dst"),
+            (F.col("l_quantity").cast("bigint") % 9 + 1).alias("w0"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w0").alias("w"))
+        # materialize ONCE: without this every round's plan re-scans and
+        # re-aggregates lineitem (8x the work); localCheckpoint severs the
+        # lineage so each round reads the ~12k-row edge blocks directly
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
+    for _ in range(SSSP_ROUNDS):
+        relax = dist.join(F.broadcast(edges), dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist.select("node", "dist")
