@@ -69,3 +69,34 @@ def csv_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return _roundtrip_agg(back)
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_distinct_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: the events table carries a JSON string
+    column (`props`); extract a field JVM-side (get_json_object — no
+    Python, stays in codegen) and aggregate per event type. The schema-
+    on-read pattern every log/training pipeline needs; at scale prefer
+    from_json with an explicit schema once the shape is known (single
+    parse per row instead of one per extracted path)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    ks = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.countDistinct(ks).alias("n_distinct_k"),
+    )

@@ -32,12 +32,30 @@ KEY_QUERIES = [
     "top_supplier_q15",
     "disjunctive_revenue_q19",
     "order_priority_exists_q4",
+    "min_cost_supplier_q2",
+    "bloom_bucket_prefilter",
+    "kmv_distinct_custkey_monthly",
+    "grouping_sets_priority_status",
+    "pivot_priority_by_year",
+    "gap_fill_daily_revenue",
+    "tfidf_top_terms",
+    "funnel_view_click_purchase",
+    "customer_snapshot_diff",
+    "json_props_extract",
 ]
 
 # queries that intentionally attach a 1-row scalar (threshold/average)
 # via broadcast cross join — BroadcastNestedLoopJoin with a single-row
 # build side is O(n) and shuffle-free, the right plan for the pattern
-SCALAR_BROADCAST_OK = {"idle_customers_q22", "nation_balance_share_q11", "market_share_q8"}
+SCALAR_BROADCAST_OK = {
+    "idle_customers_q22",
+    "nation_balance_share_q11",
+    "market_share_q8",
+    # 1-row bucket-bitmap / bounds builds attached via broadcast cross join
+    "bloom_bucket_prefilter",
+    "gap_fill_daily_revenue",
+    "tfidf_top_terms",
+}
 
 
 def audit(name: str, plan: str) -> list[str]:
