@@ -52,6 +52,14 @@ def main() -> int:
             # intra-query persist() handles must not leak into the next
             # query's timing (cache memory pressure compounds over a run)
             spark.catalog.clearCache()
+            # memory-sink tables from streaming queries pin their whole
+            # collected result (driver + executor references) until the
+            # temp view is dropped — with several streaming queries in
+            # the suite the residue measurably inflates later multi-job
+            # queries
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
             # measured: without collecting the Python wrappers (which
             # releases localCheckpoint RDDs + streaming state through
             # ContextCleaner) and nudging the JVM, a multi-job query

@@ -1,0 +1,60 @@
+"""Property tests for the sketch/sampling/analytics batch: invariants the
+DuckDB oracle can't express (cross-run determinism, estimate error
+bounds, prefilter-transparency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_crawler_spark.queries.analytics2 import funnel_view_click_purchase
+from flink_crawler_spark.queries.sketchq import (
+    _K,
+    bloom_bucket_prefilter,
+    hash_stratified_sample,
+    kmv_distinct_custkey_monthly,
+)
+
+
+def test_funnel_steps_monotone(spark, sf_dir):
+    rows = {r["step"]: r["n_users"] for r in funnel_view_click_purchase(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "purchase"}
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark, sf_dir):
+    rows = kmv_distinct_custkey_monthly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] <= _K:
+            # the sketch is lossless below k
+            assert r["kmv_estimate"] == float(r["n_exact"])
+        else:
+            # KMV stderr ~ 1/sqrt(k-2) ≈ 18% at k=32; 3 sigma bound
+            assert abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"] < 0.55
+
+
+def test_bloom_prefilter_is_transparent(spark, sf_dir):
+    """The bucket-bitmap prefilter must never change the answer — only
+    shrink the probe side before the shuffle."""
+    import os
+
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    hot = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey")
+    )
+    plain = (
+        cu.join(hot, cu.c_custkey == hot.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hot_orders"))
+    )
+    got = {(r["c_custkey"], r["n_hot_orders"]) for r in bloom_bucket_prefilter(spark, sf_dir).collect()}
+    want = {(r["c_custkey"], r["n_hot_orders"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_hash_sample_deterministic_across_runs(spark, sf_dir):
+    a = sorted(map(tuple, hash_stratified_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, hash_stratified_sample(spark, sf_dir).collect()))
+    assert a == b and a  # same sample every run, and non-empty
