@@ -100,3 +100,33 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("bigint").alias("max_k"),
         F.countDistinct(ks).alias("n_distinct_k"),
     )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY k_bucket
+""",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semi-structured field via the Spark 4 VARIANT path:
+    parse_json once into a Variant column, then variant_get typed
+    extraction — the shredded/binary-encoded route that replaces
+    repeated per-path string parsing at scale. Must agree exactly with
+    the string-path oracle (and with json_props_extract's mechanism)."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        F.parse_json(F.col("props")).alias("pv"), "value"
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return (
+        v.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+    )
