@@ -570,3 +570,60 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
     return dist.select("node", "dist")
+
+
+# ---------------------------------------------------------------------------
+# §2.15 extension surface: the page parser as a Python UDTF (one page in,
+# N outlink rows out) — the literal Spark analogue of the reference's
+# BasePageParser UDTF contract (parser/BasePageParser.java:20-48). Same
+# oracle as html_outlink_extract: both mechanisms must produce the
+# identical edge set. The UDTF runs row-at-a-time in the Python worker,
+# so the expression path (regexp_extract_all + explode, html_outlink_
+# extract) remains the hot-path choice; this exists to prove the plug-in
+# contract end-to-end through a LATERAL join.
+
+
+@register(
+    "html_outlink_extract_udtf",
+    oracle=f"""
+WITH {EDGES_SQL.strip()},
+dedup AS (SELECT DISTINCT src, dst FROM edges),
+counts AS (SELECT src, count(*) AS n FROM dedup GROUP BY src)
+SELECT {URL_SQL.format(id="d.src")} AS source_url,
+       {URL_SQL.format(id="d.dst")} AS url,
+       round(1.0 / c.n, 6) AS score
+FROM dedup d JOIN counts c ON d.src = c.src
+""",
+)
+def html_outlink_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source_url string, url string, n_links bigint")
+    class ExtractOutlinks:
+        def eval(self, source_url, html):
+            import re
+
+            if not html:
+                return
+            # ordered dedup, same as the expression path's array_distinct
+            links = list(dict.fromkeys(re.findall(r'<a\s[^>]*href="([^"]*)"', html)))
+            n = len(links)
+            for href in links:
+                yield source_url, href, n
+
+    fn = "extract_outlinks_" + uuid.uuid4().hex[:8]
+    spark.udtf.register(fn, ExtractOutlinks)
+    pages = render_pages(_web_graph(spark, sf_dir))
+    view = "pages_" + uuid.uuid4().hex[:8]
+    pages.createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT f.source_url, f.url, f.n_links "
+        f"FROM {view} p, LATERAL {fn}(p.page_url, p.html) f"
+    )
+    # score rounding stays JVM-side: SQL round is half-up like the
+    # oracle's; Python round is half-even
+    return out.select(
+        "source_url", "url", F.round(F.lit(1.0) / F.col("n_links"), 6).alias("score")
+    )
