@@ -122,3 +122,76 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("amt_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation with EXACT cross-engine reproducibility: built-in
+# corr() is association-order-sensitive (parallel co-moment merging), so
+# instead the five co-moment sums go through the DECIMAL discipline and
+# the closed-form formula runs on identical double operands in both
+# engines (IEEE sqrt/division are correctly rounded, so the result is
+# bit-identical). The pattern for any derived statistic at scale:
+# exact-sum the moments, finish scalar.
+@register(
+    "corr_qty_price_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(l_quantity*l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice*l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(round(l_quantity*l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price
+FROM s
+""",
+)
+def corr_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def ds(col, prec, alias):
+        return (
+            F.sum(F.round(col, 6).cast(f"decimal({prec},6)")).cast("double").alias(alias)
+        )
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ds(qty, 28, "sx"),
+        ds(price, 28, "sy"),
+        ds(qty * qty, 28, "sxx"),
+        ds(price * price, 38, "syy"),
+        ds(qty * price, 38, "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# MapType surface (the reference's ParsedUrl._parsedMeta
+# Map<String,String>, pojos/ParsedUrl.java:6-12 → §1.4 mapping): build a
+# metadata map per document, filter entries with a map HOF, explode to
+# rows. The oracle flattens the same entries relationally.
+@register(
+    "doc_meta_map_explode",
+    oracle="""
+SELECT doc_id, 'lang' AS meta_key, lang AS meta_value FROM documents WHERE lang <> ''
+UNION ALL
+SELECT doc_id, 'source', source FROM documents WHERE source <> ''
+""",
+)
+def doc_meta_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    kept = F.map_filter(meta, lambda k, v: v != "")
+    return docs.select(
+        "doc_id", F.explode(kept).alias("meta_key", "meta_value")
+    )
