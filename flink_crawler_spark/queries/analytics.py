@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import EV_MS, register, t
 
 
 from .base import dsum as _dsum  # single decimal-discipline definition
@@ -160,7 +160,7 @@ def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import as_of_join
 
     ev = t(spark, sf_dir, "events")
-    ms = F.expr("ts div 1000000")
+    ms = F.expr(EV_MS)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", ms.alias("c_ms")
     )
@@ -258,7 +258,7 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     minute5 = (
         ev.select(
-            (F.expr("ts div 1000000") - F.expr("ts div 1000000") % 300000).alias("m5_ms"),
+            (F.expr(EV_MS) - F.expr(EV_MS) % 300000).alias("m5_ms"),
             "event_type",
             "value",
         )

@@ -25,9 +25,8 @@ _DAY_MS = 86_400_000
 # click. Each step is a groupBy-min plus an equi-join with a range
 # conjunct — no window functions, so every step partial-aggregates
 # map-side and the joins stay key-partitioned on user_id.
-# Timestamps compared at millisecond precision in both engines
-# (events.parquet is TIMESTAMP(NANOS): Spark reads BIGINT nanos, DuckDB
-# truncates to micros — ms is the shared grid).
+# Timestamps compared at millisecond precision in both engines —
+# ms is the shared grid between Spark's unix_millis and duckdb epoch_ms.
 @register(
     "funnel_view_click_purchase",
     oracle=f"""

@@ -54,6 +54,7 @@ def ts_millis(col):
     return F.unix_millis(col.cast("timestamp_ltz"))
 
 
-# events.ts arrives as BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong)
-EV_MS = "ts div 1000000"   # epoch millis  (== duckdb epoch_ms(ts))
-EV_SEC = "ts div 1000000000"  # epoch secs (== duckdb epoch_ms(ts)//1000)
+# events.ts is a parquet TIMESTAMP (micros, no tz) -> Spark TIMESTAMP_NTZ;
+# with the UTC session these match duckdb's epoch_ms(ts) / epoch_ms(ts)//1000
+EV_MS = "unix_millis(cast(ts as timestamp_ltz))"   # epoch millis
+EV_SEC = "unix_seconds(cast(ts as timestamp_ltz))"  # epoch secs

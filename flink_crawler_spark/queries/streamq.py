@@ -8,9 +8,9 @@ final result is compared against a plain SQL oracle — the streaming
 runtime must converge to the batch answer (the Structured Streaming
 paper's core claim: prefix consistency).
 
-events.ts arrives as BIGINT nanos (nanosAsLong); the stream derives a
-micros-truncated event-time column for watermarks/windows — truncation
-cannot move an event across a 5-minute window boundary.
+events.ts is a parquet TIMESTAMP (micros, no tz); the stream casts it
+to a session-zone (UTC) timestamp for watermarks/windows so the integer
+epoch arithmetic matches duckdb's epoch_ms(ts).
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="fcs_stream_src_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    return stream.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
 
 
 def _run_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
@@ -222,17 +222,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inner join + watermark converges exactly to the batch join (oracle).
     """
     # ms-truncated integer time on BOTH the payload and the join/watermark
-    # column: `ts div 1000000` is exact on int64 nanos (float division is
-    # not past 2^53), and joining on timestamp_millis keeps the interval
-    # comparison at the same precision the oracle's epoch_ms uses
+    # column, so the interval comparison runs at the same precision the
+    # oracle's epoch_ms uses
     clicks = (
         _event_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
-            F.expr("timestamp_millis(ts div 1000000)").alias("c_time"),
-            F.expr("ts div 1000000").alias("c_ms"),
+            F.expr("timestamp_millis(unix_millis(cast(ts as timestamp_ltz)))").alias("c_time"),
+            F.expr("unix_millis(cast(ts as timestamp_ltz))").alias("c_ms"),
         )
         .withWatermark("c_time", "1 hour")
     )
@@ -242,8 +241,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
-            F.expr("timestamp_millis(ts div 1000000)").alias("p_time"),
-            F.expr("ts div 1000000").alias("p_ms"),
+            F.expr("timestamp_millis(unix_millis(cast(ts as timestamp_ltz)))").alias("p_time"),
+            F.expr("unix_millis(cast(ts as timestamp_ltz))").alias("p_ms"),
         )
         .withWatermark("p_time", "1 hour")
     )
@@ -308,7 +307,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="fcs_ssj_left_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     mx = spark.read.parquet(path).agg(F.max("ts"), F.max("event_id")).first()
-    sentinel_ts = mx[0] + 3 * 3600 * 10**9
+    import datetime
+    sentinel_ts = mx[0] + datetime.timedelta(hours=3)
     sentinel = [
         (mx[1] + 1, sentinel_ts, -1, "click", 0.0, "{}"),
         (mx[1] + 2, sentinel_ts, -1, "purchase", 0.0, "{}"),
@@ -324,8 +324,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("user_id").alias(f"{pre}_user"),
                 F.col("event_id").alias(f"{pre}_id"),
-                F.expr("timestamp_millis(ts div 1000000)").alias(f"{pre}_time"),
-                F.expr("ts div 1000000").alias(f"{pre}_ms"),
+                F.expr("timestamp_millis(unix_millis(cast(ts as timestamp_ltz)))").alias(f"{pre}_time"),
+                F.expr("unix_millis(cast(ts as timestamp_ltz))").alias(f"{pre}_ms"),
             )
             .withWatermark(f"{pre}_time", "1 hour")
         )

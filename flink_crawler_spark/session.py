@@ -43,8 +43,9 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-        # type for — read as nanos-since-epoch BIGINT (queries convert).
+        # defensive: if a parquet source carries TIMESTAMP(NANOS) (no
+        # native Spark type), read it as nanos-since-epoch BIGINT rather
+        # than failing; no-op for micros/millis timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
