@@ -627,3 +627,113 @@ def html_outlink_extract_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source_url", "url", F.round(F.lit(1.0) / F.col("n_links"), 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient over the co-purchase
+# graph (parts sharing an order). Completes the distributed-graph family
+# (fixed-point, BFS, label-prop, weighted relaxation -> motif counting).
+# The Spark plan uses DEGREE-ORDERED ORIENTATION (each undirected edge
+# kept once, pointed from its lower-(degree,id) endpoint to the higher):
+# every triangle is then generated by exactly one wedge, and the wedge
+# count is bounded by sum(min-degree per edge) instead of sum(deg^2) —
+# the standard trick that keeps motif counting feasible on skewed
+# 100 TB graphs where a hub's deg^2 would explode the naive plan.
+
+_TRI_UND_SQL = """
+pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       FROM lineitem WHERE l_quantity <= 10),
+und AS (SELECT DISTINCT a.p AS x, b.p AS y
+        FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p)
+"""
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+WITH {_TRI_UND_SQL.strip()},
+tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM und e1 JOIN und e2 ON e2.x = e1.y
+        JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+          (SELECT x AS id FROM und UNION ALL SELECT y FROM und) d GROUP BY id),
+pernode AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM
+              (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) v GROUP BY id)
+SELECT deg.id AS id, deg.degree AS degree,
+       coalesce(pernode.n_tri, 0) AS n_tri,
+       CASE WHEN deg.degree < 2 THEN 0.0
+            ELSE 2.0 * coalesce(pernode.n_tri, 0) / (deg.degree * (deg.degree - 1))
+       END AS clustering
+FROM deg LEFT JOIN pernode ON deg.id = pernode.id
+""",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient.
+
+    Oriented wedge-closure plan: (1) derive undirected co-purchase edges,
+    (2) orient each edge low->high by (degree, id) — a total order, so
+    the oriented graph is acyclic and each triangle survives as exactly
+    one wedge u->v, u->w with ord(v) < ord(w) closed by v->w, (3) join
+    wedges against oriented edges, (4) explode each triangle's 3
+    vertices and count. Degrees are a tiny table -> broadcast both
+    orientation joins; clustering = 2T/d(d-1) is double arithmetic on
+    exact integers, so both engines agree bitwise. Mirrors the naive
+    a<b<c oracle exactly. (Reference has no graph analytics; this
+    extends the web-graph family of SURVEY §2 beyond-reference ops.)
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pe = (
+        li.filter(F.col("l_quantity") <= 10)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("id"))
+        .unionByName(und.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient low -> high in the (degree, id) total order
+    e = (
+        und.join(F.broadcast(deg).withColumnRenamed("id", "x").withColumnRenamed("degree", "dx"), "x")
+        .join(F.broadcast(deg).withColumnRenamed("id", "y").withColumnRenamed("degree", "dy"), "y")
+    )
+    fwd = (F.col("dx") < F.col("dy")) | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    o = e.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+    )
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    ord1 = (F.col("w1.ddst") < F.col("w2.ddst")) | (
+        (F.col("w1.ddst") == F.col("w2.ddst")) & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    wedges = w1.join(w2, (F.col("w1.src") == F.col("w2.src")) & ord1).select(
+        F.col("w1.src").alias("u"), F.col("w1.dst").alias("v"), F.col("w2.dst").alias("w")
+    )
+    closure = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closure, ["v", "w"], "left_semi")
+    pernode = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(pernode, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.lit(2.0)
+            * F.coalesce(F.col("n_tri"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("clustering"),
+    )

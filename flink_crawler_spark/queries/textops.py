@@ -304,3 +304,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "tok", F.col("tf").cast("bigint").alias("tf"), "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top bigrams by lift (PMI's ratio without the log, so
+# the score is double arithmetic on exact integer counts — bit-identical
+# across engines). Tokens are filtered then re-paired by lead() over the
+# original split position, so punctuation-separated words still form a
+# bigram (the usual collocation convention).
+
+
+@register(
+    "bigram_lift_top100",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS tok,
+         generate_subscripts(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), 1) AS pos
+  FROM documents
+),
+tk AS (SELECT doc_id, pos, tok FROM raw WHERE tok <> ''),
+bg AS (SELECT tok AS x, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y FROM tk),
+b AS (SELECT x, y FROM bg WHERE y IS NOT NULL),
+tot AS (SELECT count(*) AS nb FROM b),
+bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM b GROUP BY x, y),
+xc AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x FROM b GROUP BY x),
+yc AS (SELECT y, CAST(count(*) AS BIGINT) AS n_y FROM b GROUP BY y)
+SELECT x, y, n_xy, n_x, n_y,
+       CAST(n_xy AS DOUBLE) * (SELECT nb FROM tot) / (n_x * n_y) AS lift
+FROM bc JOIN xc USING (x) JOIN yc USING (y)
+WHERE n_xy >= 5
+ORDER BY lift DESC, n_xy DESC, x, y
+LIMIT 100
+""",
+)
+def bigram_lift_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by lift = p(xy)/(p(x)p(y)) over the corpus.
+
+    tokenize (JVM split, same regex as the oracle) -> posexplode ->
+    lead() per doc -> three partial-aggregating counts (bigram, left
+    marginal, right marginal) -> two broadcast joins (marginals are
+    vocabulary-sized, tiny next to the bigram table) -> global top-k via
+    TakeOrderedAndProject. All counts partial-aggregate map-side; the
+    only wide shuffle is the per-doc lead() window, which at 100 TB is
+    partitioned by doc_id and never global. Deterministic tie-break
+    (lift desc, n_xy desc, x, y) keeps the top-100 set engine-stable."""
+    docs = t(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    b = (
+        tk.select(F.col("tok").alias("x"), F.lead("tok").over(w).alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    b = b.persist()
+    nb = b.count()
+    bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    xc = b.groupBy("x").agg(F.count(F.lit(1)).alias("n_x"))
+    yc = b.groupBy("y").agg(F.count(F.lit(1)).alias("n_y"))
+    out = (
+        bc.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(xc), "x")
+        .join(F.broadcast(yc), "y")
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (F.col("n_xy").cast("double") * F.lit(nb) / (F.col("n_x") * F.col("n_y"))).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("n_xy"), "x", "y")
+        .limit(100)
+    )
+    return out
