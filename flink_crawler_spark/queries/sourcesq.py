@@ -130,3 +130,49 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("value"), "sum_value"),
         )
     )
+
+
+@register("orc_sink_source_roundtrip", oracle=_ORACLE)
+def orc_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC sink -> ORC source -> aggregate. Completes the
+    columnar half of the format matrix (parquet is the native store;
+    ORC is the other columnar interchange format warehouses emit).
+    Same oracle as the JSON/CSV trips: the round-trip must be exact."""
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_orc_rt_"), "orders_orc")
+    od.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).orc(out)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "partitioned_parquet_pruning",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+""",
+)
+def partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: orders are
+    written partitionBy(o_orderpriority), then the filtered read must
+    touch only the two matching directories — the plan's PartitionFilters
+    carry the IN predicate and PartitionCount is 2 of 5 (asserted in
+    tests/test_streaming_sources_sinks.py). At 100 TB this is the
+    difference between scanning 2 partitions and scanning the table;
+    the same mechanism drives date-partitioned training-data reads."""
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_part_prune_"), "orders_by_prio")
+    od.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("total"),
+    )

@@ -210,3 +210,27 @@ def test_tws_url_db_requires_protobuf_runtime(spark, sf_dir):
         pytest.skip("google.protobuf not installed — TWS runtime unavailable")
     out = stream_url_db_merge_tws(spark, sf_dir)
     assert out.count() > 0
+
+
+def test_partitioned_read_actually_prunes(spark, sf_dir):
+    """partitioned_parquet_pruning must not just return the right answer
+    — the physical scan must read only the 2 matching partition dirs."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    od = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_prune_t_"), "orders_by_prio")
+    od.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    # 2 of the 5 priority partitions survive pruning
+    n_parts = back.select("o_orderpriority").distinct().count()
+    assert n_parts == 2
