@@ -276,3 +276,46 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_dec").cast("double").alias("total"),
         )
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join: the fact side gets a deterministic salt
+    (xxhash64 of the row id mod 8) and the dim side is exploded 8x, so a
+    hot join key is spread over 8 tasks instead of landing on one — the
+    manual companion to AQE's skew-join split, usable when the skew is
+    known ahead of time (the reference's per-PLD keying has exactly this
+    hazard on giant domains). The salt never changes the answer: every
+    fact row still matches exactly one dim replica. Oracle is the plain
+    unsalted join."""
+    ev = t(spark, sf_dir, "events")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = ev.select(
+        "user_id",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALT_N)).alias("salt"),
+    )
+    dim = cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    joined = fact.join(
+        dim, (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )

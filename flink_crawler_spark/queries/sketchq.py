@@ -154,3 +154,19 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@register("hll_distinct_users")  # no SQL oracle: HLL estimates are engine-specific
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per event type
+    (approx_count_distinct, 1% target rsd) next to the exact count — the
+    mergeable industry sketch for 100 TB distinct counting where even
+    salted exact COUNT DISTINCT shuffles every value once. Spark's HLL
+    buckets are engine-internal, so there is no cross-engine value
+    oracle; the error bound is asserted in
+    tests/test_sketch_analytics.py (|est - exact| / exact < 5%)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll_estimate"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )

@@ -91,3 +91,10 @@ def test_bigram_lift_marginals_consistent(spark, sf_dir):
     # descending by (lift, n_xy)
     key = [(r["lift"], r["n_xy"]) for r in rows]
     assert key == sorted(key, reverse=True)
+
+
+def test_hll_estimate_within_bound(spark, sf_dir):
+    from flink_crawler_spark.queries.sketchq import hll_distinct_users
+
+    for r in hll_distinct_users(spark, sf_dir).collect():
+        assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.05
