@@ -77,6 +77,11 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("__s"),
     )
+    return _minhash_from_exploded(exploded, id_col=id_col, num_hashes=num_hashes)
+
+
+def _minhash_from_exploded(exploded: DataFrame, *, id_col: str, num_hashes: int) -> DataFrame:
+    """K keyed-hash MINs over an exploded (id, shingle) frame."""
     return exploded.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("__s")))).alias(f"mh{k}")
@@ -139,6 +144,11 @@ def ngram_jaccard(
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
     ).persist()  # joined twice (id_a side and id_b side)
+    return _jaccard_on_shingles(sh, pairs, id_col=id_col)
+
+
+def _jaccard_on_shingles(sh: DataFrame, pairs: DataFrame, *, id_col: str) -> DataFrame:
+    """Exact Jaccard for candidate pairs against a (id, sh) shingle frame."""
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -163,12 +173,29 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: signatures -> bands -> verify."""
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    """MinHash+LSH near-dup pipeline: signatures -> bands -> verify.
+
+    Shingles the corpus ONCE (the CPU-heavy regex/HOF pass) into a
+    persisted frame that feeds both the minhash aggregation and the
+    exact-Jaccard verify joins — at 100 TB the shingle pass is the
+    dominant cost, so it must not run per stage."""
+    from . import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .persist()
+    )
+    sigs = _minhash_from_exploded(
+        sh.select(F.col(id_col), F.explode("sh").alias("__s")),
+        id_col=id_col,
+        num_hashes=num_hashes,
     )
     pairs = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    verified = ngram_jaccard(df, pairs, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    verified = _jaccard_on_shingles(sh, pairs, id_col=id_col)
     return verified.filter(F.col("jaccard") >= F.lit(threshold))
 
 
