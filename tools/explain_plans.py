@@ -42,6 +42,10 @@ KEY_QUERIES = [
     "funnel_view_click_purchase",
     "customer_snapshot_diff",
     "json_props_extract",
+    "copurchase_triangles",
+    "bigram_lift_top100",
+    "skew_salted_join",
+    "partitioned_parquet_pruning",
 ]
 
 # queries that intentionally attach a 1-row scalar (threshold/average)
