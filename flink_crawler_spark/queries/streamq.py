@@ -424,3 +424,43 @@ SELECT url, pld, status, status_time, round(score, 6) AS score, next_fetch_time
 FROM merged
 """,
     )(stream_url_db_merge_tws)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension, then aggregated — the canonical streaming-ETL
+    shape (facts stream in, dims sit in a table). The static side needs
+    no watermark and no state: each micro-batch plans a fresh broadcast
+    hash join against the dim snapshot, so a dim update is picked up on
+    the next batch for free. Converges exactly to the batch join
+    (oracle)."""
+    stream = _event_stream(spark, sf_dir)
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(cu), stream.user_id == cu.c_custkey)
+    # streaming allows ONE aggregation per query: do the stateful
+    # (segment, user) level in the stream; the per-segment rollup —
+    # including the exact distinct-user count, which streaming aggs
+    # can't express — is a batch query over the sink result
+    agg = joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count(F.lit(1)).alias("n_e"),
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("v_dec"),
+    )
+    out = _run_to_memory(agg, "stream_static_")
+    return out.groupBy("c_mktsegment").agg(
+        F.sum("n_e").alias("n_events"),
+        F.sum("v_dec").cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
