@@ -464,3 +464,71 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_dec").cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@register(
+    "stream_window_counts_append",
+    oracle="""
+SELECT epoch_ms(ts) // 300000 * 300000 AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 5-minute tumbling windows as `stream_window_counts`, but
+    in APPEND output mode — the mode that scales: each window row is
+    emitted exactly once when the watermark closes it and its state is
+    dropped, instead of complete mode's re-emit-everything-per-batch.
+    Append mode only emits closed windows, so (as in
+    stream_stream_left_join) a far-future sentinel event is appended as
+    a second source file: the watermark then passes every real window
+    and the availableNow no-data micro-batch flushes them all. Sentinel
+    rows carry user_id -1 and land in one far-future window that is
+    filtered from the output; the result converges EXACTLY to the batch
+    aggregation (oracle)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs_swa_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    mx = spark.read.parquet(path).agg(F.max("ts"), F.max("event_id")).first()
+    import datetime
+
+    sentinel_ts = mx[0] + datetime.timedelta(hours=3)
+    sentinel = [(mx[1] + 1, sentinel_ts, -1, "view", 0.0, "{}")]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
+    )
+    agg = (
+        stream.withWatermark("ts_t", "10 minutes")
+        .groupBy(F.window("ts_t", "5 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "stream_swa_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # drop the sentinel's far-future window
+    cutoff = F.lit(mx[0]).cast("timestamp_ltz")
+    return out.filter(F.col("window.start") <= cutoff).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
