@@ -151,3 +151,125 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall(lsh, "lsh_hamming2").unionByName(recall(ivf, "ivf_16x4"))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's) over the embedding corpus — the curation primitive for
+# diversity-aware sampling of training data (cluster, then sample per
+# cluster). Two unrolled iterations, deterministic seeds (vec_id < K), and
+# the pagerank-style exactness discipline: centroid means go through
+# round(x,6)::DECIMAL then a single double division, and every distance is
+# the same 64-term left-associated double expression in both engines — so
+# assignments, counts, and inertia match bit-for-bit.
+
+KM_K = 8
+
+
+def _km_xcols(src: str) -> str:
+    return ", ".join(f"CAST({src}[{d}] AS DOUBLE) AS x{d}" for d in range(1, DIM + 1))
+
+
+def _km_dist_sql(x: str, c: str) -> str:
+    return " + ".join(
+        f"(({x}.x{d} - {c}.c{d}) * ({x}.x{d} - {c}.c{d}))" for d in range(1, DIM + 1)
+    )
+
+
+def _km_oracle() -> str:
+    c0_cols = ", ".join(f"CAST(embedding[{d}] AS DOUBLE) AS c{d}" for d in range(1, DIM + 1))
+    mean_cols = ", ".join(
+        f"CAST(sum(CAST(round(x.x{d}, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS c{d}"
+        for d in range(1, DIM + 1)
+    )
+    return f"""
+WITH x AS (SELECT vec_id, {_km_xcols('embedding')} FROM embeddings),
+c0 AS (SELECT vec_id AS cid, {c0_cols} FROM embeddings WHERE vec_id < {KM_K}),
+d1 AS (SELECT x.vec_id, c.cid, {_km_dist_sql('x', 'c')} AS dist
+       FROM x CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM d1) r WHERE rn = 1),
+c1 AS (SELECT a1.cid AS cid, {mean_cols}
+       FROM a1 JOIN x USING (vec_id) GROUP BY a1.cid),
+d2 AS (SELECT x.vec_id, c.cid, {_km_dist_sql('x', 'c')} AS dist
+       FROM x CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cid, dist FROM (
+         SELECT vec_id, cid, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM d2) r WHERE rn = 1)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(round(dist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+FROM a2 GROUP BY cid
+"""
+
+
+@register("kmeans_embeddings", oracle=_km_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Lloyd's k-means (K=8, seeds = vec_id < 8): per-cluster
+    size and inertia after one centroid update.
+
+    Plan per round: broadcast the K centroids (always tiny, whatever the
+    corpus size), cross-join points x centroids with the unrolled
+    squared-distance expression (JVM codegen, no UDF), argmin via a
+    row_number window partitioned by vec_id, then one decimal-mean
+    aggregation per cluster. The driver carries only K x DIM doubles
+    between rounds — the same loop at 100 TB shuffles each point once
+    per round for the argmin window and nothing else; K never grows with
+    data. (Window partitions by vec_id — at scale swap for the
+    groupBy-min_by formulation to avoid per-point windows; semantics
+    identical.)"""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        *[F.element_at("embedding", d).cast("double").alias(f"x{d}") for d in range(1, DIM + 1)],
+    )
+
+    def dist_col(cent_prefix: str):
+        expr = None
+        for d in range(1, DIM + 1):
+            term = (F.col(f"x{d}") - F.col(f"{cent_prefix}{d}")) * (
+                F.col(f"x{d}") - F.col(f"{cent_prefix}{d}")
+            )
+            expr = term if expr is None else expr + term
+        return expr
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = x.crossJoin(F.broadcast(cent)).withColumn("dist", dist_col("c"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    c0 = emb.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"),
+        *[F.element_at("embedding", d).cast("double").alias(f"c{d}") for d in range(1, DIM + 1)],
+    )
+    a1 = assign(c0)
+    c1 = (
+        a1.join(x, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.round(F.col(f"x{d}"), 6).cast("decimal(28,6)")).alias(f"__s{d}")
+                for d in range(1, DIM + 1)
+            ],
+        )
+        .select(
+            "cid",
+            *[
+                (F.col(f"__s{d}").cast("double") / F.col("__n")).alias(f"c{d}")
+                for d in range(1, DIM + 1)
+            ],
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round("dist", 6).cast("decimal(28,6)")).cast("double").alias("inertia"),
+    )

@@ -98,3 +98,13 @@ def test_hll_estimate_within_bound(spark, sf_dir):
 
     for r in hll_distinct_users(spark, sf_dir).collect():
         assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.05
+
+
+def test_kmeans_partitions_all_points(spark, sf_dir):
+    from flink_crawler_spark.queries.simq import kmeans_embeddings
+
+    import os
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    rows = kmeans_embeddings(spark, sf_dir).collect()
+    assert sum(r["n_points"] for r in rows) == n  # every point in exactly one cluster
+    assert all(r["inertia"] >= 0 for r in rows)
