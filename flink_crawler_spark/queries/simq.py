@@ -204,21 +204,10 @@ FROM a2 GROUP BY cid
 """
 
 
-@register("kmeans_embeddings", oracle=_km_oracle())
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-round Lloyd's k-means (K=8, seeds = vec_id < 8): per-cluster
-    size and inertia after one centroid update.
 
-    Plan per round: broadcast the K centroids (always tiny, whatever the
-    corpus size), cross-join points x centroids with the unrolled
-    squared-distance expression (JVM codegen, no UDF), argmin via a
-    row_number window partitioned by vec_id, then one decimal-mean
-    aggregation per cluster. The driver carries only K x DIM doubles
-    between rounds — the same loop at 100 TB shuffles each point once
-    per round for the argmin window and nothing else; K never grows with
-    data. (Window partitions by vec_id — at scale swap for the
-    groupBy-min_by formulation to avoid per-point windows; semantics
-    identical.)"""
+def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 2-round Lloyd's core: returns the post-update assignment
+    frame (vec_id, cid, dist) both k-means queries aggregate from."""
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
@@ -227,17 +216,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.element_at("embedding", d).cast("double").alias(f"x{d}") for d in range(1, DIM + 1)],
     )
 
-    def dist_col(cent_prefix: str):
+    def dist_col():
         expr = None
         for d in range(1, DIM + 1):
-            term = (F.col(f"x{d}") - F.col(f"{cent_prefix}{d}")) * (
-                F.col(f"x{d}") - F.col(f"{cent_prefix}{d}")
-            )
+            term = (F.col(f"x{d}") - F.col(f"c{d}")) * (F.col(f"x{d}") - F.col(f"c{d}"))
             expr = term if expr is None else expr + term
         return expr
 
     def assign(cent: DataFrame) -> DataFrame:
-        d = x.crossJoin(F.broadcast(cent)).withColumn("dist", dist_col("c"))
+        d = x.crossJoin(F.broadcast(cent)).withColumn("dist", dist_col())
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
             d.withColumn("rn", F.row_number().over(w))
@@ -268,8 +255,57 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    a2 = assign(c1)
+    return assign(c1)
+
+
+@register("kmeans_embeddings", oracle=_km_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round Lloyd's k-means (K=8, seeds = vec_id < 8): per-cluster
+    size and inertia after one centroid update.
+
+    Plan per round (_km_final_assignments): broadcast the K centroids
+    (always tiny, whatever the corpus size), cross-join points x
+    centroids with the unrolled squared-distance expression (JVM
+    codegen, no UDF), argmin via a row_number window partitioned by
+    vec_id, then one decimal-mean aggregation per cluster. The driver
+    carries only K x DIM doubles between rounds — the same loop at
+    100 TB shuffles each point once per round for the argmin and
+    nothing else; K never grows with data. (At scale swap the per-point
+    window for a groupBy-min_by; semantics identical.)"""
+    a2 = _km_final_assignments(spark, sf_dir)
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.round("dist", 6).cast("decimal(28,6)")).cast("double").alias("inertia"),
+    )
+
+
+@register(
+    "cluster_stratified_sample",
+    oracle=_km_oracle().replace(
+        """SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(round(dist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+FROM a2 GROUP BY cid""",
+        """SELECT cid, vec_id FROM (
+  SELECT cid, vec_id,
+         row_number() OVER (PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+  FROM a2) s WHERE srn <= 5""",
+    ),
+)
+def cluster_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware sampling: k-means cluster assignment (same 2-round
+    Lloyd's as `kmeans_embeddings`) then a DETERMINISTIC 5-per-cluster
+    sample ordered by md5(vec_id) — the cluster-then-sample curation
+    pattern that keeps a training subset spread across the embedding
+    space instead of oversampling the dense regions. The md5 order makes
+    the sample reproducible across runs, engines, and partitionings
+    (same property as hash_stratified_sample); sampling is a per-cluster
+    top-k window, never a shuffle of the full corpus."""
+    from pyspark.sql import Window
+
+    a2 = _km_final_assignments(spark, sf_dir)
+    sw = Window.partitionBy("cid").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        a2.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= 5)
+        .select("cid", "vec_id")
     )
