@@ -234,3 +234,34 @@ def test_partitioned_read_actually_prunes(spark, sf_dir):
     # 2 of the 5 priority partitions survive pruning
     n_parts = back.select("o_orderpriority").distinct().count()
     assert n_parts == 2
+
+
+def test_tsv_content_sink_roundtrip(spark, sf_dir):
+    """Custom DataSource writer (sources/tsv_sink.py): two-phase commit
+    — part files + _SUCCESS appear only after a successful job, and the
+    url\\ttext payload round-trips (reference text sink, CTB:455-463)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.sources.tsv_sink import TsvContentSink
+
+    spark.dataSource.register(TsvContentSink)
+    df = spark.createDataFrame(
+        [("http://a.com/1", "hello\tworld"), ("http://b.com/2", "line\nbreak"), ("http://c.com/3", None)],
+        "url string, text string",
+    ).repartition(2)
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_tsv_sink_"), "content")
+    df.write.format("tsv_content").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not glob.glob(os.path.join(out, ".tmp-*"))  # no leftover temps
+    back = spark.read.option("sep", "\t").csv(out).toDF("url", "text")
+    rows = {r["url"]: r["text"] for r in back.collect()}
+    assert rows["http://a.com/1"] == "hello world"  # tab squashed
+    assert rows["http://b.com/2"] == "line break"   # newline squashed
+    assert "http://c.com/3" in rows
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read() == "3"
