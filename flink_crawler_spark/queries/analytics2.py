@@ -194,3 +194,47 @@ def doc_meta_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(kept).alias("meta_key", "meta_value")
     )
+
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle=f"""
+WITH f AS (SELECT user_id, min(epoch_ms(ts) // {_WEEK_MS}) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, epoch_ms(e.ts) // {_WEEK_MS} AS w FROM events e),
+cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort_week)
+SELECT f.cohort_week, a.w - f.cohort_week AS week_age,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(*) AS DOUBLE) / cs.cohort_size AS retention
+FROM a JOIN f USING (user_id) JOIN cs USING (cohort_week)
+GROUP BY f.cohort_week, a.w - f.cohort_week, cs.cohort_size
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted per activity-week age, with the retention rate as an exact
+    integer-ratio double. Three partial-aggregating passes over events
+    (first-week per user, distinct user-weeks, cohort sizes) joined on
+    user_id/cohort_week — cohort sizes are a tiny broadcast dim. The
+    standard product-analytics shape every event warehouse needs."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", (F.expr(EV_MS) / _WEEK_MS).cast("bigint").alias("w")
+    )
+    f = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    a = ev.distinct()
+    cs = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cs), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_age",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -212,3 +212,43 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), edges, id_col="doc_id"
     ).select("doc_id", "cluster_id")
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs only within a
+    (brand, size) block — the blocking-key pattern that keeps fuzzy
+    dedup O(sum block^2) instead of O(n^2) — then exact Levenshtein
+    verify JVM-side (built-in `levenshtein`, identical algorithm in
+    DuckDB, so the integer distances match exactly). The string-domain
+    sibling of the MinHash->LSH->verify pipeline: block, then verify,
+    never all-pairs. At 100 TB blocks shuffle on their key and a hot
+    block is the skew unit (cap or salt it, as lsh_candidate_pairs
+    does)."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint"))
+        .filter(F.col("edit_dist") <= 10)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            "edit_dist",
+        )
+    )
