@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import EV_MS, register, t
 from .base import dsum as _dsum
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -176,4 +176,89 @@ def order_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "mad_price_by_flag",
+    oracle="""
+WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       round(m.med, 6) AS median_price,
+       round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 6) AS mad
+FROM lineitem l JOIN m USING (l_returnflag)
+GROUP BY l.l_returnflag, m.med
+""",
+)
+def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per return flag — nested exact
+    percentiles: group median (percentile == quantile_cont, proven by
+    order_percentiles), broadcast back, then the median of absolute
+    deviations. The robust-statistics outlier primitive (quality
+    filtering by MAD-z-score is standard in training-data curation);
+    two aggregation passes, the medians dim always broadcast-sized."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias("__mad")
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 6).alias("median_price"),
+            F.round("__mad", 6).alias("mad"),
+        )
+    )
+
+
+@register(
+    "locf_fill_daily",
+    oracle="""
+WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+                  round(max(value), 6) AS vmax
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM b),
+j AS (SELECT s.user_id, s.day, d.vmax FROM spine s
+      LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day)
+SELECT user_id, day,
+       last_value(vmax IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       CAST(vmax IS NULL AS BOOLEAN) AS was_gap
+FROM j
+""",
+)
+def locf_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a per-user daily spine: the
+    timeseries fill gap_fill_daily_revenue's zero-fill can't express —
+    missing days inherit the last seen value (`last(..., ignorenulls)`
+    over an unbounded-preceding window). Spine generation is per-key
+    sequence+explode (never a global calendar cross join); the fill
+    window is partitioned by user, so at scale it shuffles once on
+    user_id and each partition fills independently."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.select(
+        "user_id", F.expr(EV_MS).alias("ms"), "value"
+    ).groupBy("user_id", (F.col("ms") / 86400000).cast("bigint").alias("day")).agg(
+        F.round(F.max("value"), 6).alias("vmax")
+    )
+    b = d.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    j = spine.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("vmax", ignorenulls=True).over(w).alias("filled"),
+        F.col("vmax").isNull().alias("was_gap"),
     )
