@@ -170,3 +170,21 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("hll_estimate"),
         F.countDistinct("user_id").alias("n_exact"),
     )
+
+
+@register("approx_percentile_prices")  # no SQL oracle: KLL-style sketch internals are engine-specific
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch, accuracy 10000) next to the
+    exact percentile per return flag — the constant-memory quantile path
+    for 100 TB where exact percentile must shuffle every value per
+    group. Like HLL, sketch internals are engine-specific, so this is a
+    rows-only entry; the rank-error bound (|approx - exact| within the
+    0.5%-rank neighborhood) is asserted in
+    tests/test_sketch_analytics.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.percentile("l_extendedprice", F.lit(0.495)).alias("lo_bound"),
+        F.percentile("l_extendedprice", F.lit(0.505)).alias("hi_bound"),
+    )

@@ -108,3 +108,10 @@ def test_kmeans_partitions_all_points(spark, sf_dir):
     rows = kmeans_embeddings(spark, sf_dir).collect()
     assert sum(r["n_points"] for r in rows) == n  # every point in exactly one cluster
     assert all(r["inertia"] >= 0 for r in rows)
+
+
+def test_approx_percentile_within_rank_bound(spark, sf_dir):
+    from flink_crawler_spark.queries.sketchq import approx_percentile_prices
+
+    for r in approx_percentile_prices(spark, sf_dir).collect():
+        assert r["lo_bound"] <= r["approx_median"] <= r["hi_bound"]
