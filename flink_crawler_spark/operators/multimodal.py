@@ -235,3 +235,53 @@ def audio_chunk_energy(media: DataFrame, *, n_chunks: int = 4) -> DataFrame:
         F.col("chunk_no").cast("int").alias("chunk_no"),
         F.when(n > 0, total.cast("double") / n).otherwise(0.0).alias("energy"),
     )
+
+
+def arrow_byte_stats(media: DataFrame) -> DataFrame:
+    """Per-blob byte statistics via ``mapInArrow`` — the rawest Python
+    API: record batches cross the JVM/Python boundary as Arrow and the
+    kernel reads the binary column's buffers zero-copy (offsets +
+    values as numpy views; per-row sums are one ``cumsum`` + two
+    gathers, no per-row Python). This is the access pattern a real
+    media pipeline needs at 100 TB — decode/feature kernels that touch
+    gigabytes per batch cannot afford a per-row Python hop, and for
+    byte-level math even pandas Series-of-bytes materialization is
+    avoidable. Assumes non-null, non-empty blobs (guaranteed by
+    synthesize_media).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("first_byte", T.IntegerType()),
+            T.StructField("last_byte", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("media_id"))
+            data = b.column(b.schema.get_field_index("data"))
+            validity, off_buf, val_buf = data.buffers()
+            offsets = np.frombuffer(off_buf, dtype=np.int32)[
+                data.offset : data.offset + len(data) + 1
+            ].astype(np.int64)
+            buf = np.frombuffer(val_buf, dtype=np.uint8)
+            starts, ends = offsets[:-1], offsets[1:]
+            cs = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(ends - starts, type=pa.int64()),
+                    pa.array(cs[ends] - cs[starts], type=pa.int64()),
+                    pa.array(buf[starts].astype(np.int32), type=pa.int32()),
+                    pa.array(buf[ends - 1].astype(np.int32), type=pa.int32()),
+                ],
+                names=["media_id", "n_bytes", "byte_sum", "first_byte", "last_byte"],
+            )
+
+    return media.select("media_id", "data").mapInArrow(kernel, out_schema)

@@ -164,3 +164,29 @@ def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (binary in -> binary out + new dims)."""
     r = resize_stub(_media(spark, sf_dir), target_w=32, target_h=24)
     return r.select("media_id", "width", "height", F.length("data").alias("n_bytes"))
+
+
+@register(
+    "media_arrow_byte_stats",
+    oracle=f"""
+WITH {MEDIA_SQL.strip()}
+SELECT media_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(list_aggregate({DUCK_BYTES}, 'sum') AS BIGINT) AS byte_sum,
+       CAST('0x' || substring(hx, 1, 2) AS INTEGER) AS first_byte,
+       CAST('0x' || substring(hx, n_bytes*2-1, 2) AS INTEGER) AS last_byte
+FROM media
+""",
+)
+def media_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy Arrow kernel over the media blobs: per-blob byte count,
+    byte sum, first/last byte via ``mapInArrow`` reading the binary
+    column's offset+value buffers directly as numpy views
+    (operators/multimodal.py::arrow_byte_stats) — no per-row Python, no
+    pandas materialization of the bytes. DuckDB reproduces the byte
+    math through hex expansion, value-checking the rawest Python API
+    surface in the engine."""
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    from ..operators.multimodal import arrow_byte_stats
+
+    return arrow_byte_stats(media)

@@ -24,7 +24,12 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -87,3 +92,44 @@ class TsvContentSink(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return TsvContentWriter(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DataSourceStreamWriter":
+        return TsvContentStreamWriter(self.options)
+
+
+class TsvContentStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of TsvContentWriter: same per-task temp files, but
+    commit is per micro-batch (exactly-once WITH the checkpoint: Spark
+    replays an uncommitted batch, and ``os.replace`` makes re-commit of
+    the same batch idempotent — final names embed the batch id)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tsv_content sink requires option 'path'")
+
+    def write(self, iterator) -> TsvCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".tmp-{uuid.uuid4().hex}"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                vals = ["" if v is None else str(v).translate(_SQUASH) for v in row]
+                fh.write("\t".join(vals) + "\n")
+                n += 1
+        return TsvCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.tsv")
+            os.replace(os.path.join(self.path, m.tmp_name), final)
+        with open(os.path.join(self.path, f"_BATCH_{batchId}"), "w") as fh:
+            fh.write("ok")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass

@@ -265,3 +265,41 @@ def test_tsv_content_sink_roundtrip(spark, sf_dir):
     assert "http://c.com/3" in rows
     with open(os.path.join(out, "_SUCCESS")) as fh:
         assert fh.read() == "3"
+
+
+def test_tsv_content_stream_sink(spark, sf_dir):
+    """Streaming half of the custom sink: micro-batches land as
+    batch-id-stamped part files with per-batch commit markers."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.sources.tsv_sink import TsvContentSink
+
+    spark.dataSource.register(TsvContentSink)
+    src = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="fcs_tsvs_src_")
+    os.symlink(src, os.path.join(stream_dir, "d.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_tsvs_out_"), "content")
+    ckpt = tempfile.mkdtemp(prefix="fcs_tsvs_ck_")
+    q = (
+        stream.writeStream.format("tsv_content")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = glob.glob(os.path.join(out, "part-b*.tsv"))
+    assert parts and glob.glob(os.path.join(out, "_BATCH_*"))
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    n = sum(1 for p in parts for _ in open(p))
+    assert n == spark.read.parquet(src).count()
