@@ -159,9 +159,23 @@ def media_feature_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "bin", F.round("weight", 6).alias("weight"))
 
 
-@register("media_resize_stub")  # rows-only: stub byte-subsampling is engine-internal
+@register(
+    "media_resize_stub",
+    oracle=f"""
+WITH {MEDIA_SQL.strip()},
+r AS (SELECT media_id, n_bytes,
+             greatest(1, CAST(floor(width * height / 768.0) AS INTEGER)) AS ratio
+      FROM media)
+SELECT media_id, 32 AS width, 24 AS height,
+       CAST((n_bytes + ratio - 1) // ratio AS INTEGER) AS n_bytes
+FROM r
+""",
+)
 def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (binary in -> binary out + new dims)."""
+    """Resize plumbing (binary in -> binary out + new dims). The stub
+    subsamples every ratio-th byte (ratio = area shrink factor), so the
+    output LENGTH is exactly ceil(n/ratio) — value-checked; only the
+    byte payload itself is engine-internal."""
     r = resize_stub(_media(spark, sf_dir), target_w=32, target_h=24)
     return r.select("media_id", "width", "height", F.length("data").alias("n_bytes"))
 

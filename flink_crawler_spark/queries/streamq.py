@@ -182,10 +182,22 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_rate_gauge")  # rows-only: sliding-window gauge, no single-SQL oracle
+@register(
+    "stream_rate_gauge",
+    oracle="""
+SELECT (epoch_ms(ts) // 10000 - k.o) * 10000 AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) k
+GROUP BY 1, 2
+""",
+)
 def stream_rate_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-rate gauge (TimedCounter, FetchUrlsFunction.java:169-224) as a
-    streaming 30 s sliding count per event_type."""
+    streaming 30 s sliding count per event_type. Exact oracle: every
+    event lands in exactly 3 of the 10 s-slide windows (starts
+    floor(t/10s)*10s - {0,10,20}s, all > t-30s), so the sliding window
+    is a 3-offset cross join in plain SQL."""
     stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts_t", "1 minute")
