@@ -252,3 +252,81 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+from .textops import QUALITY_CTES as _QUALITY_CTES  # noqa: E402
+from .textops import QUALITY_SELECT as _QUALITY_SELECT  # noqa: E402
+
+
+@register(
+    "near_dup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) x),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN shs a ON p.id_a = a.doc_id
+  JOIN shs b ON p.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+{_QUALITY_CTES},
+q AS (SELECT doc_id, {_QUALITY_SELECT} AS quality FROM parts),
+j AS (SELECT c.cluster_id, c.doc_id, q.quality
+      FROM clusters c JOIN q USING (doc_id))
+SELECT cluster_id, n_members, doc_id AS keep_doc_id, quality AS best_quality
+FROM (SELECT cluster_id, doc_id, quality,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM j) x
+WHERE rn = 1
+""",
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a training pipeline materializes: per near-dup
+    cluster (same MinHash->LSH->verify->components chain as
+    near_dup_clusters), keep the highest-quality member (quality desc,
+    doc_id asc tie-break) — dedup keeps the BEST copy, not an arbitrary
+    one. Quality is the shared Gopher-style score (textops.QUALITY_*),
+    so both this query's argmax and the oracle's min_by see identical
+    doubles. One window over the cluster assignment; everything upstream
+    is the already-tested pipeline."""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score_expr
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(spark, sf_dir)
+    quality = docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("best_quality"),
+        )
+    )

@@ -90,10 +90,10 @@ def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_score",
-    oracle=f"""
-WITH feats AS (
+# quality CTEs + final scalar, shared verbatim by every oracle needing the
+# quality score (doc_quality_score here, near_dup_keep_best in dedupq) so
+# the engines — and the queries — cannot drift
+QUALITY_CTES = f"""feats AS (
   SELECT doc_id,
          {DUCK_TOKS} AS toks,
          CASE WHEN length(text) > 0
@@ -115,10 +115,19 @@ parts AS (
                    / CAST(len(toks) AS DOUBLE)
               ELSE 0.0 END AS mwl
   FROM feats
+)"""
+
+QUALITY_SELECT = (
+    "round(len_score * punct_pen * (0.5 + stop_score / 2) "
+    "* (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END), 6)"
 )
-SELECT doc_id,
-       round(len_score * punct_pen * (0.5 + stop_score / 2)
-             * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH {QUALITY_CTES}
+SELECT doc_id, {QUALITY_SELECT} AS quality
 FROM parts
 """,
 )
