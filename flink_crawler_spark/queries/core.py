@@ -488,3 +488,36 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "bucketed_state_merge",
+    oracle=f"""
+WITH {OBS_SQL.strip().rstrip()}, {MERGED_SQL.strip()}
+SELECT url, pld, status, status_time, round(score, 6) AS score, next_fetch_time
+FROM merged
+""",
+)
+def bucketed_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB URL-DB shape, driver-gated: half the observations are
+    folded into a bucketed+sorted catalog table (the durable state), the
+    other half arrive as a tick delta merged in via
+    tick_merge_bucketed (bucket-local join — the state side never
+    shuffles, operators/state_table.py). Because the merge lattice is
+    associative, the split-fold-merge result must equal the one-shot
+    fold over ALL observations — which is exactly the oracle
+    (crawl_merge_lattice's). Value-checks merge_updates_join, the
+    bucketed layout, and the crash-safe table swap end-to-end."""
+    import uuid
+
+    from ..operators.state_table import save_bucketed_state, tick_merge_bucketed
+
+    obs = crawl_obs(spark, sf_dir)
+    half = F.pmod(F.col("status_time"), F.lit(2)) == 0
+    state0 = merge_crawl_state(obs.filter(half))
+    tbl = "crawl_state_q_" + uuid.uuid4().hex[:8]
+    save_bucketed_state(state0, tbl, buckets=8)
+    new_state = tick_merge_bucketed(spark, tbl, obs.filter(~half), buckets=8)
+    return new_state.select(
+        "url", "pld", "status", "status_time", F.round("score", 6).alias("score"), "next_fetch_time"
+    )
