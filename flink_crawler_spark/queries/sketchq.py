@@ -188,3 +188,64 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.495)).alias("lo_bound"),
         F.percentile("l_extendedprice", F.lit(0.505)).alias("hi_bound"),
     )
+
+
+_CMS_D = 4     # hash rows
+_CMS_W = 256   # buckets per row
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cms AS (
+  SELECT r.r, CAST('0x' || substring(md5(r.r || '|' || k), 1, 4) AS INTEGER) % {_CMS_W} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM keys CROSS JOIN rows_ r GROUP BY 1, 2
+),
+truth AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY k HAVING count(*) >= 8),
+est AS (
+  SELECT t.k, t.n, min(cms.c) AS cms_est
+  FROM truth t CROSS JOIN rows_ r
+  JOIN cms ON cms.r = r.r
+          AND cms.b = CAST('0x' || substring(md5(r.r || '|' || t.k), 1, 4) AS INTEGER) % {_CMS_W}
+  GROUP BY t.k, t.n
+)
+SELECT k AS partkey, n AS true_count, cms_est FROM est
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, end-to-end value-checked: the
+    {_CMS_D}x{_CMS_W} counter matrix is built from md5-derived bucket
+    hashes (portable — the oracle computes the identical sketch), then
+    frequent keys are estimated as the min across rows. est >= truth
+    always (one-sided error), collisions only inflate. The mergeable
+    frequency sketch completing the family (KMV distinct, HLL, Bloom,
+    KLL quantiles): at 100 TB the d x w matrix partial-aggregates
+    map-side to a constant-size state per partition and merges by
+    cell-wise +, while exact per-key counts would shuffle every key."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(r_col, k_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(r_col.cast("string"), F.lit("|"), k_col.cast("string"))), 1, 4), 16, 10)
+            .cast("int")
+            % _CMS_W
+        )
+
+    cms = (
+        li.crossJoin(F.broadcast(rows))
+        .groupBy("r", bucket(F.col("r"), F.col("k")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 8)
+    probes = truth.crossJoin(F.broadcast(rows)).select(
+        "k", "n", "r", bucket(F.col("r"), F.col("k")).alias("b")
+    )
+    return (
+        probes.join(cms, ["r", "b"])
+        .groupBy(F.col("k").alias("partkey"), F.col("n").alias("true_count"))
+        .agg(F.min("c").alias("cms_est"))
+    )
