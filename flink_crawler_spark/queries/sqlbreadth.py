@@ -262,3 +262,57 @@ def locf_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("vmax", ignorenulls=True).over(w).alias("filled"),
         F.col("vmax").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "order_gap_islands",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+avgd AS (SELECT prio, CAST(sum(n) AS DOUBLE) / count(*) AS avg_n FROM m GROUP BY prio),
+hot AS (
+  SELECT m.prio, m.mi, m.n,
+         m.mi - row_number() OVER (PARTITION BY m.prio ORDER BY m.mi) AS grp
+  FROM m JOIN avgd USING (prio) WHERE m.n > avgd.avg_n
+)
+SELECT prio,
+       CAST(min(mi) AS BIGINT) AS island_start,
+       CAST(max(mi) AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(n) AS BIGINT) AS total_orders
+FROM hot GROUP BY prio, grp
+""",
+)
+def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive runs of above-average months per
+    priority class, via the classic index-minus-row_number grouping key
+    (consecutive rows share mi - rn). The run-detection primitive behind
+    sessionization, outage windows, and hot-period reports — one
+    window + one aggregation, both partitioned by the group key, so the
+    plan is two key-local passes at any scale. The threshold is each
+    priority's own mean (exact integer-ratio double), so the query is
+    scale-factor-independent."""
+    od = t(spark, sf_dir, "orders")
+    m = od.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint").alias("mi"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    avgd = m.groupBy("prio").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
+    )
+    w = Window.partitionBy("prio").orderBy("mi")
+    hot = (
+        m.join(F.broadcast(avgd), "prio")
+        .filter(F.col("n") > F.col("avg_n"))
+        .withColumn("grp", F.col("mi") - F.row_number().over(w))
+    )
+    return hot.groupBy("prio", "grp").agg(
+        F.min("mi").alias("island_start"),
+        F.max("mi").alias("island_end"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("n").alias("total_orders"),
+    ).drop("grp")
