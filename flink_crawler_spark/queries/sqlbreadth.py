@@ -316,3 +316,86 @@ def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_months"),
         F.sum("n").alias("total_orders"),
     ).drop("grp")
+
+
+@register(
+    "scd2_versioned_revenue",
+    oracle="""
+WITH vq AS (
+  SELECT DISTINCT l_partkey AS pk,
+         CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT) AS qi
+  FROM lineitem
+),
+vers AS (
+  SELECT pk, qi AS valid_from,
+         lead(qi) OVER (PARTITION BY pk ORDER BY qi) AS valid_to,
+         (100 + qi % 5) / 100.0 AS price_mult
+  FROM vq
+),
+fact AS (
+  SELECT l_partkey AS pk,
+         CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT) AS qi,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         l_quantity, l_partkey
+  FROM lineitem
+),
+j AS (
+  SELECT f.ship_year, f.l_quantity, p.p_retailprice, v.price_mult
+  FROM fact f
+  JOIN vers v ON v.pk = f.pk AND f.qi >= v.valid_from
+             AND (v.valid_to IS NULL OR f.qi < v.valid_to)
+  JOIN part p ON p.p_partkey = f.pk
+)
+SELECT ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_quantity * p_retailprice * price_mult, 6) AS DECIMAL(28,6))) AS DOUBLE) AS versioned_revenue
+FROM j GROUP BY ship_year
+""",
+)
+def scd2_versioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) temporal join: per-part price
+    versions are constructed with lead() over the part's active
+    quarters (valid_from inclusive, valid_to exclusive, NULL = open),
+    then every lineitem matches EXACTLY ONE version by validity
+    interval — the point-in-time dimension lookup every warehouse does
+    for prices/rates/org-charts. The interval join is keyed on partkey,
+    so it shuffles once on the key and the range predicate evaluates
+    within the key group; version construction is one window over the
+    (small) distinct (part, quarter) set."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    qi = (F.year("l_shipdate") * 4 + F.quarter("l_shipdate") - 1).cast("bigint")
+    vq = li.select(F.col("l_partkey").alias("pk"), qi.alias("qi")).distinct()
+    w = Window.partitionBy("pk").orderBy("qi")
+    vers = vq.select(
+        "pk",
+        F.col("qi").alias("valid_from"),
+        F.lead("qi").over(w).alias("valid_to"),
+        ((F.lit(100) + F.col("qi") % 5) / 100.0).alias("price_mult"),
+    )
+    fact = li.select(
+        F.col("l_partkey").alias("pk"),
+        qi.alias("fqi"),
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        "l_quantity",
+    )
+    j = (
+        fact.join(
+            vers,
+            (fact.pk == vers.pk)
+            & (F.col("fqi") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("fqi") < F.col("valid_to"))),
+        )
+        .drop(vers.pk)
+        .join(pt, F.col("pk") == F.col("p_partkey"))
+    )
+    return j.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_quantity") * F.col("p_retailprice") * F.col("price_mult"), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("versioned_revenue"),
+    )
