@@ -399,3 +399,41 @@ def scd2_versioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("versioned_revenue"),
     )
+
+
+@register(
+    "price_range_density",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                           RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near,
+       CAST(sum(CAST(1 AS BIGINT)) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le
+FROM orders
+""",
+)
+def price_range_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frames (vs the ROWS frames elsewhere):
+    per order, how many same-priority orders fall within +-1000 of its
+    price (local density), and the running count over the value axis.
+    RANGE frames bound by VALUE distance evaluate in one sorted pass per
+    partition with a sliding frame boundary — same single key-shuffle
+    as a ROWS frame, so the plan scales identically; the semantic
+    difference (ties and value gaps) is what the oracle pins down."""
+    od = t(spark, sf_dir, "orders")
+    wv = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(wv).alias("n_near"),
+        F.sum(F.lit(1).cast("bigint")).over(wc).alias("n_le"),
+    )
