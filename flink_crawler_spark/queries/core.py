@@ -521,3 +521,53 @@ def bucketed_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.select(
         "url", "pld", "status", "status_time", F.round("score", 6).alias("score"), "next_fetch_time"
     )
+
+
+@register(
+    "sessionize_grouped_map",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def sessionize_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization AGAIN, but through the batch grouped-map surface
+    (groupBy().applyInPandas) — the API a custom per-key algorithm uses
+    when window functions can't express it (here they can, which is
+    exactly why it's oracle-checkable: same oracle as sessionize_events,
+    three implementations — window, session_window stream, grouped map —
+    one answer). Each user's events arrive as ONE pandas frame, sorted
+    in Python (never rely on intra-group order), gaps > 1 h split
+    sessions. Scale shape: one shuffle on user_id; Arrow batches per
+    group; group size is the skew unit (a user with millions of events
+    = one task — cap or pre-aggregate first at 100 TB)."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr(EV_MS).alias("ms"), "event_id"
+    )
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ms", "event_id"])
+        gaps = pdf["ms"].diff()
+        n_sessions = int((gaps.isna() | (gaps > 3_600_000)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sessions, "user_id bigint, n_sessions bigint, n_events bigint"
+    )
