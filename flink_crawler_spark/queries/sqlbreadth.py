@@ -437,3 +437,87 @@ def price_range_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wv).alias("n_near"),
         F.sum(F.lit(1).cast("bigint")).over(wc).alias("n_le"),
     )
+
+
+@register(
+    "unpivot_priority_metrics",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+  UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM agg
+  UNION ALL SELECT o_orderpriority, 'n_customers', n_customers FROM agg
+) u
+""",
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-priority metric columns fold into
+    (priority, metric, value) long form via the native `unpivot`
+    operator — the inverse of pivot_priority_by_year, completing the
+    reshape pair. Long form is what metric stores and plotting
+    pipelines ingest; unpivot is a zero-shuffle projection (each input
+    row expands to k output rows in place)."""
+    od = t(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("revenue"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "revenue", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "nullsafe_join_semantics",
+    oracle="""
+WITH lhs AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000 THEN o_orderpriority ELSE NULL END AS band
+  FROM orders
+),
+rhs AS (
+  SELECT DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN o_orderpriority ELSE NULL END AS band
+  FROM orders
+)
+SELECT coalesce(l.band, '<null>') AS band,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM lhs l JOIN rhs r ON l.band IS NOT DISTINCT FROM r.band
+GROUP BY l.band
+""",
+)
+def nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the three-valued-logic
+    edge every dedup/diff pipeline hits (a plain equi-join silently
+    drops NULL keys; the snapshot-diff and merge paths rely on knowing
+    which semantics they're using). The plan is still a hash join —
+    null-safe equality is hashable — so nothing changes at scale except
+    the (intended) answer."""
+    od = t(spark, sf_dir, "orders")
+    lhs = od.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, F.col("o_orderpriority")).alias("band"),
+    )
+    rhs = (
+        od.select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_orderpriority")
+            ).alias("band")
+        )
+        .distinct()
+    )
+    j = lhs.join(rhs, lhs.band.eqNullSafe(rhs.band)).select(lhs.band.alias("lband"))
+    return j.groupBy(F.coalesce("lband", F.lit("<null>")).alias("band")).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
