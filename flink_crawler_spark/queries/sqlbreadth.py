@@ -521,3 +521,47 @@ def nullsafe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.coalesce("lband", F.lit("<null>")).alias("band")).agg(
         F.count(F.lit(1)).alias("n_matched")
     )
+
+
+@register(
+    "order_quantity_hof",
+    oracle="""
+WITH v AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(q) AS BIGINT) AS n_items,
+       round(list_aggregate(q, 'sum'), 6) AS qty_sum,
+       round(list_aggregate(list_transform(q, (x, i) -> x * i), 'sum'), 6) AS pos_weighted
+FROM v
+""",
+)
+def order_quantity_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array collection + higher-order-function folds: per order, the
+    quantity vector is collect_list'ed then array_sort'ed — THE
+    determinism discipline for array aggregation (collect_list order is
+    partition-dependent; sorting makes the array, and everything folded
+    from it, identical on any cluster). Folds: plain sum and a
+    positional weighted sum via an INDEXED lambda (transform's (x, i)
+    form; DuckDB's 1-based i = Spark's i+1). Quantities are integral
+    doubles, so the folds are exact regardless of association order."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    return v.select(
+        "l_orderkey",
+        F.size("q").cast("bigint").alias("n_items"),
+        F.round(
+            F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("qty_sum"),
+        F.round(
+            F.aggregate(
+                F.transform("q", lambda x, i: x * (i + 1)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pos_weighted"),
+    )
