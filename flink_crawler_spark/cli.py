@@ -54,6 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--parser", choices=("regex", "tree"), default="regex",
         help="page parser slot: codegen regex fast path or HTML tree parser",
     )
+    p.add_argument(
+        "--nolengthen", action="store_true",
+        help="skip URL-shortener expansion even if --redirects is given",
+    )
+    p.add_argument(
+        "--maxcontentsize", type=int, default=1 << 20,
+        help="truncate fetched page bodies to this many bytes",
+    )
+    p.add_argument(
+        "--timeout", type=float, default=100.0,
+        help="per-fetch timeout seconds (http mode; mock join ignores)",
+    )
+    p.add_argument(
+        "--fetcherspertask", type=int, default=10,
+        help="concurrent fetch threads per task (http mode)",
+    )
     return p
 
 
@@ -78,7 +94,11 @@ def main(argv: list[str] | None = None) -> int:
         else None
     )
     sitemap_entries = spark.read.parquet(args.sitemaps) if args.sitemaps else None
-    redirects = spark.read.parquet(args.redirects) if args.redirects else None
+    redirects = (
+        spark.read.parquet(args.redirects)
+        if args.redirects and not args.nolengthen
+        else None
+    )
 
     cfg = CrawlConfig(
         max_ticks=args.maxticks,
@@ -93,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
         agent=args.agent,
         trace=False,
         state_dir=args.checkpointdir,
+        max_content_size=args.maxcontentsize,
+        fetch_timeout_sec=args.timeout,
+        fetchers_per_task=args.fetcherspertask,
     )
     t0 = time.time()
     res = crawl(

@@ -80,6 +80,9 @@ class CrawlConfig:
     domain_score_budget: int | None = None  # focused feedback: per-tick URL budget
     domain_score_window: int = 10  # G1 moving-average window size
     agent: str = "flink-crawler"
+    max_content_size: int = 1 << 20  # -maxcontentsize (body truncation)
+    fetch_timeout_sec: float = 100.0  # -timeout (http mode)
+    fetchers_per_task: int = 10  # -fetcherspertask (http-mode thread pool)
     parser: str = "regex"  # BasePageParser slot: "regex" (codegen) | "tree" (HTML parser)
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (extra action/tick)
@@ -316,6 +319,12 @@ def crawl(
         results = mock_fetch(
             to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
         )
+        if cfg.max_content_size:
+            # -maxcontentsize (FetchUrlsFunction body truncation analogue):
+            # binary substr is 1-based and a no-op when already shorter
+            results = results.withColumn(
+                "content", F.substring(F.col("content"), 1, cfg.max_content_size)
+            )
         if cfg.html_only:
             results = mime_filter(results)
         results = results.persist()

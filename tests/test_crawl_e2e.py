@@ -243,3 +243,22 @@ Sitemap: http://x.com/sitemap.xml
         agent="flink-crawler",
     )
     assert exact["disallow"] == ["/x"]  # exact agent group beats *
+
+
+def test_max_content_size_truncates(spark, simple_graph):
+    """--maxcontentsize (FetchUrlsFunction body truncation): a tiny cap
+    still fetches pages, but truncated bodies lose their outlinks, so
+    the crawl cannot discover page1/page2 — truncation demonstrably
+    reached the parse stage."""
+    seeds = spark.createDataFrame([(D("domain1.com"), 1.0)], ["url", "score"])
+    res = crawl(
+        spark,
+        seeds,
+        pages=simple_graph,
+        config=CrawlConfig(max_ticks=4, max_content_size=10, collect_stats=False, trace=False),
+    )
+    st = state_map(res)
+    assert st[D("domain1.com")]["status"] == "FETCHED"
+    # with full bodies the broad-crawl test reaches page1; a 10-byte body
+    # has no <a href> left to extract
+    assert D("domain1.com", "page1") not in st
