@@ -565,3 +565,38 @@ def order_quantity_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pos_weighted"),
     )
+
+
+@register(
+    "weekday_revenue_profile",
+    oracle="""
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) FILTER (WHERE date_diff('day', o_orderdate, last_day(o_orderdate)) <= 2)
+            AS BIGINT) AS month_end_orders
+FROM orders
+GROUP BY 1
+""",
+)
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: ISO weekday profile of order volume
+    plus a month-end effect counter (orders within 2 days of their
+    month's last day). Pins the cross-engine calendar conventions —
+    Spark's weekday() is 0=Monday vs DuckDB isodow() 1=Monday (aligned
+    by +1), last_day/date-diff arithmetic identical. Conditional count
+    via FILTER-style when/sum. One scan, one small agg."""
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy(
+        (F.expr("weekday(o_orderdate)") + 1).cast("bigint").alias("iso_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("revenue"),
+        F.sum(
+            F.when(
+                F.datediff(F.last_day("o_orderdate"), F.col("o_orderdate")) <= 2, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("month_end_orders"),
+    )
