@@ -330,3 +330,88 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("best_quality"),
         )
     )
+
+
+PP_T = 0.6  # Jaccard threshold for the prefix-filtered similarity join
+
+
+@register(
+    "ppjoin_pairs",
+    oracle=f"""
+WITH d AS (SELECT doc_id,
+                  list_sort(list_distinct(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+           FROM documents WHERE n_chars <= 220),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM p WHERE jac >= {PP_T}
+""",
+)
+def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family):
+    unlike LSH (probabilistic candidates), the prefix filter is
+    LOSSLESS — tokens get a global rarity order, each doc keeps only its
+    first |s| - ceil(t*|s|) + 1 rarest tokens as its prefix, and any
+    pair with Jaccard >= t provably shares a prefix token. Candidates =
+    equi-join on prefix token (rare tokens -> tiny buckets), then exact
+    verify. The oracle brute-forces all pairs on the same restricted
+    corpus and must produce the IDENTICAL pair set — proving
+    losslessness, not just plausibility. At 100 TB this is the exact
+    dedup join you run when LSH's false negatives are unacceptable;
+    frequency-ascending prefixes keep the candidate blow-up bounded by
+    rare-token bucket sizes."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 220)
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+            )
+        ).alias("toks"),
+    )
+    # global rarity order: doc-frequency ascending, token ascending
+    tok_rank = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    tok_rank = tok_rank.withColumn(
+        "rank", F.row_number().over(Window.orderBy("df", "tok"))
+    )
+    ranked = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(tok_rank.select("tok", "rank")), "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("rank")).alias("ranks"))
+    )
+    n = F.size("ranks")
+    plen = n - F.ceil(F.lit(PP_T) * n).cast("int") + 1
+    prefix = ranked.select(
+        "doc_id", F.explode(F.slice("ranks", 1, plen)).alias("r")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.r") == F.col("b.r")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    # filter on the UNROUNDED value, round only for output — same order
+    # of operations as the oracle (a 0.5999997 must be dropped by both,
+    # not kept because it rounds to 0.600000)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jac.alias("__jac"))
+        .filter(F.col("__jac") >= PP_T)
+        .select("id_a", "id_b", F.round("__jac", 6).alias("jaccard"))
+    )
