@@ -362,7 +362,12 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losslessness, not just plausibility. At 100 TB this is the exact
     dedup join you run when LSH's false negatives are unacceptable;
     frequency-ascending prefixes keep the candidate blow-up bounded by
-    rare-token bucket sizes."""
+    rare-token bucket sizes. (This synthetic corpus is adversarial for
+    prefix filtering — ~40-word vocabulary means no token is rare and
+    docs are same-length, so both filters prune little and the exact
+    join costs ~10 s at sf0.1; on a natural corpus rare tokens make
+    prefix buckets tiny. LSH stays the cheap path; this is the exact
+    one.)"""
     docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 220)
     toks = docs.select(
         "doc_id",
@@ -392,11 +397,21 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("ranks")
     plen = n - F.ceil(F.lit(PP_T) * n).cast("int") + 1
     prefix = ranked.select(
-        "doc_id", F.explode(F.slice("ranks", 1, plen)).alias("r")
+        "doc_id", n.alias("n"), F.explode(F.slice("ranks", 1, plen)).alias("r")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter (also lossless): J(a,b) >= t forces t*|b| <= |a|,
+    # pruning cross-size candidates before the distinct/verify
+    lenok = (F.col("a.n") >= F.ceil(F.lit(PP_T) * F.col("b.n"))) & (
+        F.col("b.n") >= F.ceil(F.lit(PP_T) * F.col("a.n"))
+    )
     cand = (
-        a.join(b, (F.col("a.r") == F.col("b.r")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & lenok,
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
