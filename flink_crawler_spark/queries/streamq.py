@@ -544,3 +544,36 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the STATE-BOUNDED streaming dedup
+    (vs stream_dedup's dropDuplicates, whose key state lives forever):
+    a key's dedup state is dropped once the watermark passes it, so
+    state size tracks the watermark window instead of the key
+    cardinality — the only dedup that survives an unbounded stream.
+    Replayed in one availableNow batch no duplicate straddles an
+    expired window, so the result converges to batch DISTINCT (oracle
+    shared with stream_dedup)."""
+    stream = _event_stream(spark, sf_dir)
+    dedup = (
+        stream.withWatermark("ts_t", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "stream_ddww_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
