@@ -600,3 +600,34 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("month_end_orders"),
     )
+
+
+@register(
+    "quantity_bag_ops",
+    oracle="""
+WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'A'),
+b AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'R'),
+i AS (SELECT q FROM a INTERSECT ALL SELECT q FROM b),
+x AS (SELECT q FROM a EXCEPT ALL SELECT q FROM b)
+SELECT 'intersect_all' AS op, q, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY q
+UNION ALL
+SELECT 'except_all', q, CAST(count(*) AS BIGINT) FROM x GROUP BY q
+""",
+)
+def quantity_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): the
+    multiplicity-aware variants customer_set_ops' set semantics can't
+    express — intersect keeps min(count_a, count_b) copies per value,
+    except keeps max(0, count_a - count_b). Both plan as a single
+    count-aggregate join per op (no row-pairing blowup), which is why
+    they scale like a groupBy. Output folds to (op, value, multiplicity)
+    so the multiplicities themselves are what the oracle checks."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint").alias("q")
+    a = li.filter(F.col("l_returnflag") == "A").select(q)
+    b = li.filter(F.col("l_returnflag") == "R").select(q)
+    i = a.intersectAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+    x = a.exceptAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+    return i.select(F.lit("intersect_all").alias("op"), "q", "n").unionByName(
+        x.select(F.lit("except_all").alias("op"), "q", "n")
+    )
