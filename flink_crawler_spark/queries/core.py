@@ -571,3 +571,53 @@ def sessionize_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         sessions, "user_id bigint, n_sessions bigint, n_events bigint"
     )
+
+
+@register(
+    "frontier_fairness_gini",
+    oracle=f"""
+WITH {OBS_SQL.strip().rstrip()}, {MERGED_SQL.strip()},
+pc AS (SELECT pld, CAST(count(*) AS BIGINT) AS n_urls FROM merged GROUP BY pld),
+rk AS (SELECT pld, n_urls,
+              row_number() OVER (ORDER BY n_urls ASC, pld ASC) AS i,
+              count(*) OVER () AS n,
+              sum(n_urls) OVER () AS tot
+       FROM pc)
+SELECT CAST(max(n) AS BIGINT) AS n_domains,
+       CAST(max(tot) AS BIGINT) AS total_urls,
+       round(2.0 * sum(i * n_urls) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n), 6) AS gini
+FROM rk
+""",
+)
+def frontier_fairness_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier fairness: the Gini coefficient of per-domain URL
+    counts in the merged URL DB — the skew metric that tells a crawl
+    operator whether a few domains dominate the frontier (the situation
+    the reference's score-scaled per-domain timers exist to manage).
+    Exact rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    counts sorted ascending (deterministic tie-break by pld):
+    integer products summed exactly, two double divisions at the end.
+    One count-aggregate + one global-rank window over the (small)
+    per-domain table."""
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    pc = merged.groupBy("pld").agg(F.count(F.lit(1)).alias("n_urls"))
+    w = Window.orderBy(F.asc("n_urls"), F.asc("pld"))
+    rk = pc.select(
+        "pld",
+        "n_urls",
+        F.row_number().over(w).alias("i"),
+    )
+    tot = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_urls").alias("tot"),
+        F.sum(F.col("i") * F.col("n_urls")).alias("iwx"),
+    )
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_domains"),
+        F.col("tot").cast("bigint").alias("total_urls"),
+        F.round(
+            F.lit(2.0) * F.col("iwx") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
