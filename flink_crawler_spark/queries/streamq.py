@@ -577,3 +577,39 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_update_mode_counts",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third mode (complete and append are
+    gated elsewhere): each micro-batch emits only the keys whose state
+    changed, so the sink accumulates one row per (key, updating batch)
+    and the consumer takes the LAST update per key. Counts are monotone,
+    so last == max — the standard idempotent-consumer contract for
+    update-mode sinks. Converges to the batch aggregate (oracle).
+    n_users is a two-level agg batch-side off the per-(type,user) stream
+    state, as in stream_static_join."""
+    stream = _event_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_e"))
+    name = "stream_upd_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    # last update per (event_type, user_id): counts are monotone -> max
+    final = sink.groupBy("event_type", "user_id").agg(F.max("n_e").alias("n_e"))
+    return final.groupBy("event_type").agg(
+        F.sum("n_e").alias("n"), F.count(F.lit(1)).alias("n_users")
+    )
