@@ -631,3 +631,74 @@ def quantity_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return i.select(F.lit("intersect_all").alias("op"), "q", "n").unionByName(
         x.select(F.lit("except_all").alias("op"), "q", "n")
     )
+
+
+@register(
+    "explode_outer_semantics",
+    oracle="""
+WITH arr AS (
+  SELECT l_orderkey,
+         list_filter(list_sort(list(CAST(l_quantity AS BIGINT))), x -> x > 45) AS big
+  FROM lineitem GROUP BY l_orderkey
+),
+ex AS (
+  SELECT l_orderkey,
+         unnest(CASE WHEN len(big) = 0 THEN [NULL] ELSE big END) AS q
+  FROM arr
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(q) AS BIGINT) AS n_values,
+       CAST(count(*) - count(q) AS BIGINT) AS n_preserved_empties,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM ex
+""",
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null-preservation: orders whose filtered array is
+    EMPTY still produce a row (with NULL) instead of vanishing — the
+    semantics that keep a page with zero extracted outlinks visible in
+    the parse output (ParseFunction emits the page regardless). plain
+    explode would silently drop n_preserved_empties rows; the aggregate
+    pins count(*) vs count(col) vs distinct-parent bookkeeping on both
+    engines. (DuckDB has no unnest-outer; the oracle emulates it with a
+    [NULL] substitution — same rows.)"""
+    li = t(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.filter(
+            F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))),
+            lambda x: x > 45,
+        ).alias("big")
+    )
+    ex = arr.select("l_orderkey", F.explode_outer("big").alias("q"))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("q").alias("n_values"),
+        (F.count(F.lit(1)) - F.count("q")).alias("n_preserved_empties"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "hourly_weekday_heatmap",
+    oracle="""
+SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def hourly_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap in long form (weekday x hour): the standard
+    operational-dashboard aggregate — one scan, partial-aggregating
+    counts, 168 output cells regardless of input size. Calendar
+    extraction on TIMESTAMP_NTZ under the UTC session matches duckdb's
+    isodow/hour exactly (Spark weekday() is 0-based Monday, +1)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("iso_weekday"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
