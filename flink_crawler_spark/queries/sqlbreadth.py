@@ -702,3 +702,35 @@ def hourly_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "price_histogram_buckets",
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 25
+                 ELSE floor(o_totalprice / 25000) + 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def price_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket(x, 0, 600000, 24) — the
+    one-pass binning primitive (24 in-range buckets + under/overflow 0
+    and 25). DuckDB has no width_bucket, so the oracle reproduces the
+    exact floor arithmetic — pinning Spark's bucket-edge semantics
+    (left-closed, overflow to n+1) rather than trusting the name. A
+    histogram is a groupBy over a pure projection: partial-aggregates
+    map-side, 26 cells out regardless of input size."""
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(24))
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )

@@ -613,3 +613,41 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("event_type").agg(
         F.sum("n_e").alias("n"), F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "sessionize_session_window_batch",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 3600000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def sessionize_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in BATCH mode — the FOURTH sessionization
+    implementation against the same oracle (lag-window, streaming
+    session_window, grouped-map applyInPandas, and now the batch
+    session_window aggregate): the gap-merge operator must behave
+    identically whether driven by the streaming state store or the
+    batch aggregation path. One caveat pinned here: session_window's
+    gap is strict (events exactly 1 h apart merge iff lag <= gap), so
+    the lag formulation uses the matching > comparison."""
+    from .base import t
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_t", F.col("ts").cast("timestamp_ltz")
+    )
+    per_session = ev.groupBy(
+        F.session_window("ts_t", "1 hour"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
