@@ -734,3 +734,41 @@ def price_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 6).alias("lo"),
         F.round(F.max("o_totalprice"), 6).alias("hi"),
     )
+
+
+@register(
+    "quartiles_one_pass",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(qs[1], 6) AS q25, round(qs[2], 6) AS q50, round(qs[3], 6) AS q75,
+       round(qs[3] - qs[1], 6) AS iqr
+FROM q
+""",
+)
+def quartiles_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three quartiles (+IQR) in ONE aggregation pass via the array
+    form of percentile — one sort/accumulate per group instead of three
+    (the single-pass multi-quantile every profiling job wants). The
+    linear-interpolation parity between Spark percentile and DuckDB
+    quantile_cont was proven by order_percentiles; this pins the array
+    variant and derived IQR arithmetic on top."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    q = lambda i: F.element_at("qs", i)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(q(1), 6).alias("q25"),
+        F.round(q(2), 6).alias("q50"),
+        F.round(q(3), 6).alias("q75"),
+        F.round(q(3) - q(1), 6).alias("iqr"),
+    )
