@@ -1,0 +1,263 @@
+"""Character-n-gram + script language identification (data, not code).
+
+Reference cascade: headers -> meta -> Tika profiler
+(``parser/TikaCallable.java:241-269``). The statistical core of Tika's
+``LanguageIdentifier`` is a character-n-gram profile match; this module
+re-expresses it as (1) a Unicode-script pre-classifier (one regex count
+per script — scripts are unambiguous, no profile needed) and (2) a
+character-trigram profile TABLE joined + argmax'd for Latin-script text.
+Everything is JVM-side (regexp_count / explode / broadcast join /
+max(struct)); the profiles and script rules live in ONE shared table each
+so the Spark expressions and the DuckDB oracle SQL are generated from the
+same data and cannot drift.
+
+Covers the reference's integration languages: the seed list is Farsi
+(``src/it/resources/farsi-seeds.txt``) — Arabic-script text maps to
+'fa' when Persian-specific letters (پ چ ژ گ ک ی) appear, else 'ar'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# script rules: (label, java_class, duck_class, min_ratio)
+# ratio = chars-of-script / letters; first matching rule wins (order matters:
+# kana before han so Japanese text with kanji doesn't land on 'zh').
+# ---------------------------------------------------------------------------
+SCRIPT_RULES: tuple[tuple[str, str, str, float], ...] = (
+    ("ja", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}", 0.05),
+    ("zh", r"\p{IsHan}", r"\p{Han}", 0.50),
+    ("ko", r"\p{IsHangul}", r"\p{Hangul}", 0.50),
+    ("ru", r"\p{IsCyrillic}", r"\p{Cyrillic}", 0.50),
+    ("he", r"\p{IsHebrew}", r"\p{Hebrew}", 0.50),
+    ("th", r"\p{IsThai}", r"\p{Thai}", 0.50),
+    ("hi", r"\p{IsDevanagari}", r"\p{Devanagari}", 0.50),
+    ("el", r"\p{IsGreek}", r"\p{Greek}", 0.50),
+    # Arabic script splits fa/ar on Persian-specific letters below
+    ("__arab__", r"\p{IsArabic}", r"\p{Arabic}", 0.50),
+)
+
+# Persian-specific letters: پ چ ژ گ ک ی (U+067E 0686 0698 06AF 06A9 06CC)
+FA_CHARS = "پچژگکی"
+
+# ---------------------------------------------------------------------------
+# Latin-script character-trigram profiles (public-knowledge frequent
+# trigrams; space-padded lowercase text). Priority breaks score ties
+# deterministically (higher wins); weights are hit counts (1.0 each).
+# ---------------------------------------------------------------------------
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (
+        " th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of", "of ",
+        " to", "to ", "ed ", " in", "ion", "ent", " is", "is ", "at ", "er ",
+        " co", "re ", " be", "tha", "hat", " wh", "for", " it", "ith", "wit",
+        "ly ", "ter", " ha", "ate", "ver",
+    ),
+    "de": (
+        "er ", "en ", "ch ", "der", "die", "und", "ein", "sch", "ich", "cht",
+        "ie ", "ung", "gen", "das", " di", "ten", "ber", " un", " ge", "ver",
+        "hen", " da", "mit", " mi", "zu ", " zu", "auf", "den", "ist", "ine",
+        "nen", " be", "ht ", "eit", "ner",
+    ),
+    "es": (
+        " de", "de ", "la ", " la", "os ", "el ", " el", "as ", "que", " qu",
+        "ue ", "ión", "ón ", "es ", " es", "ado", "ar ", "nte", " co", "con",
+        "una", " un", "por", " po", "los", " lo", "del", "par", "ara", "ien",
+        "cia", "nto", " se", "da ", "o d",
+    ),
+    "fr": (
+        " de", "de ", "le ", " le", "es ", " la", "la ", "ent", "nt ", "que",
+        " qu", "ue ", "les", "des", "ion", " pa", "par", "eur", "eme", "men",
+        "tio", "et ", " et", "une", " un", "dan", " da", "our", "pou", "ait",
+        "re ", " re", "ur ", "ais", "ns ",
+    ),
+    "pt": (
+        " de", "de ", "os ", "ão ", "ção", "ade", "que", "ue ", "do ", " do",
+        "da ", " da", "em ", " em", "com", " co", "par", "ara", "ent", "nte",
+        "est", "uma", "ma ", "as ", "o d", "a d", "ras", "açã", " pa", "res",
+        "dos", " se", "os,", "nto", "ir ",
+    ),
+    "it": (
+        "di ", " di", "la ", " la", "che", "he ", "to ", "re ", "one", "ion",
+        "zio", "ell", "lla", "per", " pe", "con", " co", "del", "gli", "ato",
+        "nte", "ta ", "no ", "ia ", "ne ", " in", "ali", "are", "ere", "ità",
+        "lle", " so", "sta", "tà ", "ont",
+    ),
+    "nl": (
+        "en ", "de ", " de", "et ", "het", " he", "van", " va", "an ", "een",
+        " ee", "er ", "ijk", "sch", "ing", "ng ", "aar", "oor", "ver", " ve",
+        "den", "te ", " te", "ij ", "ord", "nde", " ge", "gen", "cht", " da",
+        "at ", "ke ", "eer", "ien", "rde",
+    ),
+}
+
+# higher = wins ties; en first mirrors the stopword detector's tie-break
+LANG_PRIORITY: dict[str, int] = {
+    lang: prio
+    for prio, lang in enumerate(
+        reversed(["en", "de", "es", "fr", "pt", "it", "nl"]), start=1
+    )
+}
+
+
+def profile_rows() -> list[tuple[str, str, float, int]]:
+    """(lang, gram, weight, priority) — the one shared profile table."""
+    return [
+        (lang, gram, 1.0, LANG_PRIORITY[lang])
+        for lang, grams in LANG_TRIGRAM_PROFILES.items()
+        for gram in grams
+    ]
+
+
+def profile_values_sql() -> str:
+    """DuckDB VALUES body for the same profile table."""
+    rows = ", ".join(
+        f"('{lang}', '{gram}', {w}, {p})" for lang, gram, w, p in profile_rows()
+    )
+    return f"(VALUES {rows}) p(lang, gram, w, prio)"
+
+
+# ---------------------------------------------------------------------------
+# normalization (shared semantics; each engine's own regex dialect)
+# ---------------------------------------------------------------------------
+
+def norm_expr(text: Column) -> Column:
+    """lower, collapse whitespace runs to one space, pad with spaces."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "),
+        F.lit(" "),
+    )
+
+
+NORM_SQL = "(' ' || regexp_replace(lower(coalesce({col}, '')), '\\s+', ' ', 'g') || ' ')"
+
+
+# ---------------------------------------------------------------------------
+# script pre-classifier
+# ---------------------------------------------------------------------------
+
+def script_label_expr(norm: Column) -> Column:
+    """Spark Column: script-based label, NULL => go to the trigram path."""
+    letters = F.regexp_count(norm, F.lit(r"\p{L}")).cast("double")
+    label = F.lit(None).cast("string")
+    # build CASE from last rule to first so first match wins
+    for name, java_cls, _duck, ratio in reversed(SCRIPT_RULES):
+        cnt = F.regexp_count(norm, F.lit(f"[{java_cls}]")).cast("double")
+        hit = (letters > 0) & (cnt / letters > ratio)
+        if name == "__arab__":
+            fa_cnt = F.regexp_count(norm, F.lit(f"[{FA_CHARS}]"))
+            name_col = F.when(fa_cnt > 0, F.lit("fa")).otherwise(F.lit("ar"))
+        else:
+            name_col = F.lit(name)
+        label = F.when(hit, name_col).otherwise(label)
+    return F.when(letters == 0, F.lit("und")).otherwise(label)
+
+
+def script_label_sql(norm_col: str) -> str:
+    """DuckDB CASE expression with identical semantics."""
+    letters = f"CAST(len(regexp_extract_all({norm_col}, '\\p{{L}}')) AS DOUBLE)"
+    whens = []
+    for name, _java, duck_cls, ratio in SCRIPT_RULES:
+        cnt = f"CAST(len(regexp_extract_all({norm_col}, '[{duck_cls}]')) AS DOUBLE)"
+        if name == "__arab__":
+            fa = f"len(regexp_extract_all({norm_col}, '[{FA_CHARS}]'))"
+            then = f"(CASE WHEN {fa} > 0 THEN 'fa' ELSE 'ar' END)"
+        else:
+            then = f"'{name}'"
+        whens.append(f"WHEN {letters} > 0 AND {cnt} / {letters} > {ratio} THEN {then}")
+    body = "\n         ".join(whens)
+    return (
+        f"CASE WHEN {letters} = 0 THEN 'und'\n         {body}\n         ELSE NULL END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# full detector (script cascade -> trigram-profile join -> argmax)
+# ---------------------------------------------------------------------------
+
+def detect_lang(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, detected_lang) for every input row.
+
+    Scale shape: the profile is a ~250-row broadcast table; the explode is
+    3 grams/char on Latin-script docs only; the (id, lang) partial sums
+    combine map-side; argmax is one max(struct). Nothing leaves the JVM.
+    """
+    spark = docs.sparkSession
+    profile = spark.createDataFrame(
+        profile_rows(), "lang string, gram string, w double, prio int"
+    )
+
+    base = docs.select(
+        F.col(id_col), norm_expr(F.col(text_col)).alias("__norm")
+    ).withColumn("__script", script_label_expr(F.col("__norm")))
+
+    latin = base.filter(F.col("__script").isNull())
+    grams = latin.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__norm") - 2, F.lit(1))),
+                lambda i: F.col("__norm").substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    scored = (
+        grams.join(F.broadcast(profile), "gram")
+        .groupBy(id_col, "lang", "prio")
+        .agg(F.sum("w").alias("s"))
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("s"), F.col("prio"), F.col("lang"))).alias("m"))
+        .select(F.col(id_col), F.col("m.lang").alias("__trigram_lang"))
+    )
+    return (
+        base.join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__script"), F.col("__trigram_lang"), F.lit("und")).alias(
+                "detected_lang"
+            ),
+        )
+    )
+
+
+def detect_lang_oracle_sql(
+    *, table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`detect_lang` (same profile, same cascade)."""
+    norm = NORM_SQL.format(col=text_col)
+    return f"""
+normed AS (
+  SELECT {id_col}, {norm} AS nrm FROM {table}
+),
+scripted AS (
+  SELECT {id_col}, nrm,
+         {script_label_sql('nrm')} AS script_lang
+  FROM normed
+),
+grams AS (
+  SELECT {id_col}, unnest(list_transform(generate_series(1, greatest(length(nrm) - 2, 1)),
+                                         i -> substr(nrm, i, 3))) AS gram
+  FROM scripted WHERE script_lang IS NULL
+),
+scored AS (
+  SELECT g.{id_col}, p.lang, p.prio, sum(p.w) AS s
+  FROM grams g JOIN {profile_values_sql()} ON g.gram = p.gram
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT {id_col}, lang,
+         row_number() OVER (PARTITION BY {id_col} ORDER BY s DESC, prio DESC) AS rn
+  FROM scored
+),
+detected AS (
+  SELECT s.{id_col},
+         coalesce(s.script_lang, b.lang, 'und') AS detected_lang
+  FROM scripted s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING ({id_col})
+)
+"""

@@ -113,7 +113,10 @@ def lsh_candidate_pairs(
     buckets = (
         signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(id_col, "bk.band", "bk.bh")
-        .persist()  # evaluated on both sides of the self-join
+        .localCheckpoint(eager=True)  # evaluated on both sides of the
+        # self-join; localCheckpoint (not persist) so blocks are freed by
+        # the ContextCleaner when the frame is GC'd — persist() pins
+        # partitions in the CacheManager for the whole bench session
     )
 
     a = buckets.alias("a")
@@ -143,7 +146,8 @@ def ngram_jaccard(
 
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh")
-    ).persist()  # joined twice (id_a side and id_b side)
+    ).localCheckpoint(eager=True)  # joined twice (id_a / id_b side); see
+    # lsh_candidate_pairs for why localCheckpoint over persist
     return _jaccard_on_shingles(sh, pairs, id_col=id_col)
 
 
@@ -187,7 +191,7 @@ def near_dup_pairs(
             F.col(id_col),
             F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # freed on GC, unlike persist()
     )
     sigs = _minhash_from_exploded(
         sh.select(F.col(id_col), F.explode("sh").alias("__s")),

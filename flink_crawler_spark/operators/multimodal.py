@@ -273,13 +273,25 @@ def arrow_byte_stats(media: DataFrame) -> DataFrame:
             buf = np.frombuffer(val_buf, dtype=np.uint8)
             starts, ends = offsets[:-1], offsets[1:]
             cs = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+            # empty blobs (starts == ends): indexing buf[starts] would read a
+            # NEIGHBOUR blob's byte — emit NULL for first/last instead.
+            empty = ends == starts
+            hi = max(len(buf) - 1, 0)
+            safe_s = np.clip(starts, 0, hi)
+            safe_e = np.clip(ends - 1, 0, hi)
+            if len(buf):
+                first = buf[safe_s].astype(np.int32)
+                last = buf[safe_e].astype(np.int32)
+            else:
+                first = np.zeros(len(starts), dtype=np.int32)
+                last = np.zeros(len(starts), dtype=np.int32)
             yield pa.record_batch(
                 [
                     ids,
                     pa.array(ends - starts, type=pa.int64()),
                     pa.array(cs[ends] - cs[starts], type=pa.int64()),
-                    pa.array(buf[starts].astype(np.int32), type=pa.int32()),
-                    pa.array(buf[ends - 1].astype(np.int32), type=pa.int32()),
+                    pa.array(first, type=pa.int32(), mask=empty),
+                    pa.array(last, type=pa.int32(), mask=empty),
                 ],
                 names=["media_id", "n_bytes", "byte_sum", "first_byte", "last_byte"],
             )

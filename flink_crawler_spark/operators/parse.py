@@ -368,3 +368,159 @@ def parse_pages_html(
         "status_time",
         "outlink_details",
     )
+
+
+# ----------------------------------------------------------------------
+# Multi-format parse dispatch (U1 full parity).
+# Reference: parser/SimplePageParser.java:180-205 — Tika AutoDetectParser
+# under a watchdog thread with a per-document timeout; parse failures and
+# timeouts map to ERROR_PARSING_ERROR (utils/ExceptionUtils.java status
+# mapping). Here: dispatch on content_type to per-format extractors, each
+# document parsed inside a concurrent.futures worker with
+# future.result(timeout) as the watchdog (the thread is abandoned on
+# timeout, exactly the reference's watchdog semantics).
+# ----------------------------------------------------------------------
+
+PARSE_TIMEOUT_S = 30.0  # SimplePageParser DEFAULT_MAX_PARSE_DURATION analogue
+
+
+def _extract_pdf_text(data: bytes) -> str:
+    """Minimal PDF text extraction: stream objects (raw or FlateDecode
+    via zlib) -> BT..ET text blocks -> (..) Tj / [..] TJ show operators.
+    Handles the simple text-PDF shape; image-only or exotic encodings
+    yield ''. A Tika/pdfminer-grade extractor slots in here unchanged —
+    the dispatch/watchdog plumbing is what the engine defines."""
+    import re as _re
+    import zlib
+
+    chunks = []
+    for m in _re.finditer(rb"stream\r?\n(.*?)endstream", data, _re.DOTALL):
+        raw = m.group(1)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            pass
+        for bt in _re.finditer(rb"BT(.*?)ET", raw, _re.DOTALL):
+            block = bt.group(1)
+            for tj in _re.finditer(rb"\((.*?)(?<!\\)\)\s*Tj", block, _re.DOTALL):
+                chunks.append(tj.group(1))
+            for tja in _re.finditer(rb"\[(.*?)\]\s*TJ", block, _re.DOTALL):
+                chunks.extend(_re.findall(rb"\((.*?)(?<!\\)\)", tja.group(1)))
+    text = b" ".join(chunks).decode("latin-1", "replace")
+    return " ".join(text.replace(r"\(", "(").replace(r"\)", ")").split())
+
+
+def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: int):
+    """(title, parsed_text, outlinks) for one document, by content type."""
+    ctype = (content_type or "").split(";")[0].strip().lower()
+    if ctype in ("text/html", "application/xhtml+xml"):
+        html = content.decode("utf-8", "replace")
+        d = _parse_html_doc(url, html, max_outlinks)
+        return d["title"], d["parsed_text"], d["outlinks"]
+    if ctype in ("text/plain",):
+        return "", " ".join(content.decode("utf-8", "replace").split()), []
+    if ctype in ("application/pdf",):
+        return "", _extract_pdf_text(content), []
+    if ctype in ("text/xml", "application/xml"):
+        import re as _re
+
+        txt = content.decode("utf-8", "replace")
+        return "", " ".join(_re.sub(TAG_RE, " ", txt).split()), []
+    raise _UnsupportedType(ctype)
+
+
+class _UnsupportedType(Exception):
+    pass
+
+
+def parse_pages_multiformat(
+    fetch_results: DataFrame,
+    *,
+    max_outlinks: int = MAX_OUTLINKS_PER_PAGE,
+    timeout_s: float = PARSE_TIMEOUT_S,
+    extra_parsers: dict | None = None,
+) -> DataFrame:
+    """Dispatch-on-content-type parse with per-document watchdog.
+
+    Output adds ``parse_status``: PARSED, SKIPPED_UNSUPPORTED_TYPE, or
+    ERROR_PARSING_ERROR (exception OR watchdog timeout — the reference's
+    status for both, ExceptionUtils.java:246-330).
+
+    ``extra_parsers``: {content_type: fn(url, bytes) -> (title, text,
+    outlinks)} — the pluggable-parser seam (BasePageParser analogue);
+    tests inject a deliberately slow parser to pin watchdog behavior.
+
+    Scale shape: one ThreadPoolExecutor per Python worker (reused across
+    Arrow batches), timeouts abandon the stuck thread and the pool
+    replaces it; all post-parse columns stay JVM-side.
+    """
+    extra = dict(extra_parsers or {})
+
+    fetched = fetch_results.filter(
+        (F.col("status") == "FETCHED") & F.col("content").isNotNull()
+    ).select("url", "pld", "content", "content_type", "status_time")
+
+    out_schema = (
+        "url string, pld string, status_time long, parse_status string, "
+        "title string, parsed_text string, outlinks array<string>"
+    )
+
+    def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FTimeout
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def parse_with_watchdog(url, content, ctype):
+            nonlocal pool
+            base = (ctype or "").split(";")[0].strip().lower()
+            if base in extra:
+                job = lambda: extra[base](url, content)
+            else:
+                job = lambda: _parse_one_doc(url, content, ctype, max_outlinks)
+            fut = pool.submit(job)
+            try:
+                title, text, links = fut.result(timeout=timeout_s)
+                return "PARSED", title, text, list(links)
+            except FTimeout:
+                # abandon the stuck worker thread (reference watchdog) and
+                # replace the pool so later docs get a fresh thread
+                fut.cancel()
+                pool = ThreadPoolExecutor(max_workers=1)
+                return "ERROR_PARSING_ERROR", "", "", []
+            except _UnsupportedType:
+                return "SKIPPED_UNSUPPORTED_TYPE", "", "", []
+            except Exception:
+                return "ERROR_PARSING_ERROR", "", "", []
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = (
+                    bytes(r.content)
+                    if isinstance(r.content, (bytes, bytearray, memoryview))
+                    else str(r.content).encode()
+                )
+                status, title, text, links = parse_with_watchdog(
+                    r.url, content, r.content_type
+                )
+                rows.append(
+                    {
+                        "url": r.url,
+                        "pld": r.pld,
+                        "status_time": r.status_time,
+                        "parse_status": status,
+                        "title": title,
+                        "parsed_text": text,
+                        "outlinks": links,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "pld", "status_time", "parse_status",
+                    "title", "parsed_text", "outlinks",
+                ],
+            )
+
+    return fetched.mapInPandas(run, out_schema)

@@ -294,18 +294,50 @@ def exact_cosine_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     prefilter_margin: float = 1e-6,
+    ground_truth: bool = False,
+    num_blocks: int | None = None,
+    block_target_rows: int = 4096,
+    max_ground_truth_rows: int = 50_000,
 ) -> DataFrame:
     """All pairs with round(cosine, 6) >= threshold — exact brute force.
 
-    The right side is collected + broadcast (the bench-scale ground-truth
-    path; LSH/IVF are the 100 TB paths), the left side streams through
-    mapInPandas partitions. The kernel prefilters with a safety margin on
-    the unrounded cosine; the authoritative round(dot/nprod) >= threshold
+    DEFAULT path (distributed, no driver collect): vectors hash into
+    ``num_blocks`` blocks (each ~``block_target_rows`` vectors), blocks
+    pack into one array-row each, and every unordered block pair
+    (NB*(NB+1)/2 tasks) runs the Arrow kernel executor-side. O(n²) work —
+    all-pairs is inherently quadratic — but the *shape* scales: no row
+    ever visits the driver, task memory is bounded by two blocks, and
+    parallelism grows quadratically with n. LSH/IVF remain the sub-
+    quadratic 100 TB paths.
+
+    ``ground_truth=True`` keeps the old collect+broadcast variant for
+    small-n verification runs, guarded by ``max_ground_truth_rows``.
+
+    Both paths prefilter in the kernel with a safety margin on the
+    unrounded cosine; the authoritative round(dot/nprod) >= threshold
     filter runs JVM-side, so results match the SQL formulation exactly.
     """
+    if not ground_truth:
+        return _blocked_cosine_pairs(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            prefilter_margin=prefilter_margin,
+            num_blocks=num_blocks,
+            block_target_rows=block_target_rows,
+        )
+
     import pandas as pd
 
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_ground_truth_rows:
+        raise ValueError(
+            f"ground_truth collect path refused: {n} rows > {max_ground_truth_rows}; "
+            "use the default blocked path"
+        )
     rows = embeddings.select(id_col, vec_col).collect()
     ids_b = np.array([r[0] for r in rows], dtype=np.int64)
     B = np.asarray([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
@@ -340,6 +372,84 @@ def exact_cosine_pairs(
         .repartition(n_parts)
         .mapInPandas(run, "id_a long, id_b long, dot double, nprod double")
     )
+    cosine = F.round(F.col("dot") / F.col("nprod"), round_digits)
+    return (
+        cand.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _blocked_cosine_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    prefilter_margin: float,
+    num_blocks: int | None,
+    block_target_rows: int,
+) -> DataFrame:
+    """Distributed exact all-pairs: block-nested-loop at block granularity.
+
+    groupBy(blk) packs each hash block into ONE row (ids + matrix); the
+    NB-row block table self-joins on ``blk_a <= blk_b`` (tiny broadcast
+    NL join — NB*(NB+1)/2 rows), and each block-pair row computes its
+    cross product in the Arrow kernel. Every unordered vector pair is
+    examined exactly once: intra-block pairs by ``id_a < id_b``,
+    cross-block pairs orientation-normalized with min/max."""
+    import pandas as pd
+
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(1, -(-n // block_target_rows))
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("blk")
+    blocks = (
+        embeddings.select(blk, F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pair_rows = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        max(num_blocks * (num_blocks + 1) // 2, 1)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ida = np.asarray(row.ids_a, dtype=np.int64)
+                idb = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float32) for v in row.vecs_a]).astype(
+                    np.float64
+                )
+                B = np.stack([np.asarray(v, dtype=np.float32) for v in row.vecs_b]).astype(
+                    np.float64
+                )
+                P = _leftassoc_dot_matrix(A, B)
+                nprod = _leftassoc_norm(A)[:, None] * _leftassoc_norm(B)[None, :]
+                c = P / nprod
+                mask = c >= threshold - prefilter_margin
+                if row.blk_a == row.blk_b:
+                    mask &= ida[:, None] < idb[None, :]
+                else:
+                    mask &= ida[:, None] != idb[None, :]
+                ii, jj = np.nonzero(mask)
+                u, v = ida[ii], idb[jj]
+                lo, hi = np.minimum(u, v), np.maximum(u, v)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "dot": P[ii, jj], "nprod": nprod[ii, jj]}
+                )
+
+    cand = pair_rows.mapInPandas(run, "id_a long, id_b long, dot double, nprod double")
     cosine = F.round(F.col("dot") / F.col("nprod"), round_digits)
     return (
         cand.select("id_a", "id_b", cosine.alias("cosine"))

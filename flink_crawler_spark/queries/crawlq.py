@@ -737,3 +737,87 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering"),
     )
+
+
+# --------------------------------------------------------------------------
+# multi-format parse dispatch (U1 full parity: SimplePageParser.java:180-205
+# AutoDetectParser dispatch + watchdog). Fixture: every document rendered as
+# HTML / plain text / unsupported binary by doc_id % 3; the Spark side runs
+# the REAL dispatcher (mapInPandas + per-doc concurrent.futures watchdog),
+# the oracle recomputes title/text/status with string ops. The PDF and
+# timeout branches are pinned by tests/test_multiformat_parse.py (binary
+# fixtures are not SQL-expressible).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "parse_multiformat",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS nt
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+            ELSE 'application/octet-stream' END AS content_type,
+       CASE WHEN doc_id % 3 = 2 THEN 'SKIPPED_UNSUPPORTED_TYPE' ELSE 'PARSED' END
+         AS parse_status,
+       CASE WHEN doc_id % 3 = 0 THEN 'doc ' || CAST(doc_id AS VARCHAR) ELSE '' END AS title,
+       CASE doc_id % 3
+            WHEN 0 THEN nt || ' more'
+            WHEN 1 THEN nt
+            ELSE '' END AS parsed_text,
+       CASE WHEN doc_id % 3 = 0
+            THEN ['http://out.example.com/' || CAST(doc_id AS VARCHAR)]
+            ELSE [] END AS outlinks
+FROM d
+""",
+)
+def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parse import parse_pages_multiformat
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("nt"),
+    )
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        did.cast("string"),
+        F.lit("</title></head><body>"),
+        F.col("nt"),
+        F.lit(' <a href="http://out.example.com/'),
+        did.cast("string"),
+        F.lit('">more</a></body></html>'),
+    )
+    ctype = (
+        F.when(did % 3 == 0, "text/html")
+        .when(did % 3 == 1, "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    body = F.when(did % 3 == 0, html).otherwise(F.col("nt"))
+    fetch_rows = docs.select(
+        F.concat(F.lit("http://docs.example.com/"), did.cast("string")).alias("url"),
+        F.lit("docs.example.com").alias("pld"),
+        F.lit("FETCHED").alias("status"),
+        F.lit(0).cast("long").alias("status_time"),
+        F.encode(body, "UTF-8").alias("content"),
+        ctype.alias("content_type"),
+        did,
+    )
+    parsed = parse_pages_multiformat(
+        fetch_rows.select("url", "pld", "status", "status_time", "content", "content_type")
+    )
+    return (
+        parsed.join(
+            fetch_rows.select("url", "doc_id", F.col("content_type").alias("ct")), "url"
+        )
+        .select(
+            "doc_id",
+            F.col("ct").alias("content_type"),
+            "parse_status",
+            "title",
+            "parsed_text",
+            "outlinks",
+        )
+    )

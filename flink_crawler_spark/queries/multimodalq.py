@@ -187,8 +187,10 @@ WITH {MEDIA_SQL.strip()}
 SELECT media_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
        CAST(list_aggregate({DUCK_BYTES}, 'sum') AS BIGINT) AS byte_sum,
-       CAST('0x' || substring(hx, 1, 2) AS INTEGER) AS first_byte,
-       CAST('0x' || substring(hx, n_bytes*2-1, 2) AS INTEGER) AS last_byte
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE CAST('0x' || substring(hx, 1, 2) AS INTEGER) END AS first_byte,
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE CAST('0x' || substring(hx, n_bytes*2-1, 2) AS INTEGER) END AS last_byte
 FROM media
 """,
 )

@@ -370,72 +370,6 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tws_runtime_available() -> bool:
-    """transformWithStateInPandas speaks a protobuf-based state-server
-    protocol; without the protobuf package its Python driver worker
-    crashes at init. Register the TWS query only where the runtime
-    dependency exists (this container lacks it; real deployments have
-    it via pyspark[connect]/grpcio-tools)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def stream_url_db_merge_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The URL DB on Spark 4's transformWithStateInPandas
-    (streaming/url_db_tws.py): per-PLD StatefulProcessor with the URL map
-    as first-class MapState — the reference's exact state layout
-    (MapState<urlHash, CrawlStateUrl>, UrlDBFunction.java:94-139) on the
-    modern stateful API. Replays the same observations as the batch
-    lattice and must converge to the identical state. TWS requires the
-    RocksDB state store provider; set for this query, restored after."""
-    import tempfile
-    import uuid
-
-    from ..streaming.url_db_tws import run_obs_stream_to_state_tws
-
-    obs_dir = tempfile.mkdtemp(prefix="fcs_obs_tws_")
-    crawl_obs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(obs_dir)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        sink = run_obs_stream_to_state_tws(spark, obs_dir, "urldbtws_" + uuid.uuid4().hex[:8])
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    final = (
-        sink.groupBy("url")
-        .agg(
-            F.max(
-                F.struct("status_time", "score", "status", "next_fetch_time", "pld")
-            ).alias("w")
-        )
-        .select("url", "w.pld", "w.status", "w.status_time", "w.score", "w.next_fetch_time")
-    )
-    return final.select(
-        "url", "pld", "status", "status_time", F.round("score", 6).alias("score"),
-        "next_fetch_time",
-    )
-
-
-if _tws_runtime_available():
-    register(
-        "stream_url_db_merge_tws",
-        oracle=f"""
-WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()}
-SELECT url, pld, status, status_time, round(score, 6) AS score, next_fetch_time
-FROM merged
-""",
-    )(stream_url_db_merge_tws)
 
 
 @register(

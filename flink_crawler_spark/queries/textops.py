@@ -157,15 +157,31 @@ FROM sc
 """
 
 
-@register("doc_lang_id", oracle=_lang_id_sql())
+def _lang_id_ngram_sql() -> str:
+    from ..functions.lang import detect_lang_oracle_sql
+
+    return f"""
+WITH {detect_lang_oracle_sql(table='documents').strip()}
+SELECT d.doc_id, docs.lang AS labeled_lang, d.detected_lang
+FROM detected d JOIN documents docs ON d.doc_id = docs.doc_id
+"""
+
+
+@register("doc_lang_id", oracle=_lang_id_ngram_sql())
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language heuristic (TikaCallable.java:241-269
-    cascade reduced to its statistical core). Tie-break: en>de>es>fr."""
+    """Character-n-gram + Unicode-script language ID
+    (TikaCallable.java:241-269 cascade; profile table is data, not code
+    — functions/lang.py). Script classes (zh/ja/ko/ru/ar/fa/he/th/hi/el)
+    resolve by one regexp_count each; Latin text goes through a
+    broadcast trigram-profile join + max(struct) argmax. The old
+    stopword argmax (lang_id_expr) remains as the cheap inline variant."""
+    from ..functions.lang import detect_lang
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_id_expr(F.col("text")).alias("detected_lang"),
+    det = detect_lang(docs)
+    return (
+        det.join(docs.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id")
+        .select("doc_id", "labeled_lang", "detected_lang")
     )
 
 

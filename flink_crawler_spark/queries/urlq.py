@@ -200,3 +200,82 @@ def url_pld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = messy_urls(spark, sf_dir)
     host = F.regexp_replace(F.lower(host_expr(F.col("url"))), r"\.$", "")
     return df.select("id", host.alias("host"), pld_expr(F.col("url")).alias("pld"))
+
+
+# --------------------------------------------------------------------------
+# live lengthener E2E (P1: LengthenUrlsFunction.java:16-50 +
+# SimpleUrlLengthener.java:172-312). A deterministic injected resolver
+# stands in for the HEAD fetcher (MockUrlLengthenerFetcher pattern) so
+# DuckDB can reproduce the resolution arithmetic exactly; the Spark side
+# still runs the REAL machinery — broadcast table join, shortener-host
+# split, repartition-on-url, mapInPandas chase loop, per-worker LRU.
+# --------------------------------------------------------------------------
+
+LENGTHEN_FIXTURE_SQL = """
+surls AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN 'http://bit.ly/o' || CAST(o_orderkey AS VARCHAR)
+              ELSE 'http://shop' || CAST(o_orderkey % 89 AS VARCHAR)
+                   || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)
+         END AS url
+  FROM orders
+)
+"""
+
+
+@register(
+    "url_lengthen_resolve",
+    oracle=f"""
+WITH {LENGTHEN_FIXTURE_SQL.strip()}
+SELECT id,
+       CASE
+         WHEN id % 14 = 0 THEN 'http://table.example.com/' || CAST(id AS VARCHAR)
+         WHEN id % 7 = 0  THEN 'http://resolved.example.com/' || md5('o' || CAST(id AS VARCHAR))
+         ELSE url
+       END AS url
+FROM surls
+""",
+)
+def url_lengthen_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th order gets a bit.ly short URL; every 14th is known to the
+    redirect table (broadcast-join path), the rest of the shorts chase
+    through the deterministic mock resolver (mapInPandas + LRU path),
+    and non-shortener URLs pass through JVM-only."""
+    import hashlib
+
+    from ..operators.lengthen import lengthen_urls_live
+
+    orders = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("id"))
+    urls = orders.select(
+        "id",
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(F.lit("http://bit.ly/o"), F.col("id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://shop"),
+                (F.col("id") % 89).cast("string"),
+                F.lit(".example.com/order/"),
+                F.col("id").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    redirects = (
+        orders.filter(F.col("id") % 14 == 0)
+        .select(
+            F.concat(F.lit("http://bit.ly/o"), F.col("id").cast("string")).alias("short_url"),
+            F.concat(F.lit("http://table.example.com/"), F.col("id").cast("string")).alias(
+                "long_url"
+            ),
+        )
+    )
+
+    def resolver(url: str):
+        tag = url.rsplit("/", 1)[-1]
+        return 301, "http://resolved.example.com/" + hashlib.md5(tag.encode()).hexdigest()
+
+    out = lengthen_urls_live(urls.select("url", "id"), redirects, resolver=resolver)
+    return out.select("id", "url")

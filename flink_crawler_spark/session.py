@@ -43,10 +43,11 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # defensive: if a parquet source carries TIMESTAMP(NANOS) (no
-        # native Spark type), read it as nanos-since-epoch BIGINT rather
-        # than failing; no-op for micros/millis timestamps.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: deliberately NOT setting spark.sql.legacy.parquet.nanosAsLong.
+        # With it, a TIMESTAMP(NANOS) testdata regeneration would silently
+        # read ts as BIGINT nanos and every cast(ts as timestamp_ltz) would
+        # interpret nanos as seconds — garbage epochs far from the cause.
+        # Without it, such a physical-type change fails fast at scan time.
     )
     return builder.getOrCreate()
 

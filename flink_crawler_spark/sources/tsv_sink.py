@@ -10,6 +10,15 @@ and returns the name as its commit message; only the driver-side
 ``_SUCCESS`` marker, and ``abort()`` removes the temps — so a failed or
 speculative task can never leave a half-visible file, the same
 all-or-nothing contract Spark's built-in FileFormatWriter gives parquet.
+
+REQUIREMENT: executors and driver must share one filesystem for `path`
+(local[N], NFS, or a FUSE-mounted object store) — task ``write()`` uses
+local ``open()`` and driver ``commit()`` renames with ``os.replace``.
+On a cluster without a shared mount this sink cannot commit; use the
+parquet/json writers (Hadoop FileOutputCommitter) there instead.
+``commit()`` also sweeps stray ``.tmp-*`` files left by failed or
+speculative task attempts whose commit messages never reached the
+driver (``abort()`` only runs on whole-job abort).
 The reference gets this per-file only (WARC segment rotation,
 ``WARCFileWriter.java:29-46``); job-level atomicity is an upgrade.
 
@@ -65,10 +74,19 @@ class TsvContentWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         total = 0
+        committed = set()
         for i, m in enumerate(m for m in messages if m is not None):
             final = os.path.join(self.path, f"part-{i:05d}.tsv")
             os.replace(os.path.join(self.path, m.tmp_name), final)
+            committed.add(m.tmp_name)
             total += m.n_rows
+        # sweep temps from failed/speculative attempts not in any message
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-") and name not in committed:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(total))
 
@@ -120,9 +138,17 @@ class TsvContentStreamWriter(DataSourceStreamWriter):
         return TsvCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        committed = set()
         for i, m in enumerate(m for m in messages if m is not None):
             final = os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.tsv")
             os.replace(os.path.join(self.path, m.tmp_name), final)
+            committed.add(m.tmp_name)
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-") and name not in committed:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, f"_BATCH_{batchId}"), "w") as fh:
             fh.write("ok")
 

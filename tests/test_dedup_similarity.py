@@ -133,3 +133,33 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_exact_cosine_pairs_blocked_matches_ground_truth(spark, sf_dir):
+    """The default (distributed, block-pair) exact path and the
+    collect+broadcast ground-truth path must produce identical pairs."""
+    import os
+
+    from flink_crawler_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    blocked = exact_cosine_pairs(emb, threshold=0.35, num_blocks=5)
+    gt = exact_cosine_pairs(emb, threshold=0.35, ground_truth=True)
+    rows_b = {(r["id_a"], r["id_b"], r["cosine"]) for r in blocked.collect()}
+    rows_g = {(r["id_a"], r["id_b"], r["cosine"]) for r in gt.collect()}
+    assert rows_b == rows_g
+    assert len(rows_b) > 0
+
+
+def test_exact_cosine_ground_truth_guard(spark, sf_dir):
+    import os
+
+    import pytest
+
+    from flink_crawler_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="ground_truth collect path refused"):
+        exact_cosine_pairs(
+            emb, threshold=0.8, ground_truth=True, max_ground_truth_rows=10
+        ).collect()

@@ -1,0 +1,46 @@
+"""Language ID over real multilingual text (functions/lang.py).
+
+The reference's integration crawl is seeded with Farsi URLs
+(src/it/resources/farsi-seeds.txt); its Tika cascade
+(parser/TikaCallable.java:241-269) must label such pages. The round-1
+stopword argmax labeled everything non-en/de/es/fr as 'und' — these
+cases pin the upgraded script+trigram detector.
+"""
+
+from flink_crawler_spark.functions.lang import detect_lang
+
+SAMPLES = [
+    # (id, text, expected)
+    (1, "این یک متن فارسی است که برای آزمایش تشخیص زبان نوشته شده است", "fa"),
+    (2, "هذا نص عربي بسيط لاختبار تحديد اللغة في النظام", "ar"),
+    (3, "这是一个用于测试语言识别的中文文本系统", "zh"),
+    (4, "これは言語判定のテストのための日本語の文章です", "ja"),
+    (5, "이것은 언어 감지 테스트를 위한 한국어 문장입니다", "ko"),
+    (6, "Это русский текст для проверки определения языка", "ru"),
+    (7, "the quick brown fox jumps over the lazy dog and runs into the forest", "en"),
+    (8, "der schnelle braune fuchs springt über den faulen hund und läuft in den wald", "de"),
+    (9, "el rápido zorro marrón salta sobre el perro perezoso en el bosque", "es"),
+    (10, "le renard brun rapide saute par dessus le chien paresseux dans la forêt", "fr"),
+    (11, "", "und"),
+    (12, "12345 67890 !!!", "und"),
+]
+
+
+def test_detect_lang_multilingual(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in SAMPLES], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_lang(docs).collect()}
+    want = {i: e for i, _, e in SAMPLES}
+    assert got == want
+
+
+def test_detect_lang_farsi_vs_arabic_specific_letters(spark):
+    # Same Arabic script; the Persian-specific letters (پ چ ژ گ ک ی)
+    # are the discriminator — reference parity for the Farsi seed crawl.
+    docs = spark.createDataFrame(
+        [(1, "کتابخانه پژوهش گروه"), (2, "مكتبة بحث مجموعة")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_lang(docs).collect()}
+    assert got == {1: "fa", 2: "ar"}

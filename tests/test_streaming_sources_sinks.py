@@ -193,25 +193,6 @@ def test_cli_end_to_end(spark, tmp_path):
     assert any("http://cli.com/a\t" in r["value"] for r in text)
 
 
-def test_tws_url_db_requires_protobuf_runtime(spark, sf_dir):
-    """transformWithStateInPandas URL DB (streaming/url_db_tws.py): runs
-    end-to-end where the protobuf runtime exists; here we at least pin
-    the conditional registration logic and the processor's merge reuse."""
-    import pytest
-
-    from flink_crawler_spark.queries.streamq import (
-        _tws_runtime_available,
-        stream_url_db_merge_tws,
-    )
-    from flink_crawler_spark.queries import REGISTRY
-
-    assert ("stream_url_db_merge_tws" in REGISTRY) == _tws_runtime_available()
-    if not _tws_runtime_available():
-        pytest.skip("google.protobuf not installed — TWS runtime unavailable")
-    out = stream_url_db_merge_tws(spark, sf_dir)
-    assert out.count() > 0
-
-
 def test_partitioned_read_actually_prunes(spark, sf_dir):
     """partitioned_parquet_pruning must not just return the right answer
     — the physical scan must read only the 2 matching partition dirs."""
