@@ -90,3 +90,103 @@ def test_normalizer_idempotent(u):
 ]))
 def test_normalizer_produces_scheme(u):
     assert normalize_url(u).startswith(("http://", "https://"))
+
+
+# ---------------------------------------------------------------------------
+# Politeness under parallelism (VERDICT item 7).
+# Reference guarantee: one domain = one subtask
+# (topology/CrawlTopologyBuilder.java:365-377, keyBy(pld)); the repo's
+# equivalents are politeness_split's per-pld slot assignment and
+# http_fetch's repartition("pld") + sortWithinPartitions. Randomized
+# frontiers, not golden examples.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+# crawl delay is a PER-DOMAIN fact (robots join) — derive it from the pld
+# index so a domain never carries two different delays
+_PLD_DELAYS = (None, 1_000, 2_500, 10_000, 20_000, None)
+
+frontier_row_st = st.tuples(
+    st.integers(min_value=0, max_value=5),        # pld index
+    st.integers(min_value=0, max_value=10**4),    # path / uniqueness
+    st.integers(min_value=0, max_value=100),      # score
+)
+
+
+def _frontier(spark, rows, with_delay):
+    seen = set()
+    data = []
+    for pld_i, path, score in rows:
+        delay = _PLD_DELAYS[pld_i]
+        url = f"http://d{pld_i}.com/p/{path}"
+        if url in seen:
+            continue
+        seen.add(url)
+        data.append((url, f"d{pld_i}.com", float(score), delay))
+    df = spark.createDataFrame(
+        data, "url string, pld string, score double, crawl_delay_ms long"
+    )
+    return df if with_delay else df.drop("crawl_delay_ms")
+
+
+@given(st.lists(frontier_row_st, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_politeness_slots_respect_crawl_delay(spark, rows):
+    from flink_crawler_spark.operators.fetch import politeness_split
+
+    now, tick = 1_000_000, 10_000
+    out = politeness_split(
+        _frontier(spark, rows, with_delay=True), now_ms=now, tick_ms=tick
+    ).collect()
+    by_pld = {}
+    for r in out:
+        by_pld.setdefault(r["pld"], []).append(r)
+    for pld, group in by_pld.items():
+        delay = group[0]["crawl_delay_ms"] or 10_000
+        times = sorted(r["fetch_time"] for r in group)
+        assert times[0] == now
+        # spacing: consecutive slots exactly one crawl delay apart
+        assert all(b - a == delay for a, b in zip(times, times[1:]))
+        for r in group:
+            in_window = r["fetch_time"] < now + tick
+            assert (r["route"] == "fetch") == in_window
+
+
+@given(st.lists(frontier_row_st, min_size=1, max_size=25))
+@settings(max_examples=5, deadline=None)
+def test_http_fetch_never_splits_a_domain_across_tasks(spark, rows):
+    """Every pld lands in exactly one http_fetch task, and within it the
+    fetcher sees that domain's URLs in fetch_time (slot) order."""
+    from flink_crawler_spark.operators.fetch import http_fetch, politeness_split
+
+    import itertools
+
+    now = 1_000_000
+    frontier = politeness_split(
+        _frontier(spark, rows, with_delay=True), now_ms=now, tick_ms=10**9
+    )
+    seq_counter = itertools.count()  # per-task copy: monotone within a task
+
+    def fetcher(url):
+        from pyspark import TaskContext
+
+        stamp = f"{TaskContext.get().partitionId()}:{next(seq_counter)}"
+        return (200, stamp.encode(), "text/html")
+
+    out = http_fetch(frontier, fetcher=fetcher, now_ms=now).collect()
+    assert all(r["status"] == "FETCHED" for r in out)
+
+    slot_of = {r["url"]: r["fetch_time"] for r in frontier.collect()}
+    parts: dict[str, set] = {}
+    calls: dict[str, list] = {}
+    for r in out:
+        pld = r["pld"]
+        pid, seq = (int(x) for x in bytes(r["content"]).decode().split(":"))
+        parts.setdefault(pld, set()).add(pid)
+        calls.setdefault(pld, []).append((seq, slot_of[r["url"]]))
+    for pld, pids in parts.items():
+        assert len(pids) == 1, f"domain {pld} split across tasks {pids}"
+    for pld, pairs in calls.items():
+        slots = [slot for _, slot in sorted(pairs)]
+        assert slots == sorted(slots), f"domain {pld} fetched out of slot order"
