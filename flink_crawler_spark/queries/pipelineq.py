@@ -318,6 +318,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         docs.select("doc_id", F.explode(_ngram_expr(F.col("tk"), CONTAM_N)).alias("g"))
         .distinct()
+        .localCheckpoint(eager=True)  # feeds bench + train; computed once
     )
     bench = grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 37 != 0)
