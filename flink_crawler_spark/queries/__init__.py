@@ -31,6 +31,7 @@ from . import analytics2  # noqa: E402,F401
 from . import sqlbreadth  # noqa: E402,F401
 from . import sourcesq  # noqa: E402,F401
 from . import pipelineq  # noqa: E402,F401
+from . import pipelineq2  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order

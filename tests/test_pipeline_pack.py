@@ -1,0 +1,93 @@
+"""Corpus-assembly wave (queries/pipelineq2.py): invariant tests beyond
+the oracle hash-match — budget monotonicity, tape contiguity, and
+boilerplate-set semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_crawler_spark.queries.pipelineq2 import (
+    BOILER_K,
+    SEQ_LEN,
+    SOURCE_TOKEN_BUDGET,
+    corpus_mix_budget,
+    segment_boilerplate_filter,
+    sequence_pack_chop,
+)
+
+
+def test_mix_budget_greedy_prefix(spark, sf_dir):
+    rows = corpus_mix_budget(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.cum_before)
+        # selection is a prefix of the md5 order: once over budget, never
+        # selected again
+        seen_unselected = False
+        running = 0
+        for r in rs:
+            assert r.cum_before == running, src
+            running += r.n_tokens
+            if not r.selected:
+                seen_unselected = True
+                assert r.cum_before >= SOURCE_TOKEN_BUDGET
+            else:
+                assert not seen_unselected, "non-contiguous selection"
+        # any source with data admits at least one doc
+        assert rs[0].selected
+
+
+def test_pack_tape_contiguous(spark, sf_dir):
+    rows = sorted(sequence_pack_chop(spark, sf_dir).collect(), key=lambda r: r.doc_id)
+    assert rows, "corpus empty?"
+    offset = 0
+    for r in rows:
+        # docs tile the token tape exactly: no gaps, no overlaps
+        assert r.tok_offset == offset
+        offset += r.n_tokens
+        assert r.start_seq == r.tok_offset // SEQ_LEN
+        assert r.end_seq == (r.tok_offset + r.n_tokens - 1) // SEQ_LEN
+        assert r.n_seqs == r.end_seq - r.start_seq + 1
+    # total sequences = ceil(total_tokens / SEQ_LEN)
+    assert rows[-1].end_seq == (offset - 1) // SEQ_LEN
+
+
+def test_boilerplate_threshold_semantics(spark, sf_dir):
+    out = segment_boilerplate_filter(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_boiler").alias("nb"), F.sum("n_segs").alias("ns")
+    ).collect()[0]
+    assert agg.ns > 0
+    # boiler_frac in [0, 1] and consistent with counts
+    bad = out.filter(
+        (F.col("boiler_frac") < 0)
+        | (F.col("boiler_frac") > 1)
+        | (F.col("n_boiler") > F.col("n_segs"))
+    ).count()
+    assert bad == 0
+    if agg.nb == 0:
+        pytest.skip("corpus has no repeated segments at this SF")
+    # every boilerplate segment genuinely occurs in >= K distinct docs:
+    # recompute the marked set and cross-check the threshold
+    from flink_crawler_spark.functions.text import tokens_expr
+    from flink_crawler_spark.queries.base import t as load
+    from flink_crawler_spark.queries.pipelineq2 import SEG_W
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("tk")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(SEG_W))
+    segs = (
+        toks.select("doc_id", F.explode(starts).alias("s"), "tk")
+        .select("doc_id", F.slice("tk", F.col("s"), F.lit(SEG_W)).alias("st"))
+        .filter(F.size("st") == SEG_W)
+        .select("doc_id", F.concat_ws(" ", "st").alias("seg"))
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("nd"))
+    n_boiler_occurrences = (
+        segs.join(freq.filter(F.col("nd") >= BOILER_K), "seg").count()
+    )
+    assert agg.nb == n_boiler_occurrences
