@@ -77,7 +77,6 @@ PRIORITY_WINDOW = [
     "dedup_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "doc_simhash",
     "ppjoin_pairs",
@@ -89,8 +88,10 @@ PRIORITY_WINDOW = [
     "doc_token_count",
     "doc_quality_score",
     "doc_lang_id",
-    "doc_fingerprint",
     "tfidf_top_terms",
+    # --- pipeline-curation family ---
+    "benchmark_contamination",
+    "sequence_pack_chop",
     # --- multimodal family ---
     "media_stats",
     "media_arrow_byte_stats",
