@@ -302,3 +302,112 @@ def segment_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_md5", empty_md5).alias("kept_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# model_quality_classifier
+# --------------------------------------------------------------------------
+
+# fastText-style hashed linear model: each token hashes to a fixed weight
+# in [-500, 500] milli-units (derived from its md5 — deterministic in both
+# engines, standing in for trained weights); a doc is kept when the summed
+# logit is positive. Integer milli-unit arithmetic keeps the whole model
+# BIT-EXACT across engines — no float sigmoid needed, since
+# sigmoid(x) > 0.5 <=> x > 0.
+_W_MILLI_DUCK = "(ascii(substr(md5(x), 1, 1)) * 256 + ascii(substr(md5(x), 2, 1))) % 1001 - 500"
+
+
+@register(
+    "model_quality_classifier",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {DUCK_TOKS} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(tk, x -> {_W_MILLI_DUCK})), 0)
+            AS BIGINT) AS logit_milli,
+       coalesce(list_sum(list_transform(tk, x -> {_W_MILLI_DUCK})), 0) > 0
+         AS keep
+FROM d
+""",
+)
+def model_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (fastText linear-classifier shape):
+    hash each token to a fixed weight, fold the weights with an array
+    HOF, keep docs with positive summed logit. ZERO shuffles — the
+    entire classifier is one codegen'd projection, which is exactly how
+    a hashed linear scorer should run at 100 TB (a real weight table
+    would be a broadcast map lookup in the same fold)."""
+
+    def w_milli(x):
+        h = F.md5(F.encode(x, "UTF-8"))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        ) % 1001 - 500
+
+    tk = tokens_expr(F.col("text"))
+    logit = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, x: acc + w_milli(x).cast("long")
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dataset_card_rollup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card_rollup",
+    oracle=f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       count(DISTINCT digest) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM d
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+""",
+)
+def dataset_card_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: the per-source / per-language corpus
+    summary (doc counts, token totals, exact duplicate rate) every
+    released training set publishes. GROUPING SETS computes all three
+    grain levels in one pass; count(DISTINCT digest) stays exact via
+    Spark's expand-then-partial-agg, the same plan the oracle uses."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+    )
+    g = d.groupingSets([["source", "lang"], ["source"], []], "source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("digest").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+    return g.select(
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "n_unique",
+        "dup_rate",
+    )
