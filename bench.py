@@ -35,6 +35,56 @@ def main() -> int:
     warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     warm.groupBy("n_regionkey").count().collect()
     warm.mapInPandas(lambda it: it, warm.schema).count()
+
+    # Also absorb the one-time Structured Streaming engine init (micro-batch
+    # planner, state store provider, memory sink) and the Python stateful
+    # worker handshake (applyInPandasWithState state server) — otherwise the
+    # FIRST streaming / stateful query in registry order pays ~5-10 s of
+    # engine spin-up and its number moves whenever registration order does.
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    wdir = tempfile.mkdtemp(prefix="fcs_warm_")
+    warm.limit(3).write.mode("overwrite").parquet(wdir)
+    wstream = spark.readStream.schema(warm.schema).parquet(wdir)
+    wq = (
+        wstream.groupBy("n_regionkey")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("warm_agg_" + _uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
+
+    def _warm_state(key, pdfs, state):
+        import pandas as pd
+
+        n = sum(len(p) for p in pdfs)
+        yield pd.DataFrame({"k": [int(key[0])], "n": [n]})
+
+    wq2 = (
+        wstream.groupBy("n_regionkey")
+        .applyInPandasWithState(
+            _warm_state,
+            "k long, n long",
+            "n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("warm_state_" + _uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq2.awaitTermination()
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary:
+            spark.catalog.dropTempView(tbl.name)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -68,3 +68,128 @@ def doc_bpe_pretoken(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matching(r"\s+").alias("n_ws"),
         F.md5(F.encode(F.concat_ws(_SEP, F.col("toks")), "UTF-8")).alias("stream_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_candidates — the first merge step of BPE tokenizer training
+# --------------------------------------------------------------------------
+
+from .textops import DUCK_TOKS  # noqa: E402
+from ..functions.text import tokens_expr  # noqa: E402
+
+MERGE_TOP_K = 50
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({DUCK_TOKS}) AS w FROM documents
+),
+chars AS (
+  SELECT w, regexp_extract_all(w, '.') AS cs FROM words
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(cs) - 1),
+                i -> cs[i] || cs[i + 1])) AS pair
+  FROM chars
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {MERGE_TOP_K}
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, step 1: count adjacent character pairs inside every
+    word occurrence and rank the merge candidates — the statistic a real
+    BPE trainer (Sennrich et al. 2016) computes each round. One explode
+    + one count agg with map-side partial aggregation; the top-k is
+    TakeOrderedAndProject, never a global sort. Symbol-pair cardinality
+    is bounded by alphabet², so the agg state is tiny at any corpus
+    size."""
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    cs = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's generate_series
+    # is empty there) — guard 1-char words explicitly
+    idx = F.when(F.size(cs) >= 2, F.sequence(F.lit(1), F.size(cs) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(MERGE_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage — vocabulary-size/coverage tradeoff curve
+# --------------------------------------------------------------------------
+
+VOCAB_CURVE_K = 100
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({DUCK_TOKS}) AS w FROM documents
+),
+freq AS (
+  SELECT w, count(*) AS n FROM words GROUP BY w
+),
+tot AS (SELECT sum(n) AS tot FROM freq),
+ranked AS (
+  SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rnk
+  FROM freq
+)
+SELECT rnk, w, n,
+       round(CAST(sum(n) OVER (ORDER BY rnk) AS DOUBLE) / (SELECT tot FROM tot), 6)
+         AS coverage
+FROM ranked
+WHERE rnk <= {VOCAB_CURVE_K}
+ORDER BY rnk
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for the top-K corpus words, what
+    cumulative fraction of all token occurrences a K-word vocab covers —
+    the statistic that sizes a tokenizer's vocab. The heavy part (word
+    frequency) is one map-side-combined agg; the top-K cut is
+    TakeOrderedAndProject; only the K survivors (a driver-scale frame)
+    see the running-total window, so the single-partition window is
+    bounded by K=100 rows, never by corpus size."""
+    freq = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    freq = freq.localCheckpoint(eager=True)  # feeds total + top-k
+    tot = freq.agg(F.sum("n")).collect()[0][0]
+    top = freq.orderBy(F.desc("n"), F.asc("w")).limit(VOCAB_CURVE_K)
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "coverage",
+            F.round(F.sum("n").over(w_cum).cast("double") / F.lit(float(tot)), 6),
+        )
+        .select("rnk", "w", "n", "coverage")
+        .orderBy("rnk")
+    )
