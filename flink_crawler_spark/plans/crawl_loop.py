@@ -85,7 +85,7 @@ class CrawlConfig:
     fetchers_per_task: int = 10  # -fetcherspertask (http-mode thread pool)
     parser: str = "regex"  # BasePageParser slot: "regex" (codegen) | "tree" (HTML parser)
     trace: bool = True  # UrlLogger analogue
-    collect_stats: bool = True  # per-tick status counts (extra action/tick)
+    collect_stats: bool = True  # per-tick status counts (df.observe — rides the tick job)
     state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
 
 
@@ -372,7 +372,27 @@ def crawl(
         # localCheckpoint truncates lineage — without it the state plan
         # grows with every tick and analysis time explodes. This one job
         # also materializes the frontier/results/parsed caches above.
-        new_state = merge_updates(crawl_state, updates).localCheckpoint(eager=True)
+        merged = merge_updates(crawl_state, updates)
+        state_obs = None
+        if cfg.collect_stats:
+            # status counters ride the checkpoint job via df.observe
+            # (CollectMetrics) — the Flink-counter surface
+            # (StatusCounterFunction / DEFAULT_METRIC gauges) at zero
+            # extra actions per tick, instead of a separate
+            # groupBy+collect scan of the state
+            from pyspark.sql import Observation
+
+            from ..schemas import FETCH_STATUSES
+
+            state_obs = Observation(f"state_t{tick}")
+            merged = merged.observe(
+                state_obs,
+                *[
+                    F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                    for s in FETCH_STATUSES
+                ],
+            )
+        new_state = merged.localCheckpoint(eager=True)
         n_frontier = frontier.count()  # reads the cache the job above filled
         frontier.unpersist()
         results.unpersist()  # parsed stays cached for the final union
@@ -397,9 +417,13 @@ def crawl(
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state
         if cfg.collect_stats:
+            # metrics were collected DURING the checkpoint job above;
+            # .get is a lookup, not an action. Absent statuses (None or
+            # 0) are omitted to keep the historical groupBy dict shape.
             counts = {
-                r["status"]: r["n"]
-                for r in new_state.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+                s: int(n)
+                for s, n in state_obs.get.items()
+                if n is not None and int(n) > 0
             }
             stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
             if counts.get("UNFETCHED", 0) == 0:

@@ -34,6 +34,7 @@ from . import pipelineq  # noqa: E402,F401
 from . import pipelineq2  # noqa: E402,F401
 from . import textops2  # noqa: E402,F401
 from . import streamq2  # noqa: E402,F401
+from . import extq  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
