@@ -824,3 +824,54 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parsed_text",
         "outlinks",
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_reachability_rcte — the same BFS as a NATIVE recursive CTE
+# --------------------------------------------------------------------------
+
+# ONE dialect-shared SQL text ({part} = table name): Spark 4's WITH
+# RECURSIVE runs it natively, DuckDB runs the identical text as the
+# oracle. Third implementation of the crawl frontier fixpoint (driver
+# loop / recursive SQL / oracle) — all three must agree. Casts are
+# explicit because Spark does not widen types across the recursion
+# boundary (anchor INT vs step BIGINT is an analysis error, not a
+# coercion).
+RCTE_TMPL = f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS n FROM {{part}}),
+ids AS (SELECT p_partkey % (SELECT n FROM n) AS id FROM {{part}}),
+edges AS (
+  SELECT id AS src, (2*id+1) % (SELECT n FROM n) AS dst FROM ids
+  UNION ALL
+  SELECT id AS src, (3*id+7) % (SELECT n FROM n) AS dst FROM ids
+),
+reach(id, d) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), r.d + CAST(1 AS BIGINT)
+  FROM reach r JOIN edges e ON e.src = r.id WHERE r.d < {CRAWL_TICKS}
+),
+depths AS (SELECT id, min(d) AS depth FROM reach GROUP BY id)
+SELECT 'http://d' || CAST(id % 50 AS STRING) || '.ex' || CAST(id % 20 AS STRING)
+       || '.com/p/' || CAST(id AS STRING) AS url,
+       CASE WHEN depth < {CRAWL_TICKS} THEN 'FETCHED' ELSE 'UNFETCHED' END AS status
+FROM depths
+"""
+
+
+@register("crawl_reachability_rcte", oracle=RCTE_TMPL.format(part="part"))
+def crawl_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier fixpoint as a native Spark recursive CTE
+    (Spark 4 WITH RECURSIVE) over the same derived graph and depth limit
+    as `crawl_reachability` — the declarative twin of the driver-loop
+    iteration (the reference's Flink iteration, SURVEY §2.14). Spark
+    executes each recursion level as one distributed join against the
+    previous level; the working set here is path-bounded (single seed,
+    out-degree 2, depth 6), and at corpus scale the driver-loop form
+    with its localCheckpoint-per-tick remains the managed path."""
+    import uuid
+
+    view = "part_rcte_" + uuid.uuid4().hex[:8]
+    t(spark, sf_dir, "part").createOrReplaceTempView(view)
+    return spark.sql(RCTE_TMPL.format(part=view))
