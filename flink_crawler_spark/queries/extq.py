@@ -81,3 +81,98 @@ def trimmed_mean_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n_kept", "trimmed_sum_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# data_quality_report — constraint validation (the Deequ/dbt-test stage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'orders_rowcount' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders
+UNION ALL
+SELECT 'orders_key_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_discount_range_violations',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty_violations',
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report (the Deequ / dbt-test stage a
+    production table passes before downstream jobs trust it): row count,
+    key uniqueness, null checks, referential integrity (orphan foreign
+    keys via ANTI join), and domain/ordering rules — as one long-form
+    (metric, value) frame.
+
+    Scale shape: the single-table metrics fold into ONE aggregation pass
+    per table (no per-rule scans); the referential check is a broadcast
+    anti join against the dimension. Rules over the same table share a
+    scan via conditional aggregation, exactly how you'd run 50 rules
+    over a 100 TB table without 50 scans."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    o_metrics = orders.agg(
+        F.count(F.lit(1)).alias("orders_rowcount"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orders_key_unique"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("orders_null_custkey"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_orphan_custkey"))
+    )
+    li_metrics = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("lineitem_discount_range_violations"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias(
+            "lineitem_nonpositive_qty_violations"
+        ),
+    )
+
+    def melt(df: DataFrame, cols: list[str]) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("metric"), F.col(c).cast("long").alias("value")
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.metric", "kv.value")
+
+    return (
+        melt(o_metrics, ["orders_rowcount", "orders_key_unique", "orders_null_custkey"])
+        .unionByName(melt(orphans, ["orders_orphan_custkey"]))
+        .unionByName(
+            melt(
+                li_metrics,
+                [
+                    "lineitem_discount_range_violations",
+                    "lineitem_nonpositive_qty_violations",
+                ],
+            )
+        )
+    )
