@@ -81,8 +81,9 @@ PRIORITY_WINDOW = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "near_dup_clusters",
-    "doc_simhash",
     "ppjoin_pairs",
+    # --- validation / extension surface ---
+    "data_quality_report",
     # --- similarity family ---
     "cosine_topk_bruteforce",
     "cosine_pairs_bruteforce",
