@@ -135,19 +135,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(as_cte: bool = False) -> str:
+    """SimHash CTE chain; ``as_cte=True`` ends with an ``sh`` CTE holding
+    (doc_id, simhash) instead of the final SELECT, for queries that
+    build on the fingerprints."""
     vote_cols = ",\n         ".join(
         f"sum(((hv >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(60)
     )
     fp = " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})" for i in range(60))
-    return f"""
+    base = f"""
 toks AS (SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
 votes AS (
   SELECT doc_id,
          {vote_cols}
   FROM h GROUP BY doc_id
-)
+)"""
+    if as_cte:
+        return base + f""",
+sh AS (SELECT doc_id, {fp} AS simhash FROM votes)"""
+    return base + f"""
 SELECT doc_id, {fp} AS simhash
 FROM votes
 """
@@ -430,3 +437,75 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__jac") >= PP_T)
         .select("id_a", "id_b", F.round("__jac", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# simhash_near_dup_pairs — banded SimHash candidates + Hamming verify
+# --------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+WITH {_simhash_sql(as_cte=True).strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, the Manku et al. 2007 shape: 60-bit
+    fingerprints split into {SIMHASH_BANDS} bands of {SIMHASH_BAND_BITS}
+    bits; candidates share at least one whole band (equi-join on
+    (band_id, bucket) — never all-pairs), then exact Hamming verify with
+    bit_count(xor). Pigeonhole makes banding LOSSLESS at Hamming <=
+    {SIMHASH_HAMMING_MAX}: <= 3 differing bits cannot touch all 4
+    bands, so the brute-force oracle's pair set must be IDENTICAL —
+    proving zero false negatives, same discipline as `ppjoin_pairs`.
+
+    Scale: the band-bucket join shuffles (bucket, simhash) pairs only;
+    bucket skew caps at band-collision cardinality, and the verify is a
+    codegen'd bit op on the joined row — no second lookup join."""
+    docs = t(spark, sf_dir, "documents")
+    sh = simhash64(docs).localCheckpoint(eager=True)  # both join sides
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+    return pairs
