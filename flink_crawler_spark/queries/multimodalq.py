@@ -206,3 +206,44 @@ def media_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import arrow_byte_stats
 
     return arrow_byte_stats(media)
+
+
+# --------------------------------------------------------------------------
+# media_content_dedup — exact binary dedup + per-kind retention stats
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_content_dedup",
+    oracle=f"""
+WITH {MEDIA_SQL.strip()},
+uniq AS (
+  SELECT kind, digest, min(media_id) AS keep_id, count(*) AS n_copies
+  FROM media GROUP BY kind, digest
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_copies) AS BIGINT) AS n_total,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped,
+       min(keep_id) AS min_keep_id
+FROM uniq GROUP BY kind
+""",
+)
+def media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY column (the image/audio dedup stage of
+    a multimodal corpus): md5 the blob, keep the lowest media_id per
+    (kind, digest), report per-kind retention. Only (kind, digest, id)
+    tuples shuffle — the blobs never leave their scan partitions, which
+    is the whole point at 100 TB of media."""
+    m = _media(spark, sf_dir).select(
+        "media_id", "kind", F.md5(F.col("data")).alias("digest")
+    )
+    uniq = m.groupBy("kind", "digest").agg(
+        F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return uniq.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").alias("n_total"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dropped"),
+        F.min("keep_id").alias("min_keep_id"),
+    )
