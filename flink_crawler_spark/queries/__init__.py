@@ -58,18 +58,15 @@ PRIORITY_WINDOW = [
     "surt_cdx_lookup",           # J3 CommonCrawl CDX
     "crawl_reachability",        # §2.14 whole-topology loop
     "crawl_merge_lattice",       # §2.5 merge lattice
-    "bucketed_state_merge",      # §2.5 bucketed state table
     "frontier_topk",             # T1/§2.6 fetch-queue top-k
     "frontier_domain_quota",     # §2.5 per-domain quotas
     "domain_avg_of_avgs",        # G2/S2 domain-score feedback
     "union_outlinks_merge",      # O1-O3 unions + dedup-by-url
     "outlink_cap",               # T2/T3 outlink cap
-    "tsv_content_lines",         # P5/W3 content TSV
     "politeness_lag",            # A2/J4 politeness
-    "moving_avg_10",             # G1 windows family
-    "status_counts",             # G3 status counters
-    "revenue_by_region",         # §2.12 broadcast join
+    "rate_window_30s",           # G4 TimedCounter rate gauge (rotated in, r3)
     "new_urls_anti_join",        # §2.12 anti join
+    "trimmed_mean_price_udaf",   # §2.15 UDAF extension slot (rotated in, r3)
     # --- streaming (§2.14/J1) ---
     "stream_url_db_merge",
     "stream_window_counts",
@@ -82,6 +79,7 @@ PRIORITY_WINDOW = [
     "lsh_candidate_pairs",
     "near_dup_clusters",
     "ppjoin_pairs",
+    "simhash_near_dup_pairs",    # rotated in, r3 (r1-green; hard-verify again)
     # --- validation / extension surface ---
     "data_quality_report",
     # --- similarity family ---
@@ -100,6 +98,9 @@ PRIORITY_WINDOW = [
     "media_stats",
     "media_arrow_byte_stats",
     "video_frame_sample",
+    "media_content_dedup",       # rotated in, r3
+    # --- streaming curation ---
+    "stream_doc_dedup_stats",    # rotated in, r3
     # --- sketch family ---
     "kmv_distinct_custkey_monthly",
     "cms_heavy_hitters",

@@ -768,8 +768,8 @@ SELECT doc_id,
             WHEN 1 THEN nt
             ELSE '' END AS parsed_text,
        CASE WHEN doc_id % 3 = 0
-            THEN ['http://out.example.com/' || CAST(doc_id AS VARCHAR)]
-            ELSE [] END AS outlinks
+            THEN 'http://out.example.com/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS outlinks_joined
 FROM d
 """,
 )
@@ -816,13 +816,17 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pid % 3 == 1, "text/plain")
         .otherwise("application/octet-stream")
     )
+    # The driver's canonicalizer sorts every output column with pandas,
+    # which cannot hash/sort list cells — emit the outlink array joined
+    # to one scalar string ('|' separator). The array form stays on the
+    # pytest path (tests/test_multiformat_parse.py).
     return parsed.select(
         pid.alias("doc_id"),
         ptype.alias("content_type"),
         "parse_status",
         "title",
         "parsed_text",
-        "outlinks",
+        F.array_join("outlinks", "|").alias("outlinks_joined"),
     )
 
 

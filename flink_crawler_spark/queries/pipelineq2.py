@@ -59,9 +59,9 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, source, n_tokens,
-       coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         AS cum_before,
+            AS BIGINT) AS cum_before,
        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          < {SOURCE_TOKEN_BUDGET} AS selected
@@ -117,16 +117,16 @@ WITH d AS (
 ),
 o AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS tok_offset
+              AS BIGINT) AS tok_offset
   FROM d WHERE n_tokens > 0
 )
 SELECT doc_id, n_tokens, tok_offset,
-       tok_offset // {SEQ_LEN} AS start_seq,
-       (tok_offset + n_tokens - 1) // {SEQ_LEN} AS end_seq,
-       (tok_offset + n_tokens - 1) // {SEQ_LEN} - tok_offset // {SEQ_LEN} + 1
-         AS n_seqs
+       CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((tok_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_seq,
+       CAST((tok_offset + n_tokens - 1) // {SEQ_LEN}
+            - tok_offset // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
 FROM o
 """,
 )
@@ -219,7 +219,7 @@ marked AS (
 per_doc AS (
   SELECT doc_id,
          count(*) AS n_segs,
-         sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_boiler,
+         CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
          md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END, ' '
                                  ORDER BY s), '')) AS kept_md5
   FROM marked GROUP BY doc_id
@@ -375,7 +375,7 @@ WITH d AS (
 SELECT coalesce(source, 'ALL') AS source,
        coalesce(lang, 'ALL') AS lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        count(DISTINCT digest) AS n_unique,
        round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
          AS dup_rate

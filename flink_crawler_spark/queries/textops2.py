@@ -19,7 +19,11 @@ from .base import register, t
 # tokenization — Java (Spark) and RE2-Perl (DuckDB) both use
 # leftmost-first alternation, so the engines agree token-for-token
 # (parity spot-checked on contraction/punct/double-space edge cases).
-PRETOK_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|'| ?\s+"
+# Whitespace is an EXPLICIT char class, not \s: Java's \s includes \x0B
+# (vertical tab) while RE2's does not, so \s would tokenize VT-bearing
+# text differently per engine and break the stream_md5 oracle.
+_WS = r" \t\n\f\r"
+PRETOK_RE = rf"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS}']+|'| ?[{_WS}]+"
 _PRETOK_SQL = PRETOK_RE.replace("'", "''")
 _SEP = chr(31)  # unit separator; cannot occur inside any token class
 
@@ -37,7 +41,7 @@ SELECT doc_id,
             AS BIGINT) AS n_word,
        CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?[0-9]+')))
             AS BIGINT) AS n_num,
-       CAST(len(list_filter(toks, x -> regexp_full_match(x, '\\s+')))
+       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[{_WS}]+')))
             AS BIGINT) AS n_ws,
        md5(coalesce(list_aggregate(toks, 'string_agg', chr(31)), ''))
          AS stream_md5
@@ -65,7 +69,7 @@ def doc_bpe_pretoken(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_pretokens"),
         n_matching(" ?[a-z]+").alias("n_word"),
         n_matching(" ?[0-9]+").alias("n_num"),
-        n_matching(r"\s+").alias("n_ws"),
+        n_matching(f"[{_WS}]+").alias("n_ws"),
         F.md5(F.encode(F.concat_ws(_SEP, F.col("toks")), "UTF-8")).alias("stream_md5"),
     )
 

@@ -22,8 +22,13 @@ def test_mix_budget_greedy_prefix(spark, sf_dir):
     by_src: dict[str, list] = {}
     for r in rows:
         by_src.setdefault(r.source, []).append(r)
+    import hashlib
+
     for src, rs in by_src.items():
-        rs.sort(key=lambda r: r.cum_before)
+        # sort by the query's own (md5(doc_id), doc_id) rank key —
+        # cum_before alone ties on zero-token docs and a tie-broken
+        # interleave would spuriously fail the running-sum assert
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
         # selection is a prefix of the md5 order: once over budget, never
         # selected again
         seen_unselected = False
