@@ -86,7 +86,22 @@ def mock_fetch(
 
     ``pages``: (page_url, page_score, html). Returns FETCH_RESULT_SCHEMA
     rows: FETCHED with content on hit, HTTP_NOT_FOUND on miss.
+
+    Optional fixture columns (both default to the UTF-8 html rendering):
+    ``content`` (binary) serves raw bytes as-is — how charset tests put
+    a Latin-1/Shift-JIS page on the wire — and ``content_type`` carries
+    a per-page header (e.g. 'text/html; charset=ISO-8859-1').
     """
+    content = (
+        pages["content"]
+        if "content" in pages.columns
+        else F.encode(F.col("html"), "UTF-8")
+    )
+    ctype = (
+        pages["content_type"]
+        if "content_type" in pages.columns
+        else F.lit("text/html")
+    )
     j = frontier.join(pages, frontier["url"] == pages["page_url"], "left")
     hit = F.col("page_url").isNotNull()
     return j.select(
@@ -95,9 +110,9 @@ def mock_fetch(
         F.when(hit, "FETCHED").otherwise("HTTP_NOT_FOUND").alias("status"),
         F.coalesce(F.col("fetch_time"), F.lit(now_ms)).alias("status_time"),
         frontier["url"].alias("fetched_url"),
-        F.create_map(F.lit("content-type"), F.array(F.lit("text/html"))).alias("headers"),
-        F.when(hit, F.encode(F.col("html"), "UTF-8")).alias("content"),
-        F.when(hit, F.lit("text/html")).alias("content_type"),
+        F.create_map(F.lit("content-type"), F.array(ctype)).alias("headers"),
+        F.when(hit, content).alias("content"),
+        F.when(hit, ctype).alias("content_type"),
         F.lit(100_000).alias("response_rate"),
         (F.coalesce(F.col("fetch_time"), F.lit(now_ms)) + F.lit(refetch_interval_ms)).alias(
             "next_fetch_time"
@@ -108,10 +123,10 @@ def mock_fetch(
 def mime_filter(results: DataFrame, allowed: tuple[str, ...] = ("text/html",)) -> DataFrame:
     """-htmlonly (CrawlTool.java:94-101): fetched pages with a mime type
     outside the allowed set become ABORTED_INVALID_MIMETYPE and their
-    content is dropped before the (expensive) parse stage."""
-    bad = (F.col("status") == "FETCHED") & ~F.coalesce(
-        F.col("content_type"), F.lit("")
-    ).isin(*allowed)
+    content is dropped before the (expensive) parse stage. Compares the
+    base type only — 'text/html; charset=ISO-8859-1' is still html."""
+    base = F.trim(F.split(F.coalesce(F.col("content_type"), F.lit("")), ";")[0])
+    bad = (F.col("status") == "FETCHED") & ~base.isin(*allowed)
     flagged = results.withColumn("__bad_mime", bad)
     return flagged.withColumn(
         "status", F.when(F.col("__bad_mime"), "ABORTED_INVALID_MIMETYPE").otherwise(F.col("status"))

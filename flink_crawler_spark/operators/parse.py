@@ -64,9 +64,20 @@ def parse_pages(
     Only FETCHED rows with content parse (ParseFunction.java:61-65 —
     non-FETCHED short-circuits *before* the expensive stage).
     """
+    from ..functions.charset import decode_expr, page_language_expr
+
+    ctype = (
+        F.col("content_type") if "content_type" in fetch_results.columns else None
+    )
     fetched = fetch_results.filter(
         (F.col("status") == "FETCHED") & F.col("content").isNotNull()
-    ).withColumn("__text", F.decode(F.col("content"), "UTF-8"))
+    ).withColumn(
+        # charset-aware decode (BOM -> header -> meta -> sniff); the old
+        # F.decode(content, 'UTF-8') crashed the stage on the first
+        # non-UTF-8 page (MALFORMED_CHARACTER_CODING)
+        "__text",
+        decode_expr(F.col("content"), ctype),
+    )
 
     title = F.regexp_extract(F.col("__text"), TITLE_RE, 1)
     nofollow = F.col("__text").rlike(NOFOLLOW_RE)
@@ -78,16 +89,17 @@ def parse_pages(
         F.regexp_replace(F.regexp_replace(F.col("__text"), TAG_RE, " "), r"\s+", " ")
     )
 
-    from ..functions.text import lang_id_expr
-
+    headers = F.col("headers") if "headers" in fetch_results.columns else None
     return fetched.select(
         "url",
         "pld",
         title.alias("title"),
         body_text.alias("parsed_text"),
-        # n-gram/stopword language id (TikaCallable.java:241-269 slot —
-        # headers/meta first in a full impl, profile detection here)
-        lang_id_expr(body_text).alias("language"),
+        # language priority: Content-Language header -> <meta http-equiv>
+        # -> stopword profiler (TikaCallable.java:241-269)
+        page_language_expr(body_text, html=F.col("__text"), headers=headers).alias(
+            "language"
+        ),
         scorer().alias("score"),
         outlinks.alias("outlinks"),
         F.size(outlinks).alias("n_outlinks"),
@@ -313,12 +325,35 @@ def parse_pages_html(
     fields the regex path cannot carry. Language id and scoring stay
     JVM-side over the extracted text, identical to the fast path.
     """
+    from ..functions.charset import decode_bytes, header_lang_expr, page_language_expr
+
+    ctype = (
+        F.col("content_type")
+        if "content_type" in fetch_results.columns
+        else F.lit(None).cast("string")
+    )
+    # header language resolves JVM-side BEFORE the pandas stage and rides
+    # through it as a scalar column (the headers map itself need not cross
+    # the Arrow boundary)
+    hlang = (
+        header_lang_expr(F.col("headers"))
+        if "headers" in fetch_results.columns
+        else F.lit(None).cast("string")
+    )
     fetched = fetch_results.filter(
         (F.col("status") == "FETCHED") & F.col("content").isNotNull()
-    ).select("url", "pld", "content", "status_time")
+    ).select(
+        "url",
+        "pld",
+        "content",
+        ctype.alias("content_type"),
+        hlang.alias("header_lang"),
+        "status_time",
+    )
 
     out_schema = (
-        "url string, pld string, status_time long, __text string, title string, "
+        "url string, pld string, status_time long, header_lang string, "
+        "__text string, title string, "
         "parsed_text string, outlinks array<string>, "
         "outlink_details array<struct<url:string,anchor_text:string,rel:string>>"
     )
@@ -328,8 +363,8 @@ def parse_pages_html(
             rows = []
             for r in pdf.itertuples(index=False):
                 html = (
-                    r.content.decode("utf-8", "replace")
-                    if isinstance(r.content, (bytes, bytearray))
+                    decode_bytes(bytes(r.content), r.content_type)
+                    if isinstance(r.content, (bytes, bytearray, memoryview))
                     else str(r.content)
                 )
                 d = _parse_html_doc(r.url, html, max_outlinks)
@@ -338,6 +373,7 @@ def parse_pages_html(
                         "url": r.url,
                         "pld": r.pld,
                         "status_time": r.status_time,
+                        "header_lang": r.header_lang,
                         "__text": html,
                         "title": d["title"],
                         "parsed_text": d["parsed_text"],
@@ -348,20 +384,24 @@ def parse_pages_html(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "pld", "status_time", "__text", "title",
+                    "url", "pld", "status_time", "header_lang", "__text", "title",
                     "parsed_text", "outlinks", "outlink_details",
                 ],
             )
 
     parsed = fetched.mapInPandas(run, out_schema)
-    from ..functions.text import lang_id_expr
 
     return parsed.select(
         "url",
         "pld",
         "title",
         "parsed_text",
-        lang_id_expr(F.col("parsed_text")).alias("language"),
+        # header -> meta -> profiler (TikaCallable.java:241-269); header
+        # lang was resolved pre-stage, meta comes from the decoded html
+        F.coalesce(
+            F.col("header_lang"),
+            page_language_expr(F.col("parsed_text"), html=F.col("__text")),
+        ).alias("language"),
         scorer().alias("score"),
         "outlinks",
         F.size("outlinks").alias("n_outlinks"),
@@ -412,19 +452,21 @@ def _extract_pdf_text(data: bytes) -> str:
 
 def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: int):
     """(title, parsed_text, outlinks) for one document, by content type."""
+    from ..functions.charset import decode_bytes
+
     ctype = (content_type or "").split(";")[0].strip().lower()
     if ctype in ("text/html", "application/xhtml+xml"):
-        html = content.decode("utf-8", "replace")
+        html = decode_bytes(content, content_type)
         d = _parse_html_doc(url, html, max_outlinks)
         return d["title"], d["parsed_text"], d["outlinks"]
     if ctype in ("text/plain",):
-        return "", " ".join(content.decode("utf-8", "replace").split()), []
+        return "", " ".join(decode_bytes(content, content_type).split()), []
     if ctype in ("application/pdf",):
         return "", _extract_pdf_text(content), []
     if ctype in ("text/xml", "application/xml"):
         import re as _re
 
-        txt = content.decode("utf-8", "replace")
+        txt = decode_bytes(content, content_type)
         return "", " ".join(_re.sub(TAG_RE, " ", txt).split()), []
     raise _UnsupportedType(ctype)
 

@@ -87,3 +87,24 @@ def test_resize_stub_plumbing(spark):
         assert len(bytes(r["data"])) >= 1
     # media 0: 64x48 meta -> ratio 64*48/48 = 64 -> 16 bytes stride-64 -> 1 byte
     assert len(bytes(out[0]["data"])) == 1
+
+
+def test_arrow_byte_stats_empty_blob_guard(spark):
+    """An empty blob must yield n_bytes=0, byte_sum=0, NULL first/last —
+    not a read of the NEIGHBOUR blob's bytes through the shared Arrow
+    value buffer (offsets collapse to starts == ends)."""
+    from flink_crawler_spark.operators.multimodal import arrow_byte_stats
+
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "cd")], ["doc_id", "text"]
+    )
+    media = synthesize_media(docs).coalesce(1)  # one batch: adjacency is real
+    out = {r["media_id"]: r for r in arrow_byte_stats(media).collect()}
+    assert out[1]["n_bytes"] == 0 and out[1]["byte_sum"] == 0
+    assert out[1]["first_byte"] is None and out[1]["last_byte"] is None
+    assert out[0]["first_byte"] == ord("a") and out[0]["last_byte"] == ord("b")
+    assert out[2]["first_byte"] == ord("c") and out[2]["last_byte"] == ord("d")
+    # all-empty batch: value buffer has zero length
+    empty_docs = spark.createDataFrame([(7, "")], ["doc_id", "text"])
+    r = arrow_byte_stats(synthesize_media(empty_docs)).collect()[0]
+    assert r["n_bytes"] == 0 and r["first_byte"] is None

@@ -284,3 +284,28 @@ def test_tsv_content_stream_sink(spark, sf_dir):
     assert not glob.glob(os.path.join(out, ".tmp-*"))
     n = sum(1 for p in parts for _ in open(p))
     assert n == spark.read.parquet(src).count()
+
+
+def test_tsv_sink_sweeps_orphan_tmp(spark):
+    """A stray .tmp-* from a failed/speculative attempt whose commit
+    message never reached the driver is removed by commit() — the sink
+    leaves no invisible garbage behind (sources/tsv_sink.py commit)."""
+    import glob
+    import os
+    import tempfile
+
+    from flink_crawler_spark.sources.tsv_sink import TsvContentSink
+
+    spark.dataSource.register(TsvContentSink)
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_tsv_orphan_"), "content")
+    os.makedirs(out)
+    orphan = os.path.join(out, ".tmp-deadbeefdeadbeef")
+    with open(orphan, "w") as fh:
+        fh.write("stale attempt\n")
+    df = spark.createDataFrame([("http://a.com/1", "x")], "url string, text string")
+    df.write.format("tsv_content").option("path", out).mode("append").save()
+    assert not os.path.exists(orphan)
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.option("sep", "\t").csv(out).toDF("url", "text").collect()
+    assert len(back) == 1 and back[0]["url"] == "http://a.com/1"
