@@ -30,7 +30,7 @@ def select_frontier(
     crawl_state: DataFrame,
     *,
     now_ms: int,
-    max_queue_size: int = 10_000,
+    max_queue_size: int | None = 10_000,
     min_fetch_score: float = 0.0,
     max_per_domain: int = 100,
 ) -> DataFrame:
@@ -38,6 +38,13 @@ def select_frontier(
 
     ``max_per_domain`` mirrors MAX_IN_FLIGHT_URLS=100
     (``UrlDBFunction.java:54``): the per-tick in-flight cap per domain.
+
+    ``max_queue_size=None`` disables the global top-k entirely. This is
+    not just a semantic switch: the limit compiles to a single-partition
+    TakeOrderedAndProject, so downstream per-PLD stages (politeness
+    windows) must re-shuffle back to pld. Unbounded mode keeps the frame
+    pld-partitioned end-to-end — one exchange for the whole admission +
+    politeness pipeline.
     """
     eligible = crawl_state.filter(
         (F.col("status") == "UNFETCHED")
@@ -50,6 +57,8 @@ def select_frontier(
         .filter(F.col("rn") <= F.lit(max_per_domain))
         .drop("rn")
     )
+    if max_queue_size is None:
+        return capped
     return capped.orderBy(F.col("score").desc(), F.col("url").asc()).limit(max_queue_size)
 
 

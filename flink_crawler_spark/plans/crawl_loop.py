@@ -67,7 +67,7 @@ class CrawlConfig:
 
     max_ticks: int = 10
     max_duration_sec: float = 300.0
-    max_queue_size: int = 10_000  # CTB:98 FetchQueue capacity
+    max_queue_size: int | None = 10_000  # CTB:98 FetchQueue capacity; None = unbounded (skips the global top-k stage)
     max_per_domain: int = 100  # UrlDBFunction.java:54 MAX_IN_FLIGHT_URLS
     min_fetch_score: float = 0.0  # focused-crawl threshold
     default_crawl_delay_ms: int = 10_000  # CTB:93
@@ -155,6 +155,56 @@ def crawl(
     identical, exactly like swapping BaseHttpFetcherBuilder in the
     reference.
     """
+    # Tick frames are small relative to the cluster: let AQE coalesce
+    # post-shuffle partitions by SIZE instead of stopping at default
+    # parallelism (parallelismFirst). Otherwise every per-tick stage
+    # carries a full complement of near-empty tasks and the loop pays
+    # ~cores x ticks of pure scheduling overhead. Scoped to the loop and
+    # restored on exit; at 100 TB size-based coalescing is also the
+    # right call (partitions track the 64 MB advisory size).
+    loop_confs = {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m",
+    }
+    saved = {}
+    for k, v in loop_confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        return _crawl_body(
+            spark,
+            seeds,
+            pages=pages,
+            robots_rules=robots_rules,
+            sitemap_entries=sitemap_entries,
+            redirects=redirects,
+            config=config,
+            scorer=scorer,
+            start_ms=start_ms,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _crawl_body(
+    spark: SparkSession,
+    seeds: DataFrame,
+    *,
+    pages: DataFrame,
+    robots_rules: DataFrame | None,
+    sitemap_entries: DataFrame | None,
+    redirects: DataFrame | None,
+    config: CrawlConfig | None,
+    scorer: PageScorer,
+    start_ms: int,
+) -> CrawlResult:
     cfg = config or CrawlConfig()
     # the mock-web join hits `pages` every tick — cache it once instead of
     # re-deriving the fixture (scan + render) per tick; materialized by
@@ -337,14 +387,24 @@ def crawl(
             from ..operators.parse import parse_pages_html as _parse_fn
         else:
             _parse_fn = parse_pages
-        parsed = _parse_fn(results, scorer=scorer, max_outlinks=cfg.max_outlinks).persist()
-        record(tick, "parsed", parsed)
+        parsed = _parse_fn(results, scorer=scorer, max_outlinks=cfg.max_outlinks)
+        # Hot path: the tick job only consumes (url, pld, score, outlinks)
+        # — persist that PRUNED projection so Catalyst never computes
+        # language/title/parsed_text inside the loop (the profiler + body
+        # regexes are the widest expressions in the tick; persisting the
+        # full frame forced them eagerly and dominated per-tick latency).
+        # parsed_output keeps the full lazy plan: it recomputes from the
+        # deterministic fixture only if the caller reads res.parsed.
+        parsed_slim = parsed.select(
+            "url", "pld", "score", "outlinks", "n_outlinks"
+        ).persist()
+        record(tick, "parsed", parsed_slim)
         parsed_frames.append(parsed_output(parsed))
-        outlinks = outlink_output(parsed)
+        outlinks = outlink_output(parsed_slim)
         # G1 feedback: per-page domain scores enter the moving-average
         # history that drives next tick's quotas (CTB:419-423 loop)
         domain_score_hist.append(
-            domain_score_output(parsed).withColumn("seq", F.lit(tick).cast("long"))
+            domain_score_output(parsed_slim).withColumn("seq", F.lit(tick).cast("long"))
         )
 
         # U2: sitemap entries — robots-advertised sitemaps resolve on the
@@ -395,7 +455,11 @@ def crawl(
         new_state = merged.localCheckpoint(eager=True)
         n_frontier = frontier.count()  # reads the cache the job above filled
         frontier.unpersist()
-        results.unpersist()  # parsed stays cached for the final union
+        results.unpersist()
+        if cfg.domain_score_budget is None:
+            # nothing reads it after the tick job; with quotas the
+            # moving-average history re-reads it on every later tick
+            parsed_slim.unpersist()
         if n_frontier == 0:
             # terminal tick: updates were empty, so new_state == crawl_state
             # (singleton merge groups are identity); stop like the

@@ -108,7 +108,7 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.createDataFrame([("http://d1.ex1.com/p/1", 1.0)], ["url", "score"])
     cfg = CrawlConfig(
         max_ticks=CRAWL_TICKS,
-        max_queue_size=10_000_000,
+        max_queue_size=None,  # unbounded: skips the single-partition top-k stage
         max_per_domain=10_000_000,
         force_crawl_delay_ms=0,
         trace=False,
