@@ -107,6 +107,41 @@ def parse_pages(
     )
 
 
+def parse_outlinks_slim(
+    fetch_results: DataFrame,
+    *,
+    scorer: PageScorer = all_equal_scorer,
+    max_outlinks: int = MAX_OUTLINKS_PER_PAGE,
+) -> DataFrame:
+    """Outlink-only parse projection for the crawl tick's hot path:
+    builds ONLY the expressions the state merge consumes (href extract,
+    nofollow gate, score). The full ``parse_pages`` tree carries the
+    language profiler and body-text regexes, and even though Catalyst
+    prunes them out of the executed tick plan, the driver still pays
+    their analysis/optimization every tick — with ~6 ticks per crawl
+    that is a measurable share of single-shot loop latency."""
+    from ..functions.charset import decode_expr
+
+    ctype = (
+        F.col("content_type") if "content_type" in fetch_results.columns else None
+    )
+    fetched = fetch_results.filter(
+        (F.col("status") == "FETCHED") & F.col("content").isNotNull()
+    ).withColumn("__text", decode_expr(F.col("content"), ctype))
+    nofollow = F.col("__text").rlike(NOFOLLOW_RE)
+    raw_links = F.regexp_extract_all(F.col("__text"), F.lit(HREF_RE), F.lit(1))
+    outlinks = F.when(nofollow, F.array().cast("array<string>")).otherwise(
+        F.slice(F.array_distinct(raw_links), 1, max_outlinks)
+    )
+    return fetched.select(
+        "url",
+        "pld",
+        scorer().alias("score"),
+        outlinks.alias("outlinks"),
+        F.size(outlinks).alias("n_outlinks"),
+    )
+
+
 def parsed_output(parsed: DataFrame) -> DataFrame:
     """Main ParsedUrl output — only pages with score > 0
     (zero-score content gate, ParseFunction.java:92-96)."""
@@ -200,6 +235,42 @@ def parse_sitemaps(fetch_results: DataFrame, sitemap_entries: DataFrame) -> Data
         .select(F.col("entry_url").alias("url"), F.lit(1.0).alias("score"))
         .distinct()
     )
+
+
+def sitemap_fetch_status(
+    sitemap_urls: DataFrame, sitemap_entries: DataFrame, *, now_ms: int
+) -> DataFrame:
+    """Fetch status for advertised sitemap URLs under table-backed
+    fetching: a sitemap that resolves to at least one entry is FETCHED,
+    one with no entries is HTTP_NOT_FOUND — the mock-web analogue of the
+    sitemap fetcher's success/failure split."""
+    hit = (
+        sitemap_entries.select(F.col("sitemap_url").alias("url")).distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    from ..functions.urls import pld_expr
+
+    return (
+        sitemap_urls.select("url").distinct()
+        .join(hit, "url", "left")
+        .select(
+            "url",
+            pld_expr(F.col("url")).alias("pld"),
+            F.when(F.col("__hit"), "FETCHED").otherwise("HTTP_NOT_FOUND").alias("status"),
+            F.lit(now_ms).alias("status_time"),
+        )
+    )
+
+
+def failed_sitemaps(sitemap_statuses: DataFrame) -> DataFrame:
+    """F4 HandleFailedSiteMapFunction
+    (``functions/HandleFailedSiteMapFunction.java:21-30``): the reference
+    passes every sitemap CrawlStateUrl through unchanged and LOGS the
+    non-FETCHED ones. Spark-first, the log is a side OUTPUT — the failed
+    rows as their own frame (callers keep using the input for the
+    pass-through half), which the crawl loop records into its URL trace
+    exactly like the reference's UrlLogger."""
+    return sitemap_statuses.filter(F.col("status") != "FETCHED")
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,11 @@ class CrawlConfig:
     fetch_timeout_sec: float = 100.0  # -timeout (http mode)
     fetchers_per_task: int = 10  # -fetcherspertask (http-mode thread pool)
     parser: str = "regex"  # BasePageParser slot: "regex" (codegen) | "tree" (HTML parser)
+    codegen: bool = False  # janino codegen inside the loop. Off by default:
+    # per-tick literals (now_ms) are inlined into generated sources, so every
+    # tick misses the codegen cache and pays a fresh compile — more than the
+    # interpreted eval costs on a bounded frontier batch. Flip on for crawls
+    # whose per-tick batches reach millions of URLs.
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (df.observe — rides the tick job)
     state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
@@ -162,10 +167,15 @@ def crawl(
     # ~cores x ticks of pure scheduling overhead. Scoped to the loop and
     # restored on exit; at 100 TB size-based coalescing is also the
     # right call (partitions track the 64 MB advisory size).
+    cfg = config or CrawlConfig()
     loop_confs = {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m",
     }
+    if not cfg.codegen:
+        # interpreted expression eval for the tick jobs (see CrawlConfig.codegen)
+        loop_confs["spark.sql.codegen.wholeStage"] = "false"
+        loop_confs["spark.sql.codegen.factoryMode"] = "NO_CODEGEN"
     saved = {}
     for k, v in loop_confs.items():
         try:
@@ -274,10 +284,22 @@ def _crawl_body(
     # table-backed sitemaps, fetch+parse collapses to one join.
     robots_sitemap_entries = None
     if not empty_rules and sitemap_entries is not None:
+        from ..operators.parse import failed_sitemaps, sitemap_fetch_status
+
         sm_urls = robots_sitemap_urls(robots_rules)
         robots_sitemap_entries = sm_urls.join(
             sitemap_entries, sm_urls["url"] == sitemap_entries["sitemap_url"]
         ).select(F.col("entry_url").alias("url"), F.lit(1.0).alias("score"))
+        # F4 HandleFailedSiteMapFunction: advertised sitemaps that fetch
+        # nothing surface in the URL trace (the reference LOGS them and
+        # passes through; the pass-through half is robots_sitemap_entries)
+        record(
+            0,
+            "sitemap_failed",
+            failed_sitemaps(
+                sitemap_fetch_status(sm_urls, sitemap_entries, now_ms=now_ms)
+            ),
+        )
 
     deadline = time.time() + cfg.max_duration_sec
     tick = start_tick
@@ -389,15 +411,21 @@ def _crawl_body(
             _parse_fn = parse_pages
         parsed = _parse_fn(results, scorer=scorer, max_outlinks=cfg.max_outlinks)
         # Hot path: the tick job only consumes (url, pld, score, outlinks)
-        # — persist that PRUNED projection so Catalyst never computes
-        # language/title/parsed_text inside the loop (the profiler + body
-        # regexes are the widest expressions in the tick; persisting the
-        # full frame forced them eagerly and dominated per-tick latency).
-        # parsed_output keeps the full lazy plan: it recomputes from the
-        # deterministic fixture only if the caller reads res.parsed.
-        parsed_slim = parsed.select(
-            "url", "pld", "score", "outlinks", "n_outlinks"
-        ).persist()
+        # — persist a PRUNED projection so the language profiler and
+        # title/body-text regexes never compute (or even analyze, in the
+        # regex-parser mode) inside the loop. parsed_output keeps the
+        # full lazy plan: it recomputes from the deterministic fixture
+        # only if the caller reads res.parsed.
+        if cfg.parser == "tree":
+            parsed_slim = parsed.select(
+                "url", "pld", "score", "outlinks", "n_outlinks"
+            ).persist()
+        else:
+            from ..operators.parse import parse_outlinks_slim
+
+            parsed_slim = parse_outlinks_slim(
+                results, scorer=scorer, max_outlinks=cfg.max_outlinks
+            ).persist()
         record(tick, "parsed", parsed_slim)
         parsed_frames.append(parsed_output(parsed))
         outlinks = outlink_output(parsed_slim)

@@ -879,3 +879,51 @@ def crawl_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "part_rcte_" + uuid.uuid4().hex[:8]
     t(spark, sf_dir, "part").createOrReplaceTempView(view)
     return spark.sql(RCTE_TMPL.format(part=view))
+
+
+# ---------------------------------------------------------------------------
+# F4: HandleFailedSiteMapFunction — failed-sitemap side output
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sitemap_failed_report",
+    oracle="""
+WITH adv AS (
+  SELECT DISTINCT 'http://s' || CAST(c_custkey % 40 AS VARCHAR) || '.com/sitemap.xml' AS url,
+         's' || CAST(c_custkey % 40 AS VARCHAR) || '.com' AS pld
+  FROM customer
+),
+hit AS (
+  SELECT DISTINCT 'http://s' || CAST(o_custkey % 20 AS VARCHAR) || '.com/sitemap.xml' AS url
+  FROM orders
+)
+SELECT a.url, a.pld, 'HTTP_NOT_FOUND' AS status
+FROM adv a LEFT JOIN hit h USING (url)
+WHERE h.url IS NULL
+""",
+)
+def sitemap_failed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 HandleFailedSiteMapFunction parity
+    (functions/HandleFailedSiteMapFunction.java:21-30): advertised
+    sitemaps that fetch nothing surface as a failure side output (the
+    reference logs them and passes everything through). 40 hosts
+    advertise a sitemap (customer-derived); only 20 have entries
+    (orders-derived) — the other 20 report HTTP_NOT_FOUND through the
+    real sitemap_fetch_status + failed_sitemaps operators."""
+    from ..operators.parse import failed_sitemaps, sitemap_fetch_status
+
+    cust = t(spark, sf_dir, "customer")
+    adv = cust.select(
+        F.concat(
+            F.lit("http://s"), (F.col("c_custkey") % 40).cast("string"), F.lit(".com/sitemap.xml")
+        ).alias("url")
+    )
+    od = t(spark, sf_dir, "orders")
+    entries = od.select(
+        F.concat(
+            F.lit("http://s"), (F.col("o_custkey") % 20).cast("string"), F.lit(".com/sitemap.xml")
+        ).alias("sitemap_url")
+    )
+    statuses = sitemap_fetch_status(adv, entries, now_ms=0)
+    return failed_sitemaps(statuses).select("url", "pld", "status")

@@ -262,3 +262,37 @@ def test_max_content_size_truncates(spark, simple_graph):
     # with full bodies the broad-crawl test reaches page1; a 10-byte body
     # has no <a href> left to extract
     assert D("domain1.com", "page1") not in st
+
+
+def test_failed_sitemap_surfaces_in_trace(spark, simple_graph):
+    """F4 HandleFailedSiteMapFunction: an advertised sitemap with no
+    entries is logged as a failure side output (operator
+    'sitemap_failed') while the good sitemap still passes through."""
+    robots = robots_table(
+        spark,
+        {
+            "http://domain1.com/robots.txt": (
+                "User-agent: *\n"
+                "Sitemap: http://domain1.com/sitemap.xml\n"
+                "Sitemap: http://domain1.com/missing-sitemap.xml"
+            )
+        },
+    )
+    rules = parse_robots_rules(robots)
+    sitemap = sitemaps_table(
+        spark,
+        {"http://domain1.com/sitemap.xml": [D("domain2.com", "deep")]},
+    )
+    seeds = spark.createDataFrame([(D("domain1.com", "page2"), 1.0)], ["url", "score"])
+    res = crawl(
+        spark,
+        seeds,
+        pages=simple_graph,
+        robots_rules=rules,
+        sitemap_entries=sitemap,
+        config=CrawlConfig(max_ticks=8),
+    )
+    failed = traced(res, "sitemap_failed")
+    assert failed == {"http://domain1.com/missing-sitemap.xml"}
+    # the healthy sitemap's entries still reach the URL DB (pass-through)
+    assert D("domain2.com", "deep") in traced(res, "sitemap_entries")
