@@ -32,6 +32,7 @@ from . import sqlbreadth  # noqa: E402,F401
 from . import sourcesq  # noqa: E402,F401
 from . import pipelineq  # noqa: E402,F401
 from . import pipelineq2  # noqa: E402,F401
+from . import pipelineq3  # noqa: E402,F401
 from . import textops2  # noqa: E402,F401
 from . import streamq2  # noqa: E402,F401
 from . import extq  # noqa: E402,F401

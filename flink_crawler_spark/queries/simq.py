@@ -266,14 +266,16 @@ def _km_dist_sql(x: str, c: str) -> str:
     )
 
 
-def _km_oracle() -> str:
+def _km_a2_ctes() -> str:
+    """The 2-round Lloyd's CTE chain up to the final assignment ``a2``
+    — shared by the k-means oracles here and the SemDeDup oracle in
+    pipelineq3 (same clustering, different consumer)."""
     c0_cols = ", ".join(f"CAST(embedding[{d}] AS DOUBLE) AS c{d}" for d in range(1, DIM + 1))
     mean_cols = ", ".join(
         f"CAST(sum(CAST(round(x.x{d}, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS c{d}"
         for d in range(1, DIM + 1)
     )
-    return f"""
-WITH x AS (SELECT vec_id, {_km_xcols('embedding')} FROM embeddings),
+    return f"""x AS (SELECT vec_id, {_km_xcols('embedding')} FROM embeddings),
 c0 AS (SELECT vec_id AS cid, {c0_cols} FROM embeddings WHERE vec_id < {KM_K}),
 d1 AS (SELECT x.vec_id, c.cid, {_km_dist_sql('x', 'c')} AS dist
        FROM x CROSS JOIN c0 c),
@@ -288,7 +290,12 @@ d2 AS (SELECT x.vec_id, c.cid, {_km_dist_sql('x', 'c')} AS dist
 a2 AS (SELECT vec_id, cid, dist FROM (
          SELECT vec_id, cid, dist,
                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         FROM d2) r WHERE rn = 1)
+         FROM d2) r WHERE rn = 1)"""
+
+
+def _km_oracle() -> str:
+    return f"""
+WITH {_km_a2_ctes()}
 SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
        CAST(sum(CAST(round(dist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia
 FROM a2 GROUP BY cid
