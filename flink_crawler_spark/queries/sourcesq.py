@@ -176,3 +176,58 @@ def partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "warc_sink_source_roundtrip",
+    oracle="""
+SELECT 'http://w' || CAST(o_custkey % 25 AS VARCHAR) || '.com/o/' || CAST(o_orderkey AS VARCHAR)
+         AS url,
+       CAST(length('order ' || CAST(o_orderkey AS VARCHAR) || ' priority ' || o_orderpriority)
+            AS BIGINT) AS n_bytes,
+       md5('order ' || CAST(o_orderkey AS VARCHAR) || ' priority ' || o_orderpriority)
+         AS body_md5
+FROM orders
+""",
+)
+def warc_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 both directions: orders-derived pages -> WARC records
+    (operators/warc.py codegen'd record expr) -> gzip segment files ->
+    read back through the custom WARC DataSource reader
+    (sources/warc_datasource.py, one partition per segment). The decoded
+    payloads must reproduce every body byte (md5) and length exactly;
+    warcinfo header records are filtered out by WARC-Type, proving the
+    reader separates record types."""
+    from ..operators.warc import build_warc_records, write_warc
+    from ..sources.warc_datasource import WarcDataSource
+
+    od = t(spark, sf_dir, "orders")
+    body = F.concat(
+        F.lit("order "), F.col("o_orderkey").cast("string"),
+        F.lit(" priority "), F.col("o_orderpriority"),
+    )
+    fetch_rows = od.select(
+        F.concat(
+            F.lit("http://w"), (F.col("o_custkey") % 25).cast("string"),
+            F.lit(".com/o/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.lit("FETCHED").alias("status"),
+        F.lit(0).cast("long").alias("status_time"),
+        F.encode(body, "UTF-8").alias("content"),
+        F.lit("text/plain").alias("content_type"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="fcs_warc_rt_"), "segments")
+    write_warc(build_warc_records(fetch_rows), out, timestamp_ms=0)
+
+    spark.dataSource.register(WarcDataSource)
+    back = (
+        spark.read.format("warc")
+        .option("path", out)
+        .option("warc_types", "resource")
+        .load()
+    )
+    return back.select(
+        F.col("target_uri").alias("url"),
+        F.col("content_length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("body_md5"),
+    )

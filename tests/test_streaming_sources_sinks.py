@@ -309,3 +309,52 @@ def test_tsv_sink_sweeps_orphan_tmp(spark):
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     back = spark.read.option("sep", "\t").csv(out).toDF("url", "text").collect()
     assert len(back) == 1 and back[0]["url"] == "http://a.com/1"
+
+
+def test_warc_reader_roundtrip_and_edge_cases(spark, tmp_path):
+    """WARC DataSource reader (sources/warc_datasource.py): multi-record
+    gzip segments round-trip byte-exactly; warcinfo headers are visible
+    and filterable by type; a truncated tail is skipped, not an error."""
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.operators.warc import build_warc_records, write_warc
+    from flink_crawler_spark.sources.warc_datasource import WarcDataSource
+
+    rows = spark.createDataFrame(
+        [
+            ("http://a.com/1", "FETCHED", 0, b"hello warc", "text/plain"),
+            ("http://a.com/2", "FETCHED", 0, b"\x00\x01binary\xff", "application/octet-stream"),
+            ("http://a.com/3", "HTTP_NOT_FOUND", 0, None, None),  # dropped by builder
+        ],
+        "url string, status string, status_time long, content binary, content_type string",
+    )
+    out = str(tmp_path / "segments")
+    write_warc(build_warc_records(rows).repartition(2), out, timestamp_ms=0)
+
+    spark.dataSource.register(WarcDataSource)
+    back = spark.read.format("warc").option("path", out).load()
+    by_type = {r["warc_type"]: r for r in back.collect()}
+    assert "warcinfo" in by_type  # every segment leads with warcinfo
+    res = {
+        r["target_uri"]: bytes(r["content"])
+        for r in back.filter(F.col("warc_type") == "resource").collect()
+    }
+    assert res == {"http://a.com/1": b"hello warc", "http://a.com/2": b"\x00\x01binary\xff"}
+
+    # type pushdown option
+    only = spark.read.format("warc").option("path", out).option("warc_types", "resource").load()
+    assert only.select("warc_type").distinct().collect()[0][0] == "resource"
+
+    # truncated tail: chop the last 6 bytes of one segment -> reader
+    # yields the intact prefix records and stops cleanly
+    seg = sorted(p for p in os.listdir(out) if p.endswith(".warc.gz"))[0]
+    raw = gzip.open(os.path.join(out, seg), "rb").read()
+    trunc = str(tmp_path / "trunc")
+    os.makedirs(trunc)
+    with gzip.open(os.path.join(trunc, "t.warc.gz"), "wb") as fh:
+        fh.write(raw[:-6])
+    t = spark.read.format("warc").option("path", trunc).load()
+    assert t.count() >= 1  # warcinfo (and any intact records) survive
