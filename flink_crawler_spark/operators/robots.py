@@ -132,14 +132,34 @@ def path_expr(url: Column) -> Column:
     return F.when(p == "", "/").otherwise(p)
 
 
+def _rule_hit_len(path: Column, p) -> Column:
+    """Per-rule match length under RFC 9309 pattern semantics: ``*``
+    matches any char run, a trailing ``$`` anchors the end, everything
+    else is literal; specificity = rule length (crawler-commons'
+    ``SimpleRobotRules`` `_prefixLength` convention, the parser the
+    reference uses — CheckUrlWithRobotsFunction.java:27,55). Rules with
+    neither metachar stay on the cheap ``startswith`` path; pattern
+    rules compile to an anchored regex built from the rule itself."""
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pat = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    simple = (~p.contains("*")) & (~anchored)
+    hit = F.when(simple, path.startswith(p)).otherwise(F.regexp_like(path, pat))
+    return F.when(hit, F.length(p)).otherwise(F.lit(0))
+
+
 def _longest_match(prefixes: Column, path: Column) -> Column:
-    """Length of the longest rule prefix matching ``path`` (0 if none)."""
+    """Length of the most specific (longest) rule matching ``path``
+    (0 if none), wildcard/anchor-aware via ``_rule_hit_len``."""
     return F.aggregate(
         F.coalesce(prefixes, F.array()),
         F.lit(0),
-        lambda acc, p: F.when(
-            path.startswith(p) & (F.length(p) > acc), F.length(p)
-        ).otherwise(acc),
+        lambda acc, p: F.greatest(acc, _rule_hit_len(path, p)),
     )
 
 

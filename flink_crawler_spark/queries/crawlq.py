@@ -927,3 +927,92 @@ def sitemap_failed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     statuses = sitemap_fetch_status(adv, entries, now_ms=0)
     return failed_sitemaps(statuses).select("url", "pld", "status")
+
+
+# ---------------------------------------------------------------------------
+# F2 full pattern semantics: RFC 9309 wildcards (*) and end anchors ($)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators/robots.py::_rule_hit_len — rule -> anchored
+# RE2 pattern (escape metachars, * -> .*, trailing $ kept as anchor),
+# specificity = rule length, plain rules on the cheap starts_with path.
+_DUCK_RULE_HIT = r"""
+CASE WHEN (NOT contains({x}, '*')) AND (NOT ends_with({x}, '$'))
+     THEN CASE WHEN starts_with(path, {x}) THEN length({x}) ELSE 0 END
+     ELSE CASE WHEN regexp_matches(path,
+            '^' || replace(regexp_replace(
+                CASE WHEN ends_with({x}, '$') THEN substr({x}, 1, length({x})-1)
+                     ELSE {x} END,
+                '([.^$+?(){{}}\[\]|\\\\])', '\\\1', 'g'), '*', '.*')
+            || CASE WHEN ends_with({x}, '$') THEN '$' ELSE '' END)
+          THEN length({x}) ELSE 0 END END
+""".strip()
+
+
+@register(
+    "robots_wildcard_match",
+    oracle=f"""
+WITH obs AS (
+  SELECT DISTINCT
+         'http://w' || CAST(l_suppkey % 25 AS VARCHAR) || '.example.com/p/'
+             || CAST(l_partkey % 500 AS VARCHAR) AS url,
+         'http://w' || CAST(l_suppkey % 25 AS VARCHAR) || '.example.com' AS host_root,
+         '/p/' || CAST(l_partkey % 500 AS VARCHAR) AS path
+  FROM lineitem
+),
+rules AS (
+  SELECT 'http://w' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host_root,
+         ['/p/*' || CAST(n_nationkey % 10 AS VARCHAR),
+          '/p/' || CAST((n_nationkey * 13 + 3) % 500 AS VARCHAR) || '$'] AS disallow,
+         ['/p/' || CAST((n_nationkey * 7) % 10 AS VARCHAR)] AS allow
+  FROM nation
+),
+j AS (
+  SELECT o.url, o.path, r.host_root, r.disallow, r.allow
+  FROM obs o LEFT JOIN rules r ON o.host_root = r.host_root
+),
+scored AS (
+  SELECT url,
+         coalesce(list_max(list_transform(disallow, x -> {_DUCK_RULE_HIT.format(x='x')})), 0)
+           AS dis_len,
+         coalesce(list_max(list_transform(allow, x -> {_DUCK_RULE_HIT.format(x='x')})), 0)
+           AS allow_len,
+         host_root IS NOT NULL AS has_rules
+  FROM j
+)
+SELECT url, (has_rules AND dis_len > allow_len AND dis_len > 0) AS blocked
+FROM scored
+""",
+)
+def robots_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 with full RFC 9309 pattern semantics: '*' wildcards and '$'
+    end anchors in allow/disallow rules (crawler-commons parity — the
+    plain-prefix evaluator silently under-blocks on real robots.txt,
+    where wildcard rules are routine). 25 hosts carry one wildcard
+    disallow ('/p/*<d>': any path with digit d after the prefix), one
+    anchored exact disallow, and one plain allow whose longest-match
+    precedence must interleave correctly with the pattern rules."""
+    li = t(spark, sf_dir, "lineitem")
+    frontier = li.select(
+        F.concat(
+            F.lit("http://w"),
+            (F.col("l_suppkey") % 25).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("l_partkey") % 500).cast("string"),
+        ).alias("url")
+    ).distinct()
+    nk = F.col("n_nationkey")
+    rules = t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("http://w"), nk.cast("string"), F.lit(".example.com")).alias("host_root"),
+        F.array(
+            F.concat(F.lit("/p/*"), (nk % 10).cast("string")),
+            F.concat(F.lit("/p/"), ((nk * 13 + 3) % 500).cast("string"), F.lit("$")),
+        ).alias("disallow"),
+        F.array(
+            F.concat(F.lit("/p/"), ((nk * 7) % 10).cast("string")),
+        ).alias("allow"),
+        F.lit(None).cast("long").alias("crawl_delay_ms"),
+        F.array().cast("array<string>").alias("sitemaps"),
+    )
+    routed = check_urls_against_robots(frontier, rules)
+    return routed.select("url", (F.col("route") == "blocked").alias("blocked"))

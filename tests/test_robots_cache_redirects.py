@@ -76,3 +76,59 @@ def test_http_fetch_follows_redirects(spark):
     assert got["http://a.com/old"]["fetched_url"] == "http://a.com/new"  # post-redirect URL
     assert got["http://a.com/loop"]["status"] == "HTTP_TOO_MANY_REDIRECTS"
     assert got["http://a.com/dangling"]["status"] == "HTTP_REDIRECTION_ERROR"
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    """RFC 9309 pattern semantics through check_urls_against_robots:
+    the documented fish examples — '*' spans any chars, trailing '$'
+    anchors, longest (most specific) rule wins, allow wins ties."""
+    from flink_crawler_spark.operators.robots import check_urls_against_robots
+
+    rules = spark.createDataFrame(
+        [
+            (
+                "http://ex.com",
+                ["/fish*.php", "/*.gif$", "/private"],
+                ["/fish/allowed.php"],
+                None,
+                [],
+            )
+        ],
+        "host_root string, disallow array<string>, allow array<string>, "
+        "crawl_delay_ms long, sitemaps array<string>",
+    )
+    cases = {
+        "http://ex.com/fish/salmon.php": "blocked",       # /fish*.php
+        "http://ex.com/fishy.php": "blocked",             # * matches empty run too
+        "http://ex.com/fish/allowed.php": "passed",       # allow longer than /fish*.php
+        "http://ex.com/img/cat.gif": "blocked",           # /*.gif$
+        "http://ex.com/img/cat.gif?v=2": "blocked",       # path_expr strips the query -> still .gif
+        "http://ex.com/img/cat.gifx": "passed",           # $ anchor rejects suffix
+        "http://ex.com/private/x": "blocked",             # plain prefix fast path
+        "http://ex.com/public": "passed",
+    }
+    frontier = spark.createDataFrame([(u,) for u in cases], ["url"])
+    routed = {r["url"]: r["route"] for r in check_urls_against_robots(frontier, rules).collect()}
+    for url, want in cases.items():
+        assert routed[url] == want, f"{url}: {routed[url]} != {want}"
+
+
+def test_robots_literal_metachars_not_regex(spark):
+    """Regex metachars inside rules stay literal: '/a.b' must not match
+    '/axb', '/a+b' must not behave like a quantifier."""
+    from flink_crawler_spark.operators.robots import check_urls_against_robots
+
+    rules = spark.createDataFrame(
+        [("http://ex.com", ["/a.b", "/c+d*e"], [], None, [])],
+        "host_root string, disallow array<string>, allow array<string>, "
+        "crawl_delay_ms long, sitemaps array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [("http://ex.com/a.b/x",), ("http://ex.com/axb/x",),
+         ("http://ex.com/c+dZZe",), ("http://ex.com/cccde",)], ["url"]
+    )
+    routed = {r["url"]: r["route"] for r in check_urls_against_robots(frontier, rules).collect()}
+    assert routed["http://ex.com/a.b/x"] == "blocked"
+    assert routed["http://ex.com/axb/x"] == "passed"      # '.' is literal
+    assert routed["http://ex.com/c+dZZe"] == "blocked"    # '*' spans ZZ
+    assert routed["http://ex.com/cccde"] == "passed"      # '+' is literal
