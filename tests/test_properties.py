@@ -190,3 +190,47 @@ def test_http_fetch_never_splits_a_domain_across_tasks(spark, rows):
     for pld, pairs in calls.items():
         slots = [slot for _, slot in sorted(pairs)]
         assert slots == sorted(slots), f"domain {pld} fetched out of slot order"
+
+
+# ---------------------------------------------------------------------------
+# Charset detection/decoding total-function properties (functions/charset.py)
+# — a crawler's decode must NEVER raise, whatever bytes and whatever lying
+# Content-Type header the wire delivers.
+# ---------------------------------------------------------------------------
+
+import codecs as _codecs
+
+from flink_crawler_spark.functions.charset import decode_bytes, detect_charset
+
+_ct_st = st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.sampled_from([
+        "text/html", "text/html; charset=utf-8", "text/html; charset=ISO-8859-1",
+        "text/html; charset=shift_jis", "text/html; charset=x-not-a-charset",
+        'text/html; charset="utf-16"', "application/pdf",
+    ]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200), _ct_st)
+def test_decode_bytes_is_total(content, content_type):
+    # never raises; always returns str; detected codec always resolvable
+    out = decode_bytes(content, content_type)
+    assert isinstance(out, str)
+    assert _codecs.lookup(detect_charset(content, content_type)) is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100))
+def test_decode_bytes_utf8_roundtrip(text):
+    # valid undeclared UTF-8 always roundtrips exactly
+    assert decode_bytes(text.encode("utf-8"), None) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=100), _ct_st)
+def test_bom_always_wins(content, content_type):
+    # a UTF-8 BOM prefix forces utf-8-sig regardless of declared charset
+    assert detect_charset(b"\xef\xbb\xbf" + content, content_type) == "utf-8-sig"

@@ -358,3 +358,18 @@ def test_warc_reader_roundtrip_and_edge_cases(spark, tmp_path):
         fh.write(raw[:-6])
     t = spark.read.format("warc").option("path", trunc).load()
     assert t.count() >= 1  # warcinfo (and any intact records) survive
+
+
+def test_seed_source_uri_scheme_injection(spark, tmp_path):
+    """SeedUrlSource's S3 mode is a PATH, not code (SeedUrlSource.java
+    184-248): seeds_from_text hands the URI to Hadoop FS, so any
+    configured scheme works unchanged. Proven here with an explicit
+    file:// URI (the same resolution path s3a:// takes — only the FS
+    implementation differs); # comments and blanks still filter."""
+    from flink_crawler_spark.sources.seeds import seeds_from_text
+
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\nhttp://a.com/\n\n  http://b.com/x  \n#tail\n")
+    uri = "file://" + str(p)
+    got = {r["url"] for r in seeds_from_text(spark, uri).collect()}
+    assert got == {"http://a.com/", "http://b.com/x"}
