@@ -38,7 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--textcontentfile", default=None, help="dir for url\\ttext output")
     p.add_argument("--warccontentpath", default=None, help="dir for WARC output")
     # spark-engine specifics
-    p.add_argument("--pages", required=True, help="rendered-pages parquet (page_url, page_score, html)")
+    p.add_argument("--pages", default=None, help="rendered-pages parquet (page_url, page_score, html)")
+    p.add_argument(
+        "--commoncrawl", default=None, metavar="DIR",
+        help="fetch from a CommonCrawl-style archive instead of --pages: "
+             "DIR holds cdx.parquet plus the WARC segment files "
+             "(reference: CrawlTool -commoncrawl)",
+    )
+    p.add_argument(
+        "--cachedir", default=None,
+        help="executor-local read-through segment cache for --commoncrawl "
+             "(reference: -cachedir / SegmentCache)",
+    )
     p.add_argument("--robots", default=None, help="robots parquet (robots_url, body)")
     p.add_argument("--sitemaps", default=None, help="sitemaps parquet (sitemap_url, entry_url)")
     p.add_argument("--redirects", default=None, help="redirects parquet (short_url, long_url)")
@@ -87,7 +98,20 @@ def main(argv: list[str] | None = None) -> int:
 
     seeds = seeds_from_text(spark, args.seedurls)
 
-    pages = spark.read.parquet(args.pages)
+    if (args.pages is None) == (args.commoncrawl is None):
+        raise SystemExit("exactly one of --pages / --commoncrawl is required")
+    pages = fetch_fn = None
+    if args.commoncrawl is not None:
+        import os as _os
+
+        from flink_crawler_spark.operators.commoncrawl import commoncrawl_fetch_fn
+
+        cdx = spark.read.parquet(_os.path.join(args.commoncrawl, "cdx.parquet"))
+        fetch_fn = commoncrawl_fetch_fn(
+            cdx, args.commoncrawl, cache_dir=args.cachedir
+        )
+    else:
+        pages = spark.read.parquet(args.pages)
     robots_rules = (
         parse_robots_rules(spark.read.parquet(args.robots), agent=args.agent)
         if args.robots
@@ -122,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         seeds,
         pages=pages,
+        fetch_fn=fetch_fn,
         robots_rules=robots_rules,
         sitemap_entries=sitemap_entries,
         redirects=redirects,

@@ -311,3 +311,69 @@ def archive_fetch(
     for df in round_caches:
         df.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# SegmentCache + CrawlTool -commoncrawl mode
+# (fetcher/commoncrawl/SegmentCache.java, tools/CrawlToolOptions.java
+#  "-commoncrawl"/"-cachedir")
+# ---------------------------------------------------------------------------
+
+
+def cached_range_reader(archive_dir: str, cache_dir: str | None = None):
+    """Range reader resolving CDX filenames against ``archive_dir``,
+    with an optional read-through whole-segment disk cache — the
+    SegmentCache analogue (the reference caches fetched segments in
+    memory, SegmentCache.java:9-46; a disk cache is the executor-local
+    equivalent when segments arrive from an object store). Each Python
+    worker copies a segment at most once; subsequent ranged reads of the
+    same segment hit the local copy."""
+    import os
+    import shutil
+
+    def read(filename: str, offset: int, length: int) -> bytes:
+        src = filename if os.path.isabs(filename) else os.path.join(archive_dir, filename)
+        path = src
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            cached = os.path.join(cache_dir, os.path.basename(filename))
+            if not os.path.exists(cached):
+                tmp = cached + ".tmp-" + str(os.getpid())
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, cached)  # atomic: concurrent workers race safely
+            path = cached
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    return read
+
+
+def commoncrawl_fetch_fn(
+    cdx_index,
+    archive_dir: str,
+    *,
+    cache_dir: str | None = None,
+    accept_mime: tuple[str, ...] | None = None,
+    redirect_mode: str = "FOLLOW_ALL",
+    max_redirects: int = 3,
+):
+    """Build a crawl-loop ``fetch_fn`` that fetches pages out of a
+    CommonCrawl-style archive (CDX index + WARC segments) instead of the
+    live web — the reference's ``CrawlTool -commoncrawl`` mode
+    (CommonCrawlFetcherBuilder slotting into the BaseHttpFetcher seam).
+    """
+    reader = cached_range_reader(archive_dir, cache_dir)
+
+    def fetch(to_fetch, *, now_ms: int):
+        return archive_fetch(
+            to_fetch,
+            cdx_index,
+            range_reader=reader,
+            accept_mime=accept_mime,
+            redirect_mode=redirect_mode,
+            max_redirects=max_redirects,
+            now_ms=now_ms,
+        )
+
+    return fetch

@@ -145,7 +145,8 @@ def crawl(
     spark: SparkSession,
     seeds: DataFrame,
     *,
-    pages: DataFrame,
+    pages: DataFrame | None = None,
+    fetch_fn=None,
     robots_rules: DataFrame | None = None,
     sitemap_entries: DataFrame | None = None,
     redirects: DataFrame | None = None,
@@ -155,11 +156,16 @@ def crawl(
 ) -> CrawlResult:
     """Run the crawl loop against fixture/service tables until idle.
 
-    ``pages`` is the rendered-pages table (mock web). Real-HTTP mode
-    swaps ``mock_fetch`` for ``http_fetch`` — every other stage is
-    identical, exactly like swapping BaseHttpFetcherBuilder in the
-    reference.
+    ``pages`` is the rendered-pages table (mock web). ``fetch_fn`` is
+    the pluggable fetcher seam (the reference's BaseHttpFetcherBuilder
+    slot): ``fetch_fn(to_fetch, now_ms=...) -> FETCH_RESULT_SCHEMA``
+    rows replace the mock join entirely — the CommonCrawl archive
+    fetcher (`operators/commoncrawl.py::commoncrawl_fetch_fn`) plugs in
+    here; every other stage is identical. Exactly one of ``pages`` /
+    ``fetch_fn`` must be given.
     """
+    if (pages is None) == (fetch_fn is None):
+        raise ValueError("exactly one of pages= / fetch_fn= must be given")
     # Tick frames are small relative to the cluster: let AQE coalesce
     # post-shuffle partitions by SIZE instead of stopping at default
     # parallelism (parallelismFirst). Otherwise every per-tick stage
@@ -188,6 +194,7 @@ def crawl(
             spark,
             seeds,
             pages=pages,
+            fetch_fn=fetch_fn,
             robots_rules=robots_rules,
             sitemap_entries=sitemap_entries,
             redirects=redirects,
@@ -207,7 +214,8 @@ def _crawl_body(
     spark: SparkSession,
     seeds: DataFrame,
     *,
-    pages: DataFrame,
+    pages: DataFrame | None,
+    fetch_fn,
     robots_rules: DataFrame | None,
     sitemap_entries: DataFrame | None,
     redirects: DataFrame | None,
@@ -219,7 +227,8 @@ def _crawl_body(
     # the mock-web join hits `pages` every tick — cache it once instead of
     # re-deriving the fixture (scan + render) per tick; materialized by
     # tick 1's job, dropped before returning
-    pages = pages.persist()
+    if pages is not None:
+        pages = pages.persist()
     empty_rules = robots_rules is None
     if empty_rules:
         robots_rules = spark.createDataFrame(
@@ -386,11 +395,19 @@ def _crawl_body(
         to_fetch = split.filter(F.col("route") == "fetch")
         record(tick, "fetch", to_fetch)
 
-        # fetch (mock join); lazy persist — materialized by the state
-        # merge job, then reused by status/parse/sitemap branches
-        results = mock_fetch(
-            to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
-        )
+        # fetch (mock join, or the injected fetcher); lazy persist —
+        # materialized by the state merge job, then reused by
+        # status/parse/sitemap branches
+        if fetch_fn is not None:
+            # injected fetchers may leave pld null (e.g. archive misses);
+            # re-derive it so keyed downstream stages stay domain-correct
+            results = fetch_fn(to_fetch, now_ms=now_ms).withColumn(
+                "pld", F.coalesce(F.col("pld"), pld_expr(F.col("url")))
+            )
+        else:
+            results = mock_fetch(
+                to_fetch, pages, now_ms=now_ms, refetch_interval_ms=cfg.refetch_interval_ms
+            )
         if cfg.max_content_size:
             # -maxcontentsize (FetchUrlsFunction body truncation analogue):
             # binary substr is 1-based and a no-op when already shorter
@@ -534,7 +551,8 @@ def _crawl_body(
         for f in trace_frames[1:]:
             trace = trace.unionByName(f)
 
-    pages.unpersist()  # late trace/parsed actions recompute deterministically
+    if pages is not None:
+        pages.unpersist()  # late trace/parsed actions recompute deterministically
     return CrawlResult(
         crawl_state=crawl_state, parsed=parsed_all, trace=trace, ticks=tick, stats=stats
     )

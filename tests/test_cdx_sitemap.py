@@ -170,3 +170,84 @@ def test_warc_member_roundtrip(tmp_path):
     assert status == 404 and body == b""
     status1, headers1, body1 = parse_warc_member(local_range_reader(path, 0, len(m1)))
     assert status1 == 200 and body1 == b"AA" and headers1["content-type"] == "text/html"
+
+
+# ---------------------------------------------------------------------------
+# CrawlTool -commoncrawl mode: the archive fetcher plugged into the full
+# crawl loop through the fetch_fn seam, plus the SegmentCache analogue
+# ---------------------------------------------------------------------------
+
+
+def _cc_dir(spark, tmp_path):
+    """A tiny crawlable archive: root links to /a and /b; /a links out."""
+    import os
+
+    root = "http://cc.example.com/"
+    a, b, c = (f"http://cc.example.com/{x}" for x in "abc")
+    html = {
+        root: f'<html><body><a href="{a}">a</a> <a href="{b}">b</a></body></html>',
+        a: f'<html><body><a href="{c}">c</a></body></html>',
+        b: "<html><body>leaf</body></html>",
+        c: "<html><body>deep leaf</body></html>",
+    }
+    cc = tmp_path / "cc"
+    os.makedirs(cc)
+    path, rows = _build_archive(
+        cc, [(u, 200, {"Content-Type": "text/html"}, h.encode()) for u, h in html.items()]
+    )
+    # store filenames relative to the archive dir (how a CDX names segments)
+    rel_rows = [(u, os.path.basename(f), o, l, m, s) for (u, f, o, l, m, s) in rows]
+    _cdx_df(spark, rel_rows).write.mode("overwrite").parquet(str(cc / "cdx.parquet"))
+    return str(cc), root
+
+
+def test_commoncrawl_fetch_fn_drives_crawl_loop(spark, tmp_path):
+    from flink_crawler_spark.operators.commoncrawl import commoncrawl_fetch_fn
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+
+    cc, root = _cc_dir(spark, tmp_path)
+    cdx = spark.read.parquet(cc + "/cdx.parquet")
+    cache = str(tmp_path / "segcache")
+    fetch_fn = commoncrawl_fetch_fn(cdx, cc, cache_dir=cache)
+    seeds = spark.createDataFrame([(root, 1.0)], ["url", "score"])
+    res = crawl(spark, seeds, fetch_fn=fetch_fn, config=CrawlConfig(max_ticks=5))
+    st = {r["url"]: r["status"] for r in res.crawl_state.collect()}
+    assert st[root] == "FETCHED"
+    assert st["http://cc.example.com/a"] == "FETCHED"
+    assert st["http://cc.example.com/c"] == "FETCHED", "outlink chain through the archive"
+    # SegmentCache: the segment was copied into the cache dir exactly once
+    import os
+
+    assert os.listdir(cache) == ["segment-00000.warc.gz"]
+
+
+def test_cli_commoncrawl_mode(spark, tmp_path):
+    """CrawlTool parity: --commoncrawl DIR --cachedir ... end-to-end
+    through the argparse main(), no --pages needed."""
+    from flink_crawler_spark import cli
+
+    cc, root = _cc_dir(spark, tmp_path)
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(f"# cc seeds\n{root}\n")
+    out = str(tmp_path / "state_out")
+    rc = cli.main([
+        "--seedurls", str(seeds),
+        "--commoncrawl", cc,
+        "--cachedir", str(tmp_path / "cache2"),
+        "--maxticks", "5",
+        "--stateout", out,
+    ])
+    assert rc == 0
+    st = {r["url"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert st[root] == "FETCHED"
+    assert st["http://cc.example.com/c"] == "FETCHED"
+
+
+def test_crawl_requires_exactly_one_fetch_source(spark):
+    import pytest as _pytest
+
+    from flink_crawler_spark.plans.crawl_loop import crawl
+
+    seeds = spark.createDataFrame([("http://x.com/", 1.0)], ["url", "score"])
+    with _pytest.raises(ValueError):
+        crawl(spark, seeds)
