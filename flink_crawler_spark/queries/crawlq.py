@@ -1016,3 +1016,122 @@ def robots_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     routed = check_urls_against_robots(frontier, rules)
     return routed.select("url", (F.col("route") == "blocked").alias("blocked"))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive re-crawl scheduling (beyond-reference crawl-ops: the refetch
+# policy real crawlers run on top of next_fetch_time)
+# ---------------------------------------------------------------------------
+
+RECRAWL_INIT_H = 24    # first interval: 1 day
+RECRAWL_MAX_H = 720    # back off to at most 30 days
+RECRAWL_MIN_H = 1      # tighten to at least 1 hour
+
+
+@register(
+    "recrawl_schedule",
+    oracle=f"""
+WITH f AS (
+  SELECT 'http://rc' || CAST(l_partkey % 2000 AS VARCHAR) || '.example.com/' AS url,
+         epoch_ms(CAST(l_shipdate AS TIMESTAMP)) AS ts,
+         l_orderkey AS ok, l_linenumber AS ln,
+         md5(CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR)) AS dg
+  FROM lineitem
+),
+h AS (
+  SELECT url,
+         list(struct_pack(ts := ts, ok := ok, ln := ln, dg := dg)
+              ORDER BY ts, ok, ln) AS hist
+  FROM f GROUP BY url
+),
+x AS (
+  SELECT url, hist,
+         list_transform(hist, s -> s.dg) AS digs,
+         len(hist) AS n
+  FROM h
+),
+fl AS (
+  SELECT url, hist, n,
+         CASE WHEN n >= 2
+              THEN list_transform(generate_series(2, n),
+                     i -> CASE WHEN digs[i] != digs[i-1]
+                               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+              ELSE CAST([] AS BIGINT[]) END AS flags
+  FROM x
+)
+SELECT url,
+       CAST(n AS BIGINT) AS n_fetches,
+       CAST(coalesce(list_sum(flags), 0) AS BIGINT) AS n_changes,
+       CAST(CASE WHEN len(flags) = 0 THEN {RECRAWL_INIT_H}
+            ELSE list_reduce(list_prepend(CAST({RECRAWL_INIT_H} AS BIGINT), flags),
+                   (a, f) -> CASE WHEN f = 1
+                                  THEN greatest(a // 2, {RECRAWL_MIN_H})
+                                  ELSE least(a * 2, {RECRAWL_MAX_H}) END)
+            END AS BIGINT) AS interval_hours,
+       CAST(hist[n].ts + (CASE WHEN len(flags) = 0 THEN {RECRAWL_INIT_H}
+            ELSE list_reduce(list_prepend(CAST({RECRAWL_INIT_H} AS BIGINT), flags),
+                   (a, f) -> CASE WHEN f = 1
+                                  THEN greatest(a // 2, {RECRAWL_MIN_H})
+                                  ELSE least(a * 2, {RECRAWL_MAX_H}) END)
+            END) * 3600000 AS BIGINT) AS next_fetch_ms
+FROM fl
+""",
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive refetch policy (AIMD-style, the standard freshness
+    heuristic): per URL, walk the fetch history in time order — an
+    unchanged content digest DOUBLES the refetch interval (cap 30 d), a
+    changed one HALVES it (floor 1 h) — and schedule the next fetch.
+    The stateful walk is an exact integer fold (aggregate over the
+    per-URL change-flag array; DuckDB runs the identical fold via
+    list_reduce), so both engines agree bit-for-bit.
+
+    Scale shape: one groupBy(url) with map-side combine builds the
+    bounded per-URL history (fetch counts per URL are small by
+    construction — the policy itself caps them); the fold is per-row
+    array math, no further shuffle. Feeds straight into the URL DB's
+    next_fetch_time lattice slot."""
+    from ..queries.base import ts_millis
+
+    li = t(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.concat(
+            F.lit("http://rc"), (F.col("l_partkey") % 2000).cast("string"),
+            F.lit(".example.com/"),
+        ).alias("url"),
+        ts_millis(F.col("l_shipdate")).alias("ts"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.md5(
+            F.encode(F.floor(F.col("l_quantity") / 10).cast("int").cast("string"), "UTF-8")
+        ).alias("dg"),
+    )
+    h = f.groupBy("url").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "ok", "ln", "dg"))).alias("hist")
+    )
+    n = F.size("hist")
+    digs = F.transform("hist", lambda s: s["dg"])
+    flags = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: (F.element_at(digs, i) != F.element_at(digs, i - 1)).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    interval = F.aggregate(
+        flags,
+        F.lit(RECRAWL_INIT_H).cast("long"),
+        lambda a, fch: F.when(
+            fch == 1, F.greatest(F.floor(a / 2).cast("long"), F.lit(RECRAWL_MIN_H).cast("long"))
+        ).otherwise(F.least(a * 2, F.lit(RECRAWL_MAX_H).cast("long"))),
+    )
+    last_ts = F.element_at(F.col("hist"), -1)["ts"]
+    return h.select(
+        "url",
+        n.cast("long").alias("n_fetches"),
+        F.coalesce(
+            F.aggregate(flags, F.lit(0).cast("long"), lambda a, v: a + v), F.lit(0)
+        ).alias("n_changes"),
+        interval.alias("interval_hours"),
+        (last_ts + interval * 3_600_000).cast("long").alias("next_fetch_ms"),
+    )

@@ -91,3 +91,35 @@ def test_mark_queued_transition(spark):
     got = mark_queued(select_frontier(df, now_ms=1), now_ms=42).collect()[0]
     assert got["status"] == "QUEUED"
     assert got["status_time"] == 42
+
+
+def test_recrawl_schedule_aimd_laws(spark, sf_dir):
+    """AIMD refetch-policy invariants beyond the oracle: interval stays
+    within [MIN, MAX]; an all-changed history pins the floor; an
+    all-unchanged history saturates the cap; next fetch is last fetch
+    plus the final interval."""
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.queries.crawlq import (
+        RECRAWL_INIT_H,
+        RECRAWL_MAX_H,
+        RECRAWL_MIN_H,
+        recrawl_schedule,
+    )
+
+    out = recrawl_schedule(spark, sf_dir).cache()
+    bad = out.filter(
+        (F.col("interval_hours") < RECRAWL_MIN_H)
+        | (F.col("interval_hours") > RECRAWL_MAX_H)
+        | (F.col("n_changes") >= F.col("n_fetches"))  # flags = n-1 comparisons
+        | (F.col("n_fetches") < 1)
+    ).count()
+    assert bad == 0
+    # closed-form spot check: never-changed history doubles from INIT to cap
+    row = out.filter(F.col("n_changes") == 0).orderBy(F.col("n_fetches").desc()).head()
+    if row is not None:
+        expect = RECRAWL_INIT_H
+        for _ in range(row["n_fetches"] - 1):
+            expect = min(expect * 2, RECRAWL_MAX_H)
+        assert row["interval_hours"] == expect
+    out.unpersist()
