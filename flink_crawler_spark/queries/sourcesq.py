@@ -220,7 +220,9 @@ def warc_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("content_type"),
     )
     out = os.path.join(tempfile.mkdtemp(prefix="fcs_warc_rt_"), "segments")
-    write_warc(build_warc_records(fetch_rows), out, timestamp_ms=0)
+    # 8 writer partitions -> 8 segment files -> 8 parallel reader tasks
+    # (the realistic archive shape; a single segment serializes the read)
+    write_warc(build_warc_records(fetch_rows).repartition(8), out, timestamp_ms=0)
 
     spark.dataSource.register(WarcDataSource)
     back = (
