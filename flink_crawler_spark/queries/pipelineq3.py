@@ -169,3 +169,129 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pq_codebook_encode — product quantization (the IVF-PQ storage layout)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (M * SUB = 64 = DIM)
+PQ_K = 16       # centroids per subspace codebook
+
+_PQ_DIST = " + ".join(
+    f"(x.sv[{d}] - c.cv[{d}]) * (x.sv[{d}] - c.cv[{d}])" for d in range(1, PQ_SUB + 1)
+)
+_PQ_MEANS = ", ".join(
+    f"CAST(sum(CAST(round(x.sv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
+    for d in range(1, PQ_SUB + 1)
+)
+_PQ_MEAN_LIST = "[" + ", ".join(f"m{d}" for d in range(1, PQ_SUB + 1)) + "]"
+
+
+@register(
+    "pq_codebook_encode",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, m,
+         list_transform(list_slice(embedding, (m-1)*{PQ_SUB}+1, m*{PQ_SUB}),
+                        v -> CAST(v AS DOUBLE)) AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, {PQ_M})) AS m)
+),
+c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM x WHERE vec_id < {PQ_K}),
+a1 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT x.vec_id, x.m, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY {_PQ_DIST}, c.cid) AS rn
+    FROM x JOIN c0 c ON x.m = c.m) r
+  WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.m, a1.cid, {_PQ_MEANS}
+  FROM a1 JOIN x ON a1.vec_id = x.vec_id AND a1.m = x.m
+  GROUP BY a1.m, a1.cid
+),
+c1l AS (SELECT m, cid, {_PQ_MEAN_LIST} AS cv FROM c1),
+a2 AS (
+  SELECT vec_id, m, cid, dist FROM (
+    SELECT x.vec_id, x.m, c.cid, {_PQ_DIST} AS dist,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY {_PQ_DIST}, c.cid) AS rn
+    FROM x JOIN c1l c ON x.m = c.m) r
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(m AS INT) AS m, CAST(cid AS BIGINT) AS code,
+       round(dist, 6) AS sub_err
+FROM a2
+""",
+)
+def pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each embedding into {PQ_M} subspaces
+    of {PQ_SUB} dims, train a {PQ_K}-centroid codebook per subspace
+    (2-round Lloyd's, seeds = vec_id < K — the proven exact-kmeans
+    discipline), and encode every vector as its per-subspace nearest
+    codeword plus the residual error. PQ is how a 100 TB embedding store
+    actually persists vectors (IVF-PQ): 64 floats become {PQ_M} bytes,
+    and ANN distance tables work off the codebooks alone.
+
+    Plan shape: subspace id is a KEY COLUMN, so one assign/update/assign
+    chain covers all subspaces at once — codebooks stay broadcast
+    (M x K x {PQ_SUB} doubles regardless of corpus size), the centroid
+    update partial-aggregates map-side, and every distance is the same
+    left-associated fold both engines evaluate bit-for-bit."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    ms = spark.range(1, PQ_M + 1).select(F.col("id").cast("int").alias("m"))
+    x = (
+        emb.crossJoin(F.broadcast(ms))
+        .select(
+            "vec_id",
+            "m",
+            F.transform(
+                F.slice("embedding", (F.col("m") - 1) * PQ_SUB + 1, PQ_SUB),
+                lambda v: v.cast("double"),
+            ).alias("sv"),
+        )
+    )
+
+    def sub_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cent: DataFrame, with_dist: bool) -> DataFrame:
+        d = x.join(F.broadcast(cent), "m").withColumn(
+            "dist", sub_dist(F.col("sv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        out = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        cols = ["vec_id", "m", "cid"] + (["dist"] if with_dist else ["sv"])
+        return out.select(*cols)
+
+    c0 = x.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = assign(c0, with_dist=False)
+    c1 = (
+        a1.select("m", "cid", F.posexplode("sv").alias("d", "xd"))
+        .groupBy("m", "cid", "d")
+        .agg(
+            F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("m", "cid", "d", (F.col("s").cast("double") / F.col("n")).alias("cd"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
+        .select("m", "cid", F.transform("p", lambda q: q["cd"]).alias("cv"))
+    )
+    a2 = assign(c1, with_dist=True)
+    return a2.select(
+        "vec_id",
+        "m",
+        F.col("cid").cast("long").alias("code"),
+        F.round("dist", 6).alias("sub_err"),
+    )
