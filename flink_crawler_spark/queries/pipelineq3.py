@@ -189,9 +189,7 @@ _PQ_MEANS = ", ".join(
 _PQ_MEAN_LIST = "[" + ", ".join(f"m{d}" for d in range(1, PQ_SUB + 1)) + "]"
 
 
-@register(
-    "pq_codebook_encode",
-    oracle=f"""
+_PQ_ENCODE_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, m,
          list_transform(list_slice(embedding, (m-1)*{PQ_SUB}+1, m*{PQ_SUB}),
@@ -224,20 +222,20 @@ a2 AS (
 SELECT vec_id, CAST(m AS INT) AS m, CAST(cid AS BIGINT) AS code,
        round(dist, 6) AS sub_err
 FROM a2
-""",
-)
-def pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split each embedding into {PQ_M} subspaces
-    of {PQ_SUB} dims, train a {PQ_K}-centroid codebook per subspace
-    (2-round Lloyd's, seeds = vec_id < K — the proven exact-kmeans
-    discipline), and encode every vector as its per-subspace nearest
-    codeword plus the residual error. PQ is how a 100 TB embedding store
-    actually persists vectors (IVF-PQ): 64 floats become {PQ_M} bytes,
-    and ANN distance tables work off the codebooks alone.
+"""
+
+
+def _pq_core(spark: SparkSession, sf_dir: str):
+    """Shared PQ train+encode core: split each embedding into PQ_M
+    subspaces of PQ_SUB dims, train a PQ_K-centroid codebook per
+    subspace (2-round Lloyd's, seeds = vec_id < K — the proven
+    exact-kmeans discipline). Returns (codebooks c1 as (m, cid, cv),
+    final assignments a2 as (vec_id, m, cid, dist)) — consumed by
+    pq_codebook_encode and ann_topk_pq_adc.
 
     Plan shape: subspace id is a KEY COLUMN, so one assign/update/assign
     chain covers all subspaces at once — codebooks stay broadcast
-    (M x K x {PQ_SUB} doubles regardless of corpus size), the centroid
+    (M x K x PQ_SUB doubles regardless of corpus size), the centroid
     update partial-aggregates map-side, and every distance is the same
     left-associated fold both engines evaluate bit-for-bit."""
     from pyspark.sql import Window
@@ -289,9 +287,95 @@ def pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "cid", F.transform("p", lambda q: q["cd"]).alias("cv"))
     )
     a2 = assign(c1, with_dist=True)
+    return c1, a2
+
+
+def pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every vector as its per-subspace nearest codeword plus
+    residual error — the compression layout a 100 TB embedding store
+    persists (IVF-PQ): 64 floats become PQ_M codes, and ANN distance
+    tables work off the broadcast-size codebooks alone."""
+    _, a2 = _pq_core(spark, sf_dir)
     return a2.select(
         "vec_id",
         "m",
         F.col("cid").cast("long").alias("code"),
         F.round("dist", 6).alias("sub_err"),
     )
+
+
+register("pq_codebook_encode", oracle=_PQ_ENCODE_ORACLE)(pq_codebook_encode)
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_pq_adc — asymmetric distance computation over the PQ codes
+# ---------------------------------------------------------------------------
+
+_PQ_QDIST = " + ".join(
+    f"(q.qv[{d}] - c.cv[{d}]) * (q.qv[{d}] - c.cv[{d}])" for d in range(1, PQ_SUB + 1)
+)
+_PQ_CHAIN = _PQ_ENCODE_ORACLE.split("SELECT vec_id, CAST(m AS INT)")[0].rstrip().rstrip(")")
+
+
+@register(
+    "ann_topk_pq_adc",
+    oracle=f"""
+{_PQ_CHAIN}),
+q AS (
+  SELECT m,
+         list_transform(list_slice(embedding, (m-1)*{PQ_SUB}+1, m*{PQ_SUB}),
+                        v -> CAST(v AS DOUBLE)) AS qv
+  FROM embeddings, (SELECT unnest(generate_series(1, {PQ_M})) AS m)
+  WHERE vec_id = 0
+),
+adc AS (
+  SELECT a2.vec_id,
+         CAST(sum(CAST(round({_PQ_QDIST}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS adc
+  FROM a2
+  JOIN c1l c ON a2.m = c.m AND a2.cid = c.cid
+  JOIN q ON q.m = a2.m
+  GROUP BY a2.vec_id
+)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20
+""",
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over PQ codes via asymmetric distance computation
+    (ADC): the query vector stays exact, every database vector is
+    approximated by its per-subspace codeword, and the distance is the
+    sum of query-to-codeword subdistances — the lookup-table search
+    IVF-PQ indexes run. With M*K codebook entries the per-query cost is
+    a broadcast join against the (vec_id, m, code) table + one decimal
+    sum per vector: no raw embedding is ever touched at query time,
+    which is the entire point of the compressed store at 100 TB.
+    Exact-oracled: subdistances round to 6dp and sum as DECIMAL, so the
+    total is order-independent and bit-identical across engines."""
+    c1, a2 = _pq_core(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    ms = spark.range(1, PQ_M + 1).select(F.col("id").cast("int").alias("m"))
+    qsub = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "m",
+            F.transform(
+                F.slice("embedding", (F.col("m") - 1) * PQ_SUB + 1, PQ_SUB),
+                lambda v: v.cast("double"),
+            ).alias("qv"),
+        )
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cv", lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    per_m = (
+        a2.select("vec_id", "m", "cid")
+        .join(F.broadcast(c1), ["m", "cid"])
+        .join(F.broadcast(qsub), "m")
+        .select("vec_id", F.round(qd, 6).alias("sd"))
+    )
+    adc = per_m.groupBy("vec_id").agg(
+        F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc")
+    )
+    return adc.orderBy("adc", "vec_id").limit(20)
