@@ -50,7 +50,7 @@ PRIORITY_WINDOW = [
     # --- §2 crawl core ---
     "url_normalize_lite",        # P2 normalize
     "url_validate",              # F1 validate
-    "url_pld_extract",           # K1/K2 keyBy(PLD)
+    "robots_wildcard_match",     # F2 RFC 9309 wildcard/anchor patterns (new r3)
     "url_lengthen_resolve",      # P1/A4 lengthener (table join + live resolver + LRU)
     "robots_longest_match",      # F2/J2 robots
     "html_outlink_extract",      # U1 parse
@@ -75,7 +75,7 @@ PRIORITY_WINDOW = [
     "stream_stream_join",
     "stream_sessionize",
     # --- dedup family ---
-    "dedup_exact",
+    "semdedup_prune",            # semantic dedup (new r3; exact over shared kmeans chain)
     "minhash_signatures",
     "lsh_candidate_pairs",
     "near_dup_clusters",
@@ -85,7 +85,7 @@ PRIORITY_WINDOW = [
     "data_quality_report",
     # --- similarity family ---
     "cosine_topk_bruteforce",
-    "cosine_pairs_bruteforce",
+    "pq_codebook_encode",        # PQ compression layout (new r3)
     "kmeans_embeddings",
     # --- text family ---
     "doc_token_count",
