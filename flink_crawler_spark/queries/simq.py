@@ -239,6 +239,61 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("lsh_hamming2", TOPK, nq, float(lsh_hits) / (TOPK * nq))] + [
         (f"ivf_16x{p}", TOPK, nq, float(h) / (TOPK * nq)) for p, h in sorted(ivf_hits.items())
     ]
+
+    # PQ-ADC: the compressed-store search approximates EUCLIDEAN distance,
+    # so its recall is measured against the exact L2 top-k (a separate
+    # truth set — cosine truth would conflate metric with approximation)
+    from .pipelineq3 import PQ_SUB, _pq_core
+
+    xq = emb.crossJoin(qdf)
+    l2 = F.aggregate(
+        F.zip_with(
+            as_double_array(F.col("embedding")),
+            as_double_array(F.col("qv")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    l2w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    l2_truth = (
+        xq.select("qid", "vec_id", l2.alias("d2"))
+        .withColumn("rn", F.row_number().over(l2w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "vec_id")
+    )
+    c1, a2 = _pq_core(spark, sf_dir)
+    qsub = qdf.select(
+        "qid", F.posexplode(F.col("qv")).alias("i", "x")
+    ).select(
+        "qid", (F.floor(F.col("i") / PQ_SUB) + 1).cast("int").alias("m"), "i", "x"
+    ).groupBy("qid", "m").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("p")
+    ).select(
+        "qid", "m", F.transform("p", lambda s: s["x"].cast("double")).alias("qv")
+    )
+    qd = F.aggregate(
+        F.zip_with("qv", "cv", lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        a2.select("vec_id", "m", "cid")
+        .join(F.broadcast(c1), ["m", "cid"])
+        .join(F.broadcast(qsub), "m")
+        .select("qid", "vec_id", F.round(qd, 6).alias("sd"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc"))
+    )
+    adcw = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    adc_hits = (
+        adc.withColumn("rn", F.row_number().over(adcw))
+        .filter(F.col("rn") <= TOPK)
+        .join(l2_truth, ["qid", "vec_id"], "left_semi")
+        .count()
+    )
+    rows.append(("pq_adc_8x16_vs_l2", TOPK, nq, float(adc_hits) / (TOPK * nq)))
+
     return spark.createDataFrame(
         rows, "method string, k int, n_queries int, recall double"
     )
