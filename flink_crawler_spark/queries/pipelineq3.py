@@ -379,3 +379,124 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc")
     )
     return adc.orderBy("adc", "vec_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter — the published heuristic quality gate
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher, appendix A1.1.1) thresholds
+G_MIN_WORDS, G_MAX_WORDS = 50, 100_000
+G_MIN_MWL, G_MAX_MWL = 3.0, 10.0
+G_MAX_SYMBOL_RATIO = 0.1
+G_MIN_ALPHA_FRAC = 0.8
+G_MIN_STOP_HITS = 2
+G_MAX_BULLET_FRAC = 0.1
+G_MAX_ELLIPSIS_FRAC = 0.3
+G_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_WS = r"[ \t\n\f\r]+"  # explicit class: Java vs RE2 \s differ on \x0B
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '{_G_WS}'), x -> x != '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, lines,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> length(x))) AS tot_chars,
+         len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+         {" + ".join(f"CASE WHEN list_contains(list_transform(words, x -> lower(x)), '{s}') THEN 1 ELSE 0 END" for s in G_STOPS)}
+           AS stop_hits,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                   OR starts_with(ltrim(l), chr(8226)))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS n_ell
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(tot_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+       round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= {G_MIN_WORDS} AND n_words <= {G_MAX_WORDS}
+        AND CAST(tot_chars AS DOUBLE) / n_words >= {G_MIN_MWL}
+        AND CAST(tot_chars AS DOUBLE) / n_words <= {G_MAX_MWL}
+        AND CAST(n_sym AS DOUBLE) / n_words < {G_MAX_SYMBOL_RATIO}
+        AND CAST(n_alpha AS DOUBLE) / n_words > {G_MIN_ALPHA_FRAC}
+        AND stop_hits >= {G_MIN_STOP_HITS}
+        AND CAST(n_bullet AS DOUBLE) / len(lines) <= {G_MAX_BULLET_FRAC}
+        AND CAST(n_ell AS DOUBLE) / len(lines) <= {G_MAX_ELLIPSIS_FRAC}) AS keep
+FROM m
+""",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, A1.1.1) — the
+    canonical heuristic gate every large text corpus runs before
+    training: word-count window, mean word length 3..10, symbol(#/...)
+    -to-word ratio, alphabetic-word fraction, required-stopword count,
+    bullet-start and ellipsis-end line fractions. One codegen'd
+    projection over the documents scan (array HOFs, no shuffle, no
+    Python) — the 100 TB plan is the scan itself. Ratios are exact
+    int/int double divisions, so the keep booleans match the oracle
+    bit-for-bit.
+
+    On the synthetic word-salad corpus the required-stopword rule
+    correctly rejects every document (stop_hits tops out below 2) —
+    exactly what Gopher's gate is FOR; the per-rule columns carry the
+    discriminating signal and a test pins that the stopword rule, not a
+    bug, is the binding constraint."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), _G_WS), lambda x: x != "")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    tot_chars = F.aggregate(
+        F.transform(words, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+    n_sym = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ) + F.floor(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("int")
+    lw = F.transform(words, lambda x: F.lower(x))
+    stop_hits = sum(
+        F.when(F.array_contains(lw, s), 1).otherwise(0) for s in G_STOPS
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("•"),
+        )
+    )
+    n_ell = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_lines = F.size(lines)
+    mwl = tot_chars.cast("double") / n_words
+    symr = n_sym.cast("double") / n_words
+    alphaf = n_alpha.cast("double") / n_words
+    keep = (
+        (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
+        & (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
+        & (symr < G_MAX_SYMBOL_RATIO)
+        & (alphaf > G_MIN_ALPHA_FRAC)
+        & (stop_hits >= G_MIN_STOP_HITS)
+        & (n_bullet.cast("double") / n_lines <= G_MAX_BULLET_FRAC)
+        & (n_ell.cast("double") / n_lines <= G_MAX_ELLIPSIS_FRAC)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symr, 6).alias("symbol_ratio"),
+        F.round(alphaf, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -81,3 +81,50 @@ def test_pq_encode_laws(spark, sf_dir):
     tot = out.agg(F.sum("sub_err")).collect()[0][0]
     assert tot is not None and tot > 0
     out.unpersist()
+
+
+def test_gopher_filter_rules_and_binding_constraint(spark, sf_dir):
+    """Gopher gate: rule columns are consistent, and on the word-salad
+    corpus the REQUIRED-STOPWORD rule is the binding constraint (every
+    other rule passes for some docs; keep == false everywhere because
+    stop_hits < 2 everywhere — the gate working as designed). A crafted
+    English paragraph passes end-to-end."""
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.queries.pipelineq3 import (
+        G_MIN_STOP_HITS,
+        G_MIN_WORDS,
+        gopher_quality_filter,
+    )
+
+    out = gopher_quality_filter(spark, sf_dir).cache()
+    assert out.filter(F.col("stop_hits") >= G_MIN_STOP_HITS).count() == 0
+    assert out.filter(F.col("n_words") >= G_MIN_WORDS).count() > 0
+    assert out.filter("keep").count() == 0
+    bad = out.filter(
+        (F.col("alpha_frac") < 0) | (F.col("alpha_frac") > 1) | (F.col("symbol_ratio") < 0)
+    ).count()
+    assert bad == 0
+    out.unpersist()
+
+    # a real English paragraph passes every rule
+    para = (
+        "The quick brown fox jumps over the lazy dog and runs to the river with "
+        "a friend that have come along. " * 4
+    )
+    df = spark.createDataFrame([(1, para)], ["doc_id", "text"])
+    import flink_crawler_spark.queries.pipelineq3 as p3
+    from flink_crawler_spark.queries.base import t as _orig_t
+
+    # drive the same expressions over the crafted doc via a temp view swap
+    words = F.filter(F.split(F.col("text"), p3._G_WS), lambda x: x != "")
+    got = df.select(F.size(words).alias("n")).collect()[0]["n"]
+    assert got >= G_MIN_WORDS
+    # full operator over a substituted loader
+    real_t = p3.t
+    try:
+        p3.t = lambda spark_, sf_, name_: df
+        row = p3.gopher_quality_filter(spark, sf_dir).collect()[0]
+    finally:
+        p3.t = real_t
+    assert row["keep"] is True and row["stop_hits"] >= G_MIN_STOP_HITS
