@@ -92,6 +92,7 @@ class CrawlConfig:
     trace: bool = True  # UrlLogger analogue
     collect_stats: bool = True  # per-tick status counts (df.observe — rides the tick job)
     state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
+    keep_checkpoints: int | None = 3  # retention: newest N state_t* snapshots (None = keep all)
 
 
 @dataclass
@@ -515,6 +516,8 @@ def _crawl_body(
 
         if cfg.state_dir is not None:
             import os
+            import re as _re
+            import shutil as _shutil
 
             path = os.path.join(cfg.state_dir, f"state_t{tick}")
             new_state.write.mode("overwrite").parquet(path)
@@ -522,6 +525,21 @@ def _crawl_body(
             with open(tmp, "w") as fh:
                 fh.write(str(tick))
             os.replace(tmp, os.path.join(cfg.state_dir, "_LATEST"))  # atomic
+            # retention sweep: a long crawl writes thousands of ticks —
+            # keep the newest keep_checkpoints snapshots (the marker
+            # already points at the newest, so older ones only serve
+            # manual rollback). Sweep AFTER the marker flips, so a crash
+            # mid-sweep still leaves a consistent latest.
+            if cfg.keep_checkpoints is not None and cfg.keep_checkpoints >= 1:
+                snaps = sorted(
+                    int(m.group(1))
+                    for d in os.listdir(cfg.state_dir)
+                    if (m := _re.fullmatch(r"state_t(\d+)", d))
+                )
+                for old in snaps[: -cfg.keep_checkpoints]:
+                    _shutil.rmtree(
+                        os.path.join(cfg.state_dir, f"state_t{old}"), ignore_errors=True
+                    )
 
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state

@@ -56,3 +56,40 @@ def test_resume_skips_seeding(spark, tmp_path):
     urls = {r["url"] for r in res.crawl_state.collect()}
     assert "http://c.com/other" not in urls
     assert "http://c.com/p0" in urls
+
+
+def test_checkpoint_retention_sweeps_old_snapshots(spark, tmp_path):
+    """keep_checkpoints retains only the newest N state_t* dirs while
+    _LATEST keeps pointing at a live snapshot; resume still works."""
+    pages = chain_graph(spark)
+    seeds = spark.createDataFrame([("http://c.com/p0", 1.0)], ["url", "score"])
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    res = crawl(
+        spark, seeds, pages=pages,
+        config=CrawlConfig(max_ticks=8, trace=False, state_dir=sd, keep_checkpoints=2),
+    )
+    snaps = sorted(d for d in os.listdir(sd) if d.startswith("state_t"))
+    assert len(snaps) == 2, snaps
+    with open(os.path.join(sd, "_LATEST")) as fh:
+        latest = int(fh.read())
+    assert f"state_t{latest}" in snaps  # marker points at a kept snapshot
+    # resume from the swept dir reproduces the finished state
+    again = crawl(
+        spark, seeds, pages=pages,
+        config=CrawlConfig(max_ticks=10, trace=False, state_dir=sd, keep_checkpoints=2),
+    )
+    assert state_of(again) == state_of(res)
+
+
+def test_keep_all_checkpoints_when_disabled(spark, tmp_path):
+    pages = chain_graph(spark)
+    seeds = spark.createDataFrame([("http://c.com/p0", 1.0)], ["url", "score"])
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    res = crawl(
+        spark, seeds, pages=pages,
+        config=CrawlConfig(max_ticks=4, trace=False, state_dir=sd, keep_checkpoints=None),
+    )
+    snaps = [d for d in os.listdir(sd) if d.startswith("state_t")]
+    assert len(snaps) == min(res.ticks, 4)
