@@ -500,3 +500,70 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.cast("long").alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_ingest_dedup — new batch vs corpus history
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle="""
+WITH hist AS (
+  SELECT md5(text) AS dig,
+         md5(array_to_string(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS norm
+  FROM documents WHERE regexp_matches(source, '^src[0-9]$')
+),
+batch AS (
+  SELECT doc_id, md5(text) AS dig,
+         md5(array_to_string(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS norm
+  FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+)
+SELECT b.doc_id,
+       EXISTS (SELECT 1 FROM hist h WHERE h.dig = b.dig) AS dup_exact,
+       EXISTS (SELECT 1 FROM hist h WHERE h.norm = b.norm) AS dup_normalized,
+       NOT EXISTS (SELECT 1 FROM hist h WHERE h.norm = b.norm) AS admitted
+FROM batch b
+""",
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the production shape where a NEW
+    batch is deduplicated against the ACCUMULATED corpus, not against
+    itself. History = sources src0..src9, batch = the rest; a batch doc
+    is rejected when its exact digest or its whitespace/punctuation-
+    normalized fingerprint already exists in history (normalized
+    catches trivially-reformatted reposts that exact md5 misses).
+
+    Scale shape: the history side is a digest TABLE (two 16-byte
+    columns per historical doc — a 100 TB corpus compresses to a few
+    TB of digests, stored bucketed by digest), and admission is two
+    left-semi joins on those buckets; the new batch alone shuffles.
+    The full-corpus variants (dedup_exact, minhash/LSH) stay for
+    intra-batch dedup — this operator is the cross-snapshot half."""
+    from ..functions.text import fingerprint_expr
+
+    docs = t(spark, sf_dir, "documents")
+    is_hist = F.col("source").rlike("^src[0-9]$")
+    keyed = docs.select(
+        "doc_id",
+        is_hist.alias("__hist"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("dig"),
+        fingerprint_expr(F.col("text")).alias("norm"),
+    )
+    hist = keyed.filter("__hist")
+    batch = keyed.filter(~F.col("__hist"))
+    hist_dig = hist.select("dig").distinct().withColumn("__d", F.lit(True))
+    hist_norm = hist.select("norm").distinct().withColumn("__n", F.lit(True))
+    return (
+        batch.join(hist_dig, "dig", "left")
+        .join(hist_norm, "norm", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__d", F.lit(False)).alias("dup_exact"),
+            F.coalesce("__n", F.lit(False)).alias("dup_normalized"),
+            (~F.coalesce("__n", F.lit(False))).alias("admitted"),
+        )
+    )

@@ -128,3 +128,16 @@ def test_gopher_filter_rules_and_binding_constraint(spark, sf_dir):
     finally:
         p3.t = real_t
     assert row["keep"] is True and row["stop_hits"] >= G_MIN_STOP_HITS
+
+
+def test_incremental_dedup_exact_implies_normalized(spark, sf_dir):
+    """Exact duplicate (byte-identical text) is always also a normalized
+    duplicate; admitted == not normalized-dup."""
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.queries.pipelineq3 import incremental_ingest_dedup
+
+    out = incremental_ingest_dedup(spark, sf_dir)
+    viol = out.filter(F.col("dup_exact") & ~F.col("dup_normalized")).count()
+    assert viol == 0
+    assert out.filter(F.col("admitted") == F.col("dup_normalized")).count() == 0
