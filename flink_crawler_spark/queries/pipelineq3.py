@@ -1,26 +1,23 @@
-"""Training-data pipeline operators, wave 4: semantic dedup + corpus
-sharding.
-
-Beyond-reference extensions (the reference stops at page-level TSV
-export, ``CrawlTopologyBuilder.java:455-463``); both exact-oracled:
+"""Training-data pipeline operators, wave 4 — the published curation
+stack, all exact-oracled (beyond-reference; the reference stops at
+page-level TSV export, ``CrawlTopologyBuilder.java:455-463``):
 
   * semdedup_prune — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
-    k-means-cluster the embedding corpus, then drop near-duplicate
-    vectors WITHIN each cluster (cosine above a threshold), keeping one
-    representative per duplicate group. Clustering turns the O(n^2)
-    pairwise problem into sum-of-cluster-squares — the published scaling
-    trick this operator reproduces.
-  * corpus_shuffle_shard — the deterministic global shuffle + shard
-    assignment every pretraining corpus build runs before writing
-    training shards: md5-keyed order (engine-independent), uniform shard
-    id from the key's hex digits, per-shard position via a window that
-    parallelizes across shards.
-
-Scale notes: semdedup's pair join shuffles once on (cid) and is
-quadratic only within a cluster (K grows with corpus size to bound
-cluster width; the reference paper runs K=50k on 5B embeddings).
-Sharding shuffles once on shard id; position assignment is a per-shard
-window, embarrassingly parallel across N_SHARDS.
+    k-means-cluster the embedding corpus, then drop within-cluster
+    cosine near-duplicates; clustering turns the O(n^2) pairwise
+    problem into sum-of-cluster-squares (the paper runs K=50k on 5B
+    embeddings — K grows with corpus size to bound cluster width).
+  * corpus_shuffle_shard — deterministic md5-keyed global shuffle +
+    uniform shard ids + per-shard positions; the training-tape layout.
+  * pq_codebook_encode / ann_topk_pq_adc — product quantization
+    (per-subspace exact-Lloyd codebooks, 64 floats -> 8 codes) and the
+    ADC lookup-table search over the codes: the IVF-PQ storage+query
+    layout a 100 TB embedding store runs.
+  * gopher_quality_filter — the published Gopher A1.1.1 heuristic
+    quality rules as one codegen'd projection.
+  * incremental_ingest_dedup — new-batch-vs-corpus-history admission
+    via digest tables (the production ingestion shape; only the new
+    batch shuffles).
 """
 
 from __future__ import annotations
