@@ -48,6 +48,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
+    # the driver's value hash is TYPE-sensitive: a DuckDB HUGEINT sum
+    # arrives as float64 and hash-mismatches Spark's int64 even when the
+    # values are equal, and list cells crash its pandas sort. Flag both
+    # here so they never reach the driver.
+    for c in spark_pdf.columns:
+        ka, kb = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if (ka in "iu") != (kb in "iu") or (ka == "f") != (kb == "f") or (ka == "b") != (kb == "b"):
+            problems.append(
+                f"dtype mismatch in col {c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                " (the driver hash is type-sensitive — CAST the oracle column)"
+            )
+        if ka == "O" and len(spark_pdf) and isinstance(spark_pdf[c].iloc[0], (list, dict)):
+            problems.append(
+                f"complex-typed output col {c}: the driver canon cannot sort list/map cells"
+                " — array_join to a scalar"
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
