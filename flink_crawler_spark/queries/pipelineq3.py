@@ -18,6 +18,10 @@ page-level TSV export, ``CrawlTopologyBuilder.java:455-463``):
   * incremental_ingest_dedup — new-batch-vs-corpus-history admission
     via digest tables (the production ingestion shape; only the new
     batch shuffles).
+  * char_dup_spans — the exact-substring duplication signal (Lee et
+    al. 2022, arXiv:2107.06499): strided fixed-length char spans
+    hashed and counted across docs; the suffix-array pass collapses,
+    distributed, to a hash-groupBy over 16-byte span keys.
 """
 
 from __future__ import annotations
@@ -563,4 +567,87 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__n", F.lit(False)).alias("dup_normalized"),
             (~F.coalesce("__n", F.lit(False))).alias("admitted"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# char_dup_spans — exact-substring dedup signal (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+SPAN_L = 40  # span length in chars (the paper dedups 50-token substrings)
+SPAN_S = 20  # stride between span starts
+
+
+@register(
+    "char_dup_spans",
+    oracle=f"""
+WITH spans AS (
+  SELECT doc_id, s, md5(substr(text, s, {SPAN_L})) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SPAN_L} + 1, {SPAN_S})) AS s
+        FROM documents
+        WHERE length(text) >= {SPAN_L})
+),
+freq AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM spans s LEFT JOIN freq f USING (h)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       coalesce(p.n_dup, 0) AS n_dup_spans,
+       round(coalesce(CAST(p.n_dup AS DOUBLE) / p.n_spans, 0.0), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def char_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022,
+    arXiv:2107.06499 — 'Deduplicating Training Data Makes Language
+    Models Better'): fixed-length character spans sampled every SPAN_S
+    chars; a span whose exact bytes appear in >= 2 distinct documents is
+    duplicated text, and each doc reports its duplicated-span fraction —
+    the signal the paper's ExactSubstr pass cuts on. The suffix-array
+    machinery of the paper collapses, distributed, to a hash-groupBy
+    over strided spans: one shuffle on the span hash (16-byte keys, not
+    the spans themselves), one shuffle back on doc_id; the hot-span set
+    is the heavy-hitter tail. Token-level and segment-level twins:
+    segment_boilerplate_filter, ngram_jaccard_pairs."""
+    docs = t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    starts = F.when(
+        ln >= SPAN_L, F.sequence(F.lit(1), ln - SPAN_L + 1, F.lit(SPAN_S))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        "doc_id", F.explode(starts).alias("s"), "text"
+    ).select("doc_id", F.md5(F.encode(F.expr(f"substring(text, s, {SPAN_L})"), "UTF-8")).alias("h"))
+    # scanned twice (frequency + rebuild join): checkpoint the 16-byte
+    # hash frame once instead of re-running explode+md5 over the corpus
+    spans = spans.localCheckpoint(eager=True)
+    freq = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("__dup", F.lit(True))
+    )
+    per_doc = (
+        spans.join(freq, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(False)).cast("long")).alias("n_dup"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup").cast("double") / F.col("n_spans"), F.lit(0.0)), 6
+        ).alias("dup_frac"),
     )
