@@ -651,3 +651,100 @@ def char_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dup").cast("double") / F.col("n_spans"), F.lit(0.0)), 6
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights — hashed importance resampling toward a target
+# ---------------------------------------------------------------------------
+
+DSIR_B = 256          # hashed feature buckets (two md5 hex digits — uniform)
+DSIR_TARGET = "src0"  # the high-quality target distribution
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(list_distinct({{toks}})) AS tok
+  FROM documents
+),
+feats AS (
+  SELECT DISTINCT doc_id, source,
+         ((strpos('{_HEX}', substr(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('{_HEX}', substr(md5(tok), 2, 1)) - 1)) % {DSIR_B} AS b
+  FROM toks
+),
+tgt AS (SELECT b, count(*) AS tc FROM feats WHERE source = '{DSIR_TARGET}' GROUP BY b),
+raw AS (SELECT b, count(*) AS rc FROM feats GROUP BY b),
+tots AS (
+  SELECT (SELECT count(*) FROM feats WHERE source = '{DSIR_TARGET}') AS t_tot,
+         (SELECT count(*) FROM feats) AS r_tot
+),
+ratio AS (
+  SELECT r.b,
+         round(ln((CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (tots.t_tot + {DSIR_B}))
+                / (CAST(r.rc + 1 AS DOUBLE) / (tots.r_tot + {DSIR_B}))), 6) AS lr
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(CAST(ratio.lr AS DECIMAL(28,6))) AS DOUBLE) AS weight
+FROM feats f JOIN ratio USING (b)
+GROUP BY f.doc_id
+""".replace("{toks}", "list_filter(string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x <> '')"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169 — DSIR): score every document by how much its
+    hashed-feature distribution looks like a TARGET corpus relative to
+    the raw pool. Features are distinct tokens hashed into 256 buckets;
+    each bucket carries ln of the add-one-smoothed target/raw presence
+    ratio, and a doc's weight is the sum over its buckets — positive
+    means target-like, the quantity DSIR resamples on.
+
+    Exactness: the log-ratios round to 6dp and sum as DECIMAL (the
+    repo's order-independent discipline; tfidf set the ln precedent),
+    so weights match the oracle bit-for-bit. Scale shape: the bucket
+    stats are a 256-row broadcast however big the corpus is; the only
+    per-doc work is one explode + groupBy — and the same two-pass shape
+    (estimate distributions on a sample, score the full corpus) is the
+    paper's own recipe."""
+    from ..functions.text import tokens_expr
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
+    )
+    bucket = (
+        (F.expr(f"locate(substr(md5(tok), 1, 1), '{_HEX}') - 1") * 16
+         + F.expr(f"locate(substr(md5(tok), 2, 1), '{_HEX}') - 1")) % DSIR_B
+    )
+    feats = toks.select("doc_id", "source", bucket.alias("b")).distinct()
+    feats = feats.localCheckpoint(eager=True)  # scanned 3x (tgt/raw/score)
+    tgt = feats.filter(F.col("source") == DSIR_TARGET).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    t_tot = feats.filter(F.col("source") == DSIR_TARGET).count()
+    r_tot = feats.count()
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce("tc", F.lit(0)) + 1).cast("double") / F.lit(float(t_tot + DSIR_B)))
+                    / ((F.col("rc") + 1).cast("double") / F.lit(float(r_tot + DSIR_B)))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(28,6)")).cast("double").alias("weight"),
+        )
+    )

@@ -141,3 +141,26 @@ def test_incremental_dedup_exact_implies_normalized(spark, sf_dir):
     viol = out.filter(F.col("dup_exact") & ~F.col("dup_normalized")).count()
     assert viol == 0
     assert out.filter(F.col("admitted") == F.col("dup_normalized")).count() == 0
+
+
+def test_dsir_target_docs_score_higher(spark, sf_dir):
+    """DSIR signal direction: the target source's own documents average
+    a HIGHER importance weight than the rest of the pool (they define
+    the target distribution), and every doc gets a finite weight."""
+    from pyspark.sql import functions as F
+
+    from flink_crawler_spark.queries.pipelineq3 import DSIR_TARGET, dsir_importance_weights
+    from flink_crawler_spark.queries.base import t as load
+
+    w = dsir_importance_weights(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = w.join(docs, "doc_id").cache()
+    assert j.filter(F.col("weight").isNull() | F.isnan("weight")).count() == 0
+    means = {
+        r["is_t"]: r["mw"]
+        for r in j.groupBy((F.col("source") == DSIR_TARGET).alias("is_t"))
+        .agg(F.avg("weight").alias("mw"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    j.unpersist()
