@@ -13,7 +13,8 @@ Two tiers, mirroring the two parse paths:
   path: BOM sniff on the raw bytes, header/meta regexp, then a
   when-chain over the charsets Spark's ``decode`` supports (UTF-8,
   UTF-16 family, ISO-8859-1). Every branch is crash-proof: UTF-8 is
-  gated on ``is_valid_utf8``, UTF-16 on even byte length, and the
+  gated on ``is_valid_utf8``, UTF-16 on ``utf16_valid_expr`` (even
+  byte length AND correctly paired surrogates), and the
   fallback is ISO-8859-1 (total: every byte sequence decodes). Without
   this gate a single Shift-JIS page kills the whole stage with
   MALFORMED_CHARACTER_CODING — at crawl scale that is a guaranteed
@@ -90,21 +91,55 @@ def charset_expr(content: Column, content_type: Column | None) -> Column:
     )
 
 
+# UTF-16 validity, checked JVM-side over the ISO-8859-1 byte proxy (one
+# char per byte). Spark 4's decode throws MALFORMED_CHARACTER_CODING on
+# an *unpaired surrogate* even when the byte length is even — and the
+# crawl loop's max_content_size byte truncation can itself split a
+# surrogate pair — so evenness alone is not a sufficient guard. A valid
+# stream is a sequence of units that are either non-surrogate (high byte
+# outside D8-DF) or a D8-DB high surrogate immediately followed by a
+# DC-DF low surrogate. The two alternatives are disjoint on the high
+# byte, so the possessive repetition is strictly linear (no backtracking).
+_U16LE_VALID_RE = (
+    "(?s)^(?:[\\s\\S][\\x00-\\xd7\\xe0-\\xff]"
+    "|[\\s\\S][\\xd8-\\xdb][\\s\\S][\\xdc-\\xdf])*+$"
+)
+_U16BE_VALID_RE = (
+    "(?s)^(?:[\\x00-\\xd7\\xe0-\\xff][\\s\\S]"
+    "|[\\xd8-\\xdb][\\s\\S][\\xdc-\\xdf][\\s\\S])*+$"
+)
+
+
+def utf16_valid_expr(content: Column, big_endian: bool) -> Column:
+    """True iff ``content`` is decodable UTF-16 (even length, every
+    surrogate correctly paired). Total: never throws, any input."""
+    proxy = F.decode(content, "ISO-8859-1")  # total: one char per byte
+    pat = _U16BE_VALID_RE if big_endian else _U16LE_VALID_RE
+    return (F.length(content) % 2 == 0) & proxy.rlike(pat)
+
+
 def decode_expr(content: Column, content_type: Column | None = None) -> Column:
     """Charset-aware page decode (JVM-side), crash-proof by construction.
 
     Replaces the old ``F.decode(content, "UTF-8")``, which raises
     MALFORMED_CHARACTER_CODING on the first non-UTF-8 page. Each branch
-    is guarded so ``decode`` only ever sees input it can represent; the
-    residual fallback (ISO-8859-1) accepts any byte sequence. A leading
-    BOM is stripped after decode.
+    is guarded so ``decode`` only ever sees input it can represent —
+    UTF-8 via ``is_valid_utf8``, UTF-16 via ``utf16_valid_expr`` (even
+    length AND paired surrogates; evenness alone is not enough, see
+    above) — and the residual fallback (ISO-8859-1) accepts any byte
+    sequence. A leading BOM is stripped after decode.
     """
     cs = charset_expr(content, content_type)
-    even = F.length(content) % 2 == 0
     decoded = (
         F.when((cs == "UTF-8") & F.is_valid_utf8(content), F.decode(content, "UTF-8"))
-        .when((cs == "UTF-16LE") & even, F.decode(content, "UTF-16LE"))
-        .when((cs == "UTF-16BE") & even, F.decode(content, "UTF-16BE"))
+        .when(
+            (cs == "UTF-16LE") & utf16_valid_expr(content, big_endian=False),
+            F.decode(content, "UTF-16LE"),
+        )
+        .when(
+            (cs == "UTF-16BE") & utf16_valid_expr(content, big_endian=True),
+            F.decode(content, "UTF-16BE"),
+        )
         .otherwise(F.decode(content, "ISO-8859-1"))
     )
     return F.regexp_replace(decoded, "^\\uFEFF", "")

@@ -20,6 +20,7 @@ leading ``www.`` dropped, default ports dropped).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -167,20 +168,21 @@ def archive_fetch(
     spark = frontier.sparkSession
     result_cols = [f.name for f in FETCH_RESULT_SCHEMA.fields]
 
-    def empty_results():
-        return spark.createDataFrame([], FETCH_RESULT_SCHEMA)
-
-    def finalize(pdf_rows: list[dict]) -> DataFrame:
-        if not pdf_rows:
-            return empty_results()
-        return spark.createDataFrame(pd.DataFrame(pdf_rows, columns=result_cols), FETCH_RESULT_SCHEMA)
-
     def status_row(orig_url: str, status: str, fetched_url: str | None = None) -> dict:
         return {
             "url": orig_url, "pld": None, "status": status, "status_time": now_ms,
             "fetched_url": fetched_url or orig_url, "headers": {}, "content": None,
             "content_type": None, "response_rate": 0, "next_fetch_time": None,
         }
+
+    def _urljoin_fn(base: pd.Series, loc: pd.Series) -> pd.Series:
+        from urllib.parse import urljoin as _uj
+
+        return pd.Series(
+            [_uj(b or "", l or "") for b, l in zip(base, loc)], dtype="object"
+        )
+
+    _urljoin = F.pandas_udf(_urljoin_fn, "string")
 
     def read_round():
         """mapInPandas body: ranged read + WARC parse per hit row.
@@ -230,8 +232,8 @@ def archive_fetch(
     # round state: (orig_url, url) pairs still being chased
     pending = frontier.select(F.col(url_col).alias("orig_url"), F.col(url_col).alias("url"))
     finished: list[DataFrame] = []
-    driver_rows: list[dict] = []
     round_caches: list[DataFrame] = []
+    empty_headers = F.from_json(F.lit("{}"), "map<string,array<string>>")
 
     for hop in range(max_redirects + 1):
         if pending.isEmpty():
@@ -276,31 +278,56 @@ def archive_fetch(
             .persist()
         )
         round_caches.append(fetched)
-        redirects = fetched.filter(F.map_contains_key("headers", "__redirect")).collect()
         finished.append(fetched.filter(~F.map_contains_key("headers", "__redirect")))
 
-        nxt = []
-        for r in redirects:
-            code, location = int(r.headers["__redirect"][0]), r.headers["__redirect"][1]
-            permanent = code in (301, 308)
-            follow = redirect_mode == "FOLLOW_ALL" or (
-                redirect_mode == "FOLLOW_TEMP" and not permanent
+        # Redirect routing stays set-based — no driver collect. The
+        # follow / permanent / too-many-hops policy is pure column
+        # logic (CommonCrawlFetcher.java:135-196 semantics), and the
+        # Location resolution runs executor-side via the vectorized
+        # urljoin UDF; row counts per round are unbounded and never
+        # funnel through the driver.
+        red = fetched.filter(F.map_contains_key("headers", "__redirect"))
+        code = F.element_at(F.col("headers")["__redirect"], 1).cast("int")
+        location = F.element_at(F.col("headers")["__redirect"], 2)
+        permanent = code.isin(301, 308)
+        if redirect_mode == "FOLLOW_ALL":
+            follow = F.lit(True)
+        elif redirect_mode == "FOLLOW_TEMP":
+            follow = ~permanent
+        else:
+            follow = F.lit(False)
+        terminal_status = (
+            F.when(~follow & permanent, F.lit("HTTP_MOVED_PERMANENTLY"))
+            .when(~follow, F.lit("HTTP_REDIRECTION_ERROR"))
+            .when(F.lit(hop == max_redirects), F.lit("HTTP_TOO_MANY_REDIRECTS"))
+        )
+        routed = red.select(
+            "url",
+            "fetched_url",
+            terminal_status.alias("__status"),
+            F.when(
+                follow & F.lit(hop < max_redirects),
+                _urljoin(F.col("fetched_url"), location),
+            ).alias("__next"),
+        )
+        finished.append(
+            routed.filter(F.col("__status").isNotNull()).select(
+                F.col("url"),
+                F.lit(None).cast("string").alias("pld"),
+                F.col("__status").alias("status"),
+                F.lit(now_ms).cast("long").alias("status_time"),
+                F.col("fetched_url"),
+                empty_headers.alias("headers"),
+                F.lit(None).cast("binary").alias("content"),
+                F.lit(None).cast("string").alias("content_type"),
+                F.lit(0).alias("response_rate"),
+                F.lit(None).cast("long").alias("next_fetch_time"),
             )
-            if not follow:
-                driver_rows.append(status_row(
-                    r.url,
-                    "HTTP_MOVED_PERMANENTLY" if permanent else "HTTP_REDIRECTION_ERROR",
-                    r.fetched_url,
-                ))
-            elif hop == max_redirects:
-                driver_rows.append(status_row(r.url, "HTTP_TOO_MANY_REDIRECTS", r.fetched_url))
-            else:
-                from urllib.parse import urljoin
+        )
+        pending = routed.filter(F.col("__next").isNotNull()).select(
+            F.col("url").alias("orig_url"), F.col("__next").alias("url")
+        )
 
-                nxt.append((r.url, urljoin(r.fetched_url, location)))
-        pending = spark.createDataFrame(nxt, "orig_url string, url string") if nxt else spark.createDataFrame([], "orig_url string, url string")
-
-    finished.append(finalize(driver_rows))
     out = finished[0]
     for df in finished[1:]:
         out = out.unionByName(df)
@@ -335,8 +362,16 @@ def cached_range_reader(archive_dir: str, cache_dir: str | None = None):
         src = filename if os.path.isabs(filename) else os.path.join(archive_dir, filename)
         path = src
         if cache_dir is not None:
+            import hashlib
+
             os.makedirs(cache_dir, exist_ok=True)
-            cached = os.path.join(cache_dir, os.path.basename(filename))
+            # Key by a digest of the FULL path, not the basename: two CDX
+            # filenames with equal basenames in different segment dirs
+            # must not collide and serve bytes from the wrong segment.
+            digest = hashlib.md5(filename.encode("utf-8")).hexdigest()[:16]
+            cached = os.path.join(
+                cache_dir, digest + "-" + os.path.basename(filename)
+            )
             if not os.path.exists(cached):
                 tmp = cached + ".tmp-" + str(os.getpid())
                 shutil.copyfile(src, tmp)

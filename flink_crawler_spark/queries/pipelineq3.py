@@ -423,9 +423,9 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       round(CAST(tot_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
-       round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
-       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+       round(CASE WHEN n_words > 0 THEN CAST(tot_chars AS DOUBLE) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+       round(CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+       round(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END, 6) AS alpha_frac,
        CAST(stop_hits AS BIGINT) AS stop_hits,
        (n_words >= {G_MIN_WORDS} AND n_words <= {G_MAX_WORDS}
         AND CAST(tot_chars AS DOUBLE) / n_words >= {G_MIN_MWL}
@@ -480,9 +480,14 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_ell = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
     n_lines = F.size(lines)
-    mwl = tot_chars.cast("double") / n_words
-    symr = n_sym.cast("double") / n_words
-    alphaf = n_alpha.cast("double") / n_words
+    # n_words == 0 guard (whitespace-only doc): DuckDB's list_sum of an
+    # empty list is NULL and its ratios go NULL, Spark's aggregate seed
+    # gives 0 and 0/0 gives NaN — pin BOTH sides to a 0.0 sentinel so
+    # the pair stays exact on corpora with empty docs.
+    has_words = n_words > 0
+    mwl = F.when(has_words, tot_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    symr = F.when(has_words, n_sym.cast("double") / n_words).otherwise(F.lit(0.0))
+    alphaf = F.when(has_words, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
     keep = (
         (n_words >= G_MIN_WORDS) & (n_words <= G_MAX_WORDS)
         & (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
@@ -514,13 +519,13 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hist AS (
   SELECT md5(text) AS dig,
          md5(array_to_string(list_filter(
-             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS norm
+             string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x != ''), ' ')) AS norm
   FROM documents WHERE regexp_matches(source, '^src[0-9]$')
 ),
 batch AS (
   SELECT doc_id, md5(text) AS dig,
          md5(array_to_string(list_filter(
-             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS norm
+             string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x != ''), ' ')) AS norm
   FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
 )
 SELECT b.doc_id,

@@ -218,7 +218,10 @@ def test_commoncrawl_fetch_fn_drives_crawl_loop(spark, tmp_path):
     # SegmentCache: the segment was copied into the cache dir exactly once
     import os
 
-    assert os.listdir(cache) == ["segment-00000.warc.gz"]
+    entries = os.listdir(cache)
+    # cache key = md5(full path) prefix + basename (collision-proof for
+    # equal basenames in different segment dirs)
+    assert len(entries) == 1 and entries[0].endswith("-segment-00000.warc.gz")
 
 
 def test_cli_commoncrawl_mode(spark, tmp_path):
@@ -251,3 +254,34 @@ def test_crawl_requires_exactly_one_fetch_source(spark):
     seeds = spark.createDataFrame([("http://x.com/", 1.0)], ["url", "score"])
     with _pytest.raises(ValueError):
         crawl(spark, seeds)
+
+
+def test_archive_fetch_many_redirects_set_based(spark, tmp_path):
+    """A redirect-heavy batch (every URL redirects, multi-hop chains)
+    resolves entirely set-based — redirect routing is column logic plus
+    an executor-side urljoin, with no per-row driver round-trip
+    (CommonCrawlFetcher.java:135-196 semantics)."""
+    from flink_crawler_spark.operators.commoncrawl import archive_fetch
+
+    pages = []
+    # 20 independent 3-hop chains: /h0-i -> /h1-i -> /h2-i -> /final-i,
+    # with relative Location headers to exercise executor-side urljoin
+    for i in range(20):
+        pages.append((f"http://m.example.com/h0-{i}", 302, {"Location": f"h1-{i}"}, b""))
+        pages.append((f"http://m.example.com/h1-{i}", 301, {"Location": f"/h2-{i}"}, b""))
+        pages.append((f"http://m.example.com/h2-{i}", 307,
+                      {"Location": f"http://m.example.com/final-{i}"}, b""))
+        pages.append((f"http://m.example.com/final-{i}", 200,
+                      {"Content-Type": "text/html"}, f"<html>{i}</html>".encode()))
+    _, cdx_rows = _build_archive(tmp_path, pages)
+    cdx = _cdx_df(spark, cdx_rows)
+    frontier = spark.createDataFrame(
+        [(f"http://m.example.com/h0-{i}",) for i in range(20)], ["url"]
+    )
+    got = {r["url"]: r for r in archive_fetch(frontier, cdx, max_redirects=3, now_ms=1).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[f"http://m.example.com/h0-{i}"]
+        assert r["status"] == "FETCHED"
+        assert r["fetched_url"] == f"http://m.example.com/final-{i}"
+        assert bytes(r["content"]) == f"<html>{i}</html>".encode()

@@ -117,6 +117,33 @@ def test_fast_path_never_crashes_on_garbage(spark):
     assert "ok" in r.parsed_text
 
 
+def test_fast_path_utf16_unpaired_surrogate_total(spark):
+    """Spark 4 decode throws on an UNPAIRED surrogate even at even byte
+    length (e.g. a max_content_size truncation splitting a pair), so the
+    UTF-16 branch must validate surrogate pairing, not just evenness."""
+    from flink_crawler_spark.functions.charset import decode_expr, utf16_valid_expr
+
+    rows = [
+        (b"\xff\xfe\x00\xd8a\x00",),          # LE BOM + lone high surrogate
+        (b"\xfe\xff\xdc\x00\x00a",),          # BE BOM + lone LOW surrogate
+        (b"\xff\xfe\x00\xd8\x00\xdc",),       # LE BOM + VALID pair (U+10000)
+        ("wide".encode("utf-16"),),            # plain valid UTF-16
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    got = df.select(
+        decode_expr(F.col("content")).alias("text"),
+        utf16_valid_expr(F.col("content"), big_endian=False).alias("le_ok"),
+    ).collect()
+    # rows 0/1 fall to the total ISO-8859-1 decode instead of crashing
+    assert got[0].le_ok is False
+    assert got[0].text == "ÿþ\x00Øa\x00"
+    assert got[1].text == "þÿÜ\x00\x00a"
+    # valid surrogate pair and plain UTF-16 still decode at fidelity
+    assert got[2].le_ok is True
+    assert got[2].text == "\U00010000"
+    assert got[3].text == "wide"
+
+
 # ----------------------------------------------------------------------
 # language priority: header -> meta -> profiler
 # ----------------------------------------------------------------------
