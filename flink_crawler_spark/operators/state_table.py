@@ -50,16 +50,28 @@ def load_bucketed_state(spark: SparkSession, table: str) -> DataFrame:
 
 
 def tick_merge_bucketed(
-    spark: SparkSession, table: str, updates: DataFrame, *, buckets: int = 64
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    *,
+    buckets: int = 64,
+    merged_transform=None,
 ) -> DataFrame:
     """One durable tick: join-merge the delta into the bucketed table and
     crash-safely replace it (write to a staging table, rename the old
     state aside, swap, drop the backup — every crash window leaves a
-    recoverable table). Returns the new state frame."""
+    recoverable table). Returns the new state frame.
+
+    ``merged_transform`` (optional) decorates the merged frame before the
+    write — the crawl loop uses it to attach ``df.observe`` status
+    counters so per-tick metrics ride the state write job instead of
+    costing a second action."""
     from .merge import merge_updates_join
 
     state = load_bucketed_state(spark, table)
     merged = merge_updates_join(state, updates)
+    if merged_transform is not None:
+        merged = merged_transform(merged)
     staging = f"{table}__staging"
     save_bucketed_state(merged, staging, buckets=buckets)
     # crash-safe swap: the old state is renamed aside (recoverable) before
@@ -72,3 +84,17 @@ def tick_merge_bucketed(
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     return load_bucketed_state(spark, table)
+
+
+def set_state_tick(spark: SparkSession, table: str, tick: int) -> None:
+    """Record the completed tick number on the state table itself, so a
+    restarted crawl resumes at the right now_ms (the batch-loop analogue
+    of the reference's checkpointed iteration counter)."""
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('crawl.tick'='{int(tick)}')")
+
+
+def get_state_tick(spark: SparkSession, table: str) -> int:
+    """Completed-tick number stored on the table; 0 when unset."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return int(props.get("crawl.tick", 0))

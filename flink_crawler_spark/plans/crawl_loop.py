@@ -93,6 +93,36 @@ class CrawlConfig:
     collect_stats: bool = True  # per-tick status counts (df.observe — rides the tick job)
     state_dir: str | None = None  # durable checkpoint: crawl_state parquet per tick
     keep_checkpoints: int | None = 3  # retention: newest N state_t* snapshots (None = keep all)
+    # 100 TB state path: keep the URL DB as a catalog table bucketed by
+    # url (operators/state_table.py). The tick merge then runs
+    # tick_merge_bucketed — a bucket-local sort-merge join where the
+    # ONLY Exchange is the small per-tick delta's — instead of
+    # merge_updates' union re-aggregation, which re-shuffles the ENTIRE
+    # state every tick (tens of TB through the shuffle tier per tick at
+    # the reference's 100 B-link design scale, UrlDBFunction.java:94-139).
+    # The table doubles as the durable checkpoint (crash-safe staged
+    # swap + crawl.tick property), so it is mutually exclusive with
+    # state_dir.
+    state_table: str | None = None
+    state_buckets: int = 64  # physical layout constant — size for END state
+    # Long-crawl lineage bounding. The loop accumulates per-tick trace /
+    # parsed / domain-score frames; left lazy, each holds a reference to
+    # that tick's checkpointed state (or, in state_table mode, to a
+    # table version that no longer exists after the swap), so a
+    # 1,000-tick continuous crawl — the reference's operating mode,
+    # CrawlTopologyBuilder.java:250-466 — grows memory and plan-analysis
+    # cost without bound. With compaction ON, each tick folds its
+    # history into small eagerly-checkpointed frames (one tiny extra job
+    # per tick) and per-tick cost stays flat. None = auto: on when
+    # state_table is set (required for correctness there) or the crawl
+    # is long (max_ticks > 50); off for short bench loops where the
+    # extra per-tick job costs more than it saves.
+    compact_history: bool | None = None
+    keep_parsed: bool | None = None  # accumulate full parse output across
+    # ticks (res.parsed). None = auto: off under compaction (a
+    # continuous crawl streams parse output to sinks instead of
+    # accumulating it; eagerly materializing full parse every tick
+    # defeats the pruned-projection hot path), on otherwise.
 
 
 @dataclass
@@ -238,9 +268,16 @@ def _crawl_body(
         )
 
     now_ms = start_ms
+    compact = cfg.compact_history
+    if compact is None:
+        compact = cfg.state_table is not None or cfg.max_ticks > 50
+    keep_parsed = cfg.keep_parsed
+    if keep_parsed is None:
+        keep_parsed = not compact
     trace_frames: list[DataFrame] = []
     parsed_frames: list[DataFrame] = []
     domain_score_hist: list[DataFrame] = []  # (pld, seq, score) per tick
+    budget_slim_frames: list[DataFrame] = []  # budget-mode persists to free
     stats: list[dict] = []
 
     def record(tick: int, operator: str, df: DataFrame, url_col: str = "url"):
@@ -260,6 +297,18 @@ def _crawl_body(
     # tick with exactly-once effects — strictly stronger.
     start_tick = 0
     resumed = False
+    if cfg.state_table is not None and cfg.state_dir is not None:
+        raise ValueError("state_table and state_dir are mutually exclusive")
+    if cfg.state_table is not None:
+        from ..operators.state_table import get_state_tick, load_bucketed_state
+
+        if spark.catalog.tableExists(cfg.state_table) or spark.catalog.tableExists(
+            f"{cfg.state_table}__old"
+        ):
+            crawl_state = load_bucketed_state(spark, cfg.state_table)
+            start_tick = get_state_tick(spark, cfg.state_table)
+            now_ms += start_tick * cfg.tick_ms
+            resumed = True
     if cfg.state_dir is not None:
         import os
 
@@ -285,9 +334,19 @@ def _crawl_body(
         # normalize to the same URL (scores sum, exactly the UNFETCHED lattice)
         cleaned = clean_urls(seeds, redirects, single_domain=cfg.single_domain)
         record(0, "seed", cleaned)
-        crawl_state = merge_crawl_state(
-            seeds_to_state(cleaned, now_ms=now_ms)
-        ).localCheckpoint(eager=True)
+        seeded = merge_crawl_state(seeds_to_state(cleaned, now_ms=now_ms))
+        if cfg.state_table is not None:
+            from ..operators.state_table import (
+                load_bucketed_state,
+                save_bucketed_state,
+                set_state_tick,
+            )
+
+            save_bucketed_state(seeded, cfg.state_table, buckets=cfg.state_buckets)
+            set_state_tick(spark, cfg.state_table, 0)
+            crawl_state = load_bucketed_state(spark, cfg.state_table)
+        else:
+            crawl_state = seeded.localCheckpoint(eager=True)
 
     # Sitemap URLs advertised by robots go straight to the sitemap fetch
     # path (CTB:325-350: the `sitemap` split bypasses the URL DB). With
@@ -316,6 +375,7 @@ def _crawl_body(
     while tick < cfg.max_ticks and time.time() < deadline:
         tick += 1
         now_ms += cfg.tick_ms
+        tick_mark = len(trace_frames)  # compaction: this tick's trace slice
 
         # persist (lazy) rather than checkpoint (eager job): the count()
         # below materializes the cache; downstream branches then reuse it.
@@ -330,15 +390,22 @@ def _crawl_body(
             hist = domain_score_hist[0]
             for h in domain_score_hist[1:]:
                 hist = hist.unionByName(h)
-            # G1: mean of the last N scores per domain (count window over
-            # arrival order — MovingAverageAccumulator semantics)
-            w = Window.partitionBy("pld").orderBy(F.col("seq").desc(), F.col("score"))
-            avg = (
-                hist.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= cfg.domain_score_window)
-                .groupBy("pld")
-                .agg(F.avg("score").alias("score"))
-            )
+            if compact:
+                # history is already folded to the newest N scores per
+                # pld (one checkpointed frame) — the mean is a plain agg
+                avg = hist.groupBy("pld").agg(F.avg("score").alias("score"))
+            else:
+                # G1: mean of the last N scores per domain (count window
+                # over arrival order — MovingAverageAccumulator semantics)
+                w = Window.partitionBy("pld").orderBy(
+                    F.col("seq").desc(), F.col("score")
+                )
+                avg = (
+                    hist.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= cfg.domain_score_window)
+                    .groupBy("pld")
+                    .agg(F.avg("score").alias("score"))
+                )
             frontier = select_frontier_with_quotas(
                 crawl_state,
                 avg,
@@ -445,13 +512,23 @@ def _crawl_body(
                 results, scorer=scorer, max_outlinks=cfg.max_outlinks
             ).persist()
         record(tick, "parsed", parsed_slim)
-        parsed_frames.append(parsed_output(parsed))
+        if keep_parsed:
+            pf = parsed_output(parsed)
+            if compact:
+                # eager: a lazy frame would reference this tick's caches
+                # / state-table version, which do not survive the tick
+                pf = pf.localCheckpoint(eager=True)
+            parsed_frames.append(pf)
         outlinks = outlink_output(parsed_slim)
         # G1 feedback: per-page domain scores enter the moving-average
-        # history that drives next tick's quotas (CTB:419-423 loop)
-        domain_score_hist.append(
-            domain_score_output(parsed_slim).withColumn("seq", F.lit(tick).cast("long"))
-        )
+        # history that drives next tick's quotas (CTB:419-423 loop);
+        # only tracked in budget mode — nothing reads it otherwise
+        if cfg.domain_score_budget is not None:
+            domain_score_hist.append(
+                domain_score_output(parsed_slim).withColumn(
+                    "seq", F.lit(tick).cast("long")
+                )
+            )
 
         # U2: sitemap entries — robots-advertised sitemaps resolve on the
         # first tick; sitemap URLs discovered as links resolve via the
@@ -475,13 +552,10 @@ def _crawl_body(
             .unionByName(new_obs.select(*OBS_COLS))
         )
 
-        # localCheckpoint truncates lineage — without it the state plan
-        # grows with every tick and analysis time explodes. This one job
-        # also materializes the frontier/results/parsed caches above.
-        merged = merge_updates(crawl_state, updates)
         state_obs = None
+        obs_aggs = None
         if cfg.collect_stats:
-            # status counters ride the checkpoint job via df.observe
+            # status counters ride the state job via df.observe
             # (CollectMetrics) — the Flink-counter surface
             # (StatusCounterFunction / DEFAULT_METRIC gauges) at zero
             # extra actions per tick, instead of a separate
@@ -491,21 +565,78 @@ def _crawl_body(
             from ..schemas import FETCH_STATUSES
 
             state_obs = Observation(f"state_t{tick}")
-            merged = merged.observe(
-                state_obs,
-                *[
-                    F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
-                    for s in FETCH_STATUSES
-                ],
+            obs_aggs = [
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                for s in FETCH_STATUSES
+            ]
+        if cfg.state_table is not None:
+            # 100 TB path: bucket-local join-merge into the durable table
+            # — the only Exchange in the merge plan is the per-tick
+            # delta's; the state side never re-shuffles
+            # (operators/state_table.py, test_bucketed_state.py)
+            from ..operators.state_table import set_state_tick, tick_merge_bucketed
+
+            new_state = tick_merge_bucketed(
+                spark,
+                cfg.state_table,
+                updates,
+                buckets=cfg.state_buckets,
+                merged_transform=(
+                    (lambda df: df.observe(state_obs, *obs_aggs))
+                    if state_obs is not None
+                    else None
+                ),
             )
-        new_state = merged.localCheckpoint(eager=True)
+            set_state_tick(spark, cfg.state_table, tick)
+        else:
+            # localCheckpoint truncates lineage — without it the state
+            # plan grows with every tick and analysis time explodes.
+            # This one job also materializes the frontier/results/parsed
+            # caches above.
+            merged = merge_updates(crawl_state, updates)
+            if state_obs is not None:
+                merged = merged.observe(state_obs, *obs_aggs)
+            new_state = merged.localCheckpoint(eager=True)
         n_frontier = frontier.count()  # reads the cache the job above filled
+
+        # ---- history compaction (long-crawl flat-cost path) ----
+        if cfg.domain_score_budget is not None and compact and domain_score_hist:
+            # fold the score history to the newest N scores per pld —
+            # ONE small checkpointed frame, so the quota plan and the
+            # frames it holds do not grow with tick count
+            from pyspark.sql import Window
+
+            hist = domain_score_hist[0]
+            for h in domain_score_hist[1:]:
+                hist = hist.unionByName(h)
+            w = Window.partitionBy("pld").orderBy(F.col("seq").desc(), F.col("score"))
+            folded = (
+                hist.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cfg.domain_score_window)
+                .drop("__rn")
+                .localCheckpoint(eager=True)
+            )
+            domain_score_hist.clear()
+            domain_score_hist.append(folded)
+        if compact and cfg.trace and len(trace_frames) > tick_mark:
+            # fold this tick's trace slice into one checkpointed chunk
+            # (reads only this tick's caches, which are still live)
+            chunk = trace_frames[tick_mark]
+            for f in trace_frames[tick_mark + 1 :]:
+                chunk = chunk.unionByName(f)
+            del trace_frames[tick_mark:]
+            trace_frames.append(chunk.localCheckpoint(eager=True))
+
         frontier.unpersist()
         results.unpersist()
-        if cfg.domain_score_budget is None:
-            # nothing reads it after the tick job; with quotas the
-            # moving-average history re-reads it on every later tick
+        if cfg.domain_score_budget is None or compact:
+            # nothing reads it after the tick job (under compaction its
+            # scores were folded into the checkpointed history above);
+            # without compaction the moving-average history re-reads it
+            # on every later tick — free it at loop exit instead
             parsed_slim.unpersist()
+        else:
+            budget_slim_frames.append(parsed_slim)
         if n_frontier == 0:
             # terminal tick: updates were empty, so new_state == crawl_state
             # (singleton merge groups are identity); stop like the
@@ -553,8 +684,19 @@ def _crawl_body(
                 if n is not None and int(n) > 0
             }
             stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
-            if counts.get("UNFETCHED", 0) == 0:
+            # early idle exit — but only when no refetch can come due
+            # within the remaining run horizon (a continuous/refetch
+            # crawl with zero UNFETCHED rows still has work coming:
+            # next_fetch_time = fetch_time + refetch_interval_ms)
+            no_refetch_due = cfg.refetch_interval_ms > (cfg.max_ticks - tick) * cfg.tick_ms
+            if counts.get("UNFETCHED", 0) == 0 and no_refetch_due:
                 break  # without stats, the empty-frontier check exits one tick later
+
+    # budget-mode (non-compact) parsed_slim persists are read by every
+    # later tick's moving-average plan — release them now that the loop
+    # is done (previously they leaked for the session's lifetime)
+    for f in budget_slim_frames:
+        f.unpersist()
 
     parsed_all = None
     if parsed_frames:

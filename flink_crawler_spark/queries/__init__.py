@@ -48,26 +48,27 @@ from . import extq  # noqa: E402,F401
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
     # --- §2 crawl core ---
-    "url_normalize_lite",        # P2 normalize
-    "url_validate",              # F1 validate
+    # (r4 rotation: url_normalize_lite / url_validate /
+    # url_lengthen_resolve / robots_longest_match / html_outlink_extract
+    # / sitemap_xml_roundtrip / surt_cdx_lookup / crawl_merge_lattice /
+    # domain_avg_of_avgs / union_outlinks_merge rotated OUT after 2-3
+    # green driver rounds each; 10 still-driver-unseen surfaces rotated
+    # IN below — see the r4 additions)
     "robots_wildcard_match",     # F2 RFC 9309 wildcard/anchor patterns (new r3)
-    "url_lengthen_resolve",      # P1/A4 lengthener (table join + live resolver + LRU)
-    "robots_longest_match",      # F2/J2 robots
-    "html_outlink_extract",      # U1 parse
     "parse_multiformat",         # U1 multi-format dispatch + watchdog
-    "sitemap_xml_roundtrip",     # U2 sitemap
-    "surt_cdx_lookup",           # J3 CommonCrawl CDX
     "crawl_reachability",        # §2.14 whole-topology loop
-    "crawl_merge_lattice",       # §2.5 merge lattice
     "frontier_topk",             # T1/§2.6 fetch-queue top-k
     "frontier_domain_quota",     # §2.5 per-domain quotas
-    "domain_avg_of_avgs",        # G2/S2 domain-score feedback
-    "union_outlinks_merge",      # O1-O3 unions + dedup-by-url
     "outlink_cap",               # T2/T3 outlink cap
     "politeness_lag",            # A2/J4 politeness
     "rate_window_30s",           # G4 TimedCounter rate gauge (rotated in, r3)
     "new_urls_anti_join",        # §2.12 anti join
     "trimmed_mean_price_udaf",   # §2.15 UDAF extension slot (rotated in, r3)
+    "moving_avg_10",             # G1 last-10 moving average (r4: back in, r1/r2 green)
+    "status_counts",             # G3 status counters (r4: back in, r1/r2 green)
+    "tsv_content_lines",         # P5 content-TSV formatter (r4: back in, r1/r2 green)
+    "warc_sink_source_roundtrip",  # W1 WARC bytes roundtrip (r4: first driver look)
+    "recrawl_schedule",          # AIMD refresh policy (r4: first driver look)
     # --- streaming (§2.14/J1) ---
     "stream_url_db_merge",
     "stream_window_counts",
@@ -81,6 +82,8 @@ PRIORITY_WINDOW = [
     "near_dup_clusters",
     "ppjoin_pairs",
     "simhash_near_dup_pairs",    # rotated in, r3 (r1-green; hard-verify again)
+    "char_dup_spans",            # exact-substring dup signal (r4: first driver look)
+    "incremental_ingest_dedup",  # cross-snapshot dedup (r4: first driver look)
     # --- validation / extension surface ---
     "data_quality_report",
     # --- similarity family ---
@@ -95,6 +98,9 @@ PRIORITY_WINDOW = [
     # --- pipeline-curation family ---
     "benchmark_contamination",
     "sequence_pack_chop",
+    "gopher_quality_filter",     # published Gopher gate (r4: first driver look)
+    "dsir_importance_weights",   # DSIR weighting (r4: first driver look)
+    "corpus_shuffle_shard",      # shard layout (r4: first driver look)
     # --- multimodal family ---
     "media_stats",
     "media_arrow_byte_stats",

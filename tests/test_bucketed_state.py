@@ -109,3 +109,80 @@ def test_bucketed_state_merge_shuffles_only_the_delta(spark, lattice_frames, tmp
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS crawl_state_test")
         spark.sql("DROP TABLE IF EXISTS crawl_state_test__staging")
+
+
+def test_crawl_loop_through_bucketed_state_table(spark, tmp_path):
+    """CrawlConfig.state_table wires tick_merge_bucketed into the loop:
+    the same fixture graph crawled through the default (union re-agg +
+    localCheckpoint) path and the bucketed-table path converges to the
+    IDENTICAL final state, the table stays bucketed (Exchange-free
+    groupBy on the key) after every swap, and a restarted crawl resumes
+    from the table instead of the seeds."""
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+    from flink_crawler_spark.sources.fixtures import (
+        render_pages,
+        web_graph_from_adjacency,
+    )
+
+    adjacency = {
+        "http://d1.com/": ["http://d1.com/a", "http://d1.com/b"],
+        "http://d1.com/a": ["http://d2.com/"],
+        "http://d1.com/b": ["http://d1.com/a"],
+        "http://d2.com/": ["http://d2.com/deep"],
+        "http://d2.com/deep": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame([("http://d1.com/", 1.0)], ["url", "score"])
+    table = "crawl_state_loop_test"
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        base = crawl(spark, seeds, pages=pages, config=CrawlConfig(max_ticks=8))
+        bucketed = crawl(
+            spark,
+            seeds,
+            pages=pages,
+            config=CrawlConfig(
+                max_ticks=8, state_table=table, state_buckets=n_buckets
+            ),
+        )
+        a = {r["url"]: r.asDict() for r in base.crawl_state.collect()}
+        b = {r["url"]: r.asDict() for r in bucketed.crawl_state.collect()}
+        assert a == b
+        assert b["http://d2.com/deep"]["status"] == "FETCHED"
+        # the final table is still bucketed by url: key-aligned agg plans
+        # with zero Exchange
+        plan = (
+            bucketed.crawl_state.groupBy("url")
+            .agg(F.sum("score"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 0
+        # trace survives the table swaps (compaction checkpoints it per
+        # tick) and matches the default path's per-operator URL sets
+        for op in ("frontier", "fetched", "outlink"):
+            sa = {r["url"] for r in base.trace.filter(F.col("operator") == op).collect()}
+            sb = {
+                r["url"] for r in bucketed.trace.filter(F.col("operator") == op).collect()
+            }
+            assert sa == sb, op
+
+        # restart: the table IS the checkpoint — a fresh crawl() call
+        # resumes from it (no re-seeding) and stays at the fixpoint
+        resumed = crawl(
+            spark,
+            seeds,
+            pages=pages,
+            config=CrawlConfig(
+                max_ticks=10, state_table=table, state_buckets=n_buckets
+            ),
+        )
+        c = {r["url"]: r.asDict() for r in resumed.crawl_state.collect()}
+        assert c == a
+        assert resumed.ticks >= bucketed.ticks  # resumed at the stored tick
+    finally:
+        for t in (table, f"{table}__staging", f"{table}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
