@@ -115,3 +115,53 @@ def test_url_db_per_domain_timers(spark, tmp_path):
     assert all(r["status"] == "QUEUED" for r in got)
     a_order = [r["url"] for r in sorted(got, key=lambda r: r["status_time"]) if r["pld"] == "a.com"]
     assert a_order[0] == "http://a.com/2"  # score 9.0 admitted before 5.0
+
+
+def test_streaming_crawl_converges_to_batch_state(spark, tmp_path):
+    """One-job topology parity: the continuous (Structured Streaming)
+    wrapper over the SAME fixture graph as the batch loop converges to
+    the IDENTICAL final state table — the reference's single always-on
+    job (CrawlTopologyBuilder.java:250-466) vs this engine's two run
+    modes must agree row-for-row."""
+    from flink_crawler_spark.plans.crawl_loop import crawl
+
+    adjacency = {
+        "http://domain1.com/": ["http://domain1.com/page1", "http://domain1.com/page2"],
+        "http://domain1.com/page1": ["http://domain2.com/"],
+        "http://domain1.com/page2": [],
+        "http://domain2.com/": ["http://domain2.com/deep"],
+        "http://domain2.com/deep": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(
+        eager=True
+    )
+
+    # batch loop
+    seeds = spark.createDataFrame([("http://domain1.com/", 1.0)], ["url", "score"])
+    batch = crawl(spark, seeds, pages=pages, config=CrawlConfig(max_ticks=8))
+    a = {r["url"]: r.asDict() for r in batch.crawl_state.collect()}
+
+    # streaming wrapper, same seed via the seed DataSource
+    seed_file = tmp_path / "seeds.txt"
+    seed_file.write_text("http://domain1.com/\n")
+    state_dir = str(tmp_path / "state")
+    q = continuous_crawl(
+        spark,
+        seed_path=str(seed_file),
+        pages=pages,
+        state_dir=state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=CrawlConfig(collect_stats=False),
+        ticks_per_batch=8,
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tick = int(open(os.path.join(state_dir, "_LATEST")).read())
+    state = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
+    b = {r["url"]: r.asDict() for r in state.collect()}
+    assert a == b
+    assert b["http://domain2.com/deep"]["status"] == "FETCHED"
