@@ -9,8 +9,9 @@ compaction each tick folds history into small checkpointed frames and
 per-tick cost stays flat.
 
 Fixture: a chain web graph across D domains (page i links to page i+1),
-domain_score_budget=D, so each tick fetches ~D pages and discovers the
-next D — the crawl stays busy for exactly pages/D ticks.
+domain_score_budget=D. Discovery is serial — each fetch reveals exactly
+one new URL — so the crawl stays busy for as many ticks as there are
+pages, which is precisely what a flat-cost measurement needs.
 
 Usage: python tools/long_crawl_ab.py [ticks] [--no-ab]
 Writes per-tick timings; paste the summary into SCALE.md.

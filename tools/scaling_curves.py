@@ -1,0 +1,193 @@
+"""Time-vs-size scaling exponents for the heaviest query families.
+
+The sf0.1 bench cannot see a hidden O(n^2) constant; this harness can.
+It generates self-consistent synthetic tables (same shape/distributions
+as the driver's testdata: 31-token word-salad documents across 20
+sources, 64-dim embeddings with 10 labels, lineitem-derived crawl
+observations) at 1x / 5x / 10x the sf0.1 row counts — i.e. sf0.1 /
+sf0.5 / sf1 equivalents — runs one representative query per family at
+each size, and fits the least-squares exponent of log(time) on
+log(size). ~1.0 = linear scale-out; the documented exact-pairs paths
+(ppjoin on an adversarial 31-token vocabulary) are expected superlinear.
+
+Usage: PYTHONPATH=. python tools/scaling_curves.py [--sizes 1,5,10]
+Paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query plan join shuffle stage task core disk read write "
+    "merge spill skew cache row"
+).split()  # 31 tokens, mirroring the driver corpus's vocabulary size
+
+BASE_DOCS = 5_000  # sf0.1 row counts
+BASE_VECS = 2_000
+BASE_LINEITEM = 600_000
+
+
+def gen_dir(spark, root: str, mult: int) -> str:
+    out = os.path.join(root, f"x{mult}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    # documents: word salad, deterministic per doc_id; ~10% of docs are
+    # near-copies of their predecessor (one word substituted) so the
+    # near-dup families have real candidate structure at every size
+    n_docs = BASE_DOCS * mult
+    words = F.array(*[F.lit(w) for w in VOCAB])
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    n_words = (F.abs(F.hash("doc_id", F.lit(1))) % 70 + 10).alias("n_words")
+    d = d.withColumn("n_words", n_words)
+    base_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_words")),
+            lambda i: F.element_at(
+                words, (F.abs(F.hash("doc_id", i)) % len(VOCAB)) + 1
+            ),
+        ),
+    )
+    # near-dup: doc_id % 10 == 1 copies doc_id-1's text with the first
+    # word replaced
+    prev = F.col("doc_id") - 1
+    prev_n = F.abs(F.hash(prev, F.lit(1))) % 70 + 10
+    prev_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), prev_n),
+            lambda i: F.element_at(words, (F.abs(F.hash(prev, i)) % len(VOCAB)) + 1),
+        ),
+    )
+    text = F.when(
+        (F.col("doc_id") % 10 == 1) & (F.col("doc_id") > 0),
+        F.concat(F.lit("dup "), F.substring_index(prev_text, " ", -200)),
+    ).otherwise(base_text)
+    docs = d.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "und")]),
+            (F.abs(F.hash("doc_id", F.lit(2))) % 5) + 1,
+        ).alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    # embeddings: 64-dim, 10 label clusters with per-label offset so
+    # kmeans/PQ see real structure
+    n_vecs = BASE_VECS * mult
+    e = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    label = (F.abs(F.hash("vec_id", F.lit(3))) % 10).cast("int").alias("label")
+    dims = F.sequence(F.lit(1), F.lit(64))
+    emb = F.transform(
+        dims,
+        lambda i: (
+            (F.abs(F.hash("vec_id", i)) % 1000) / F.lit(1000.0)
+            + ((F.abs(F.hash(F.col("vec_id") % 10, i)) % 1000) / F.lit(500.0))
+        ).cast("float"),
+    )
+    e.select("vec_id", emb.alias("embedding"), label).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    # lineitem: only the columns the crawl-family queries read
+    n_li = BASE_LINEITEM * mult
+    li = spark.range(n_li).select(
+        (F.abs(F.hash("id", F.lit(4))) % 10_000).alias("l_suppkey"),
+        (F.abs(F.hash("id", F.lit(5))) % 200_000).alias("l_partkey"),
+        F.element_at(
+            F.array(F.lit("R"), F.lit("A"), F.lit("N"), F.lit("N")),
+            (F.abs(F.hash("id", F.lit(6))) % 4) + 1,
+        ).alias("l_returnflag"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"), (F.abs(F.hash("id", F.lit(7))) % 2500)
+        ).alias("l_shipdate"),
+        ((F.abs(F.hash("id", F.lit(8))) % 50) + 1).cast("double").alias("l_quantity"),
+    )
+    li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+# (label, query, size cap) — ppjoin is the DOCUMENTED exact-pairs path
+# (zero-false-negative set similarity on an adversarial 31-token
+# vocabulary where the prefix filter prunes little); it is expected
+# ~quadratic here and LSH is the linear-scale alternative, so it runs
+# capped to keep the harness bounded.
+FAMILIES = [
+    ("merge-lattice", "crawl_merge_lattice", None),
+    ("frontier", "frontier_topk", None),
+    ("minhash/LSH", "near_dup_clusters", None),
+    ("ppjoin", "ppjoin_pairs", 2),
+    ("PQ/ADC", "ann_topk_pq_adc", None),
+]
+
+
+def main():
+    sizes = [1, 5, 10]
+    for a in sys.argv[1:]:
+        if a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from flink_crawler_spark.queries import REGISTRY
+    from flink_crawler_spark.session import get_spark
+
+    spark = get_spark("scaling-curves")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = "/tmp/scale_curves"
+    dirs = {m: gen_dir(spark, root, m) for m in sizes}
+
+    # warm
+    spark.read.parquet(os.path.join(dirs[sizes[0]], "documents.parquet")).count()
+
+    need = sorted({m for m in sizes} | {2})
+    dirs.update({m: gen_dir(spark, root, m) for m in need if m not in dirs})
+
+    results: dict[str, dict[int, float]] = {}
+    for fam, qname, cap in FAMILIES:
+        fn = REGISTRY[qname].fn
+        fam_sizes = [m for m in sizes if cap is None or m <= cap] or [1, 2]
+        if cap is not None and len(fam_sizes) < 2:
+            fam_sizes = [1, min(cap, 2)]
+        results[fam] = {}
+        for m in fam_sizes:
+            t0 = time.time()
+            fn(spark, dirs[m]).count()
+            results[fam][m] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+
+    all_sizes = sorted({m for r in results.values() for m in r})
+    print(
+        f"\n{'family':<14}{'query':<24}"
+        + "".join(f"x{m:<7}" for m in all_sizes)
+        + "exponent"
+    )
+    for fam, qname, _cap in FAMILIES:
+        ts = results[fam]
+        ms = sorted(ts)
+        xs = [math.log(m) for m in ms]
+        ys = [math.log(max(ts[m], 1e-3)) for m in ms]
+        mx = sum(xs) / len(xs)
+        my = sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        row = "".join(f"{ts.get(m, '-'):<8}" for m in all_sizes)
+        print(f"{fam:<14}{qname:<24}{row}{slope:.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
