@@ -1,0 +1,211 @@
+"""Pipeline wave 4: dataset-assembly decisions a training run lives or
+dies by — leakage-safe splitting and temperature-based mixture sampling.
+
+Both are exact-value oracled. Reference anchor: these extend the
+crawl engine's corpus outputs (operators/parse.py content sinks,
+fc/pojos/ParsedUrl.java) into the standard LLM data-prep stages; the
+dedup chain they build on mirrors the repo's MinHash->LSH->verify->
+components pipeline (queries/dedupq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+from .dedupq import (
+    BANDS,
+    DUCK_SHINGLES,
+    DUCK_TOKS,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    _buckets_sql,
+    _sigs_sql,
+)
+
+_HEX = "0123456789abcdef"
+
+# split boundaries over md5-derived buckets 0..99
+TRAIN_LT, VAL_LT = 80, 90
+
+_CLUSTERS_SQL = f"""
+{_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) x),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN shs a ON p.id_a = a.doc_id
+  JOIN shs b ON p.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTERS_SQL.strip()}
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < {TRAIN_LT} THEN 'train'
+            WHEN bucket < {VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         ((strpos('{_HEX}', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('{_HEX}', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1)) % 100
+           AS bucket
+  FROM clusters
+) z
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: the split key is the near-dup CLUSTER id (the full
+    MinHash -> LSH -> exact-Jaccard verify -> connected-components
+    chain of ``near_dup_clusters``), not the document id, so a
+    document and its paraphrase land in the same split by
+    construction — the leakage mode hash-by-doc splits suffer (a test
+    doc whose near-copy sits in train silently inflates eval).
+
+    Determinism is engine-independent (md5 of the cluster id -> bucket
+    0..99; 80/10/10). Scale shape: the chain is the already-bucketed
+    LSH pipeline plus one broadcast-sized md5 projection — assigning
+    splits adds ZERO shuffles on top of clustering, and the split
+    column then prunes parquet partitions when the corpus is written
+    ``partitionBy("split")``."""
+    from ..operators.dedup import connected_components, near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    edges = near_dup_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    keyed = clusters.withColumn(
+        "__key", F.md5(F.encode(F.col("cluster_id").cast("string"), "UTF-8"))
+    )
+
+    def hexv(i: int):
+        return F.expr(f"locate(substr(__key, {i}, 1), '{_HEX}') - 1")
+
+    bucket = (hexv(1) * 16 + hexv(2)) % 100
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_sample — temperature-reweighted source sampling
+# ---------------------------------------------------------------------------
+
+TEMP = 0.5        # mixture temperature (0=uniform over sources, 1=natural)
+TARGET_FRAC = 0.4  # sampled corpus size as a fraction of the input
+_SCALE = 16 ** 6   # md5 prefix resolution for the acceptance threshold
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT sum(power(n, {TEMP})) AS wsum, sum(n) AS ntot FROM counts),
+rates AS (
+  SELECT c.source,
+         round(least(1.0, {TARGET_FRAC} * t.ntot * power(c.n, {TEMP}) / t.wsum / c.n), 6)
+           AS rate
+  FROM counts c CROSS JOIN tot t
+),
+u AS (
+  SELECT doc_id, source,
+         CAST(((strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * {16 ** 5}
+             + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * {16 ** 4}
+             + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * {16 ** 3}
+             + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * {16 ** 2}
+             + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+             + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1))
+              AS BIGINT) AS uval
+  FROM documents
+)
+SELECT u.doc_id, u.source, r.rate,
+       u.uval < CAST(floor(r.rate * {_SCALE}) AS BIGINT) AS accepted
+FROM u JOIN rates r USING (source)
+""",
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/multi-source
+    rebalancing rule popularized by mBERT/XLM-R and used for pretraining
+    mixes): source i with n_i docs gets sampling weight n_i^T (T=0.5),
+    i.e. heavy sources are down-weighted toward the temperature-flattened
+    distribution, and the per-source acceptance rate is
+    min(1, target_size * p_i / n_i).
+
+    Acceptance is a deterministic per-doc coin: the first 6 md5 hex
+    digits of doc_id form an integer u in [0, 16^6), accepted iff
+    u < floor(rate * 16^6) — INTEGER comparison on both engines, so the
+    sample is reproducible and engine-exact (rate is rounded to 6
+    decimals on both sides before scaling). Scale shape: per-source
+    counts are a tiny agg broadcast back to the scan; the accept test is
+    a pure projection — ONE map-side-combined shuffle for the counts,
+    zero for the decision, regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("double").alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow("n", F.lit(TEMP))).alias("wsum"), F.sum("n").alias("ntot")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(TARGET_FRAC)
+                * F.col("ntot")
+                * F.pow("n", F.lit(TEMP))
+                / F.col("wsum")
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    keyed = docs.withColumn(
+        "__key", F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    )
+
+    def hexv(i: int):
+        return F.expr(f"CAST(locate(substr(__key, {i}, 1), '{_HEX}') - 1 AS BIGINT)")
+
+    uval = sum(hexv(i + 1) * F.lit(16 ** (5 - i)) for i in range(6))
+    u = keyed.select("doc_id", "source", uval.alias("uval"))
+    return u.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "rate",
+        (F.col("uval") < F.floor(F.col("rate") * _SCALE).cast("long")).alias("accepted"),
+    )
