@@ -186,3 +186,31 @@ def test_crawl_loop_through_bucketed_state_table(spark, tmp_path):
     finally:
         for t in (table, f"{table}__staging", f"{table}__old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_state_crash_recovery_from_old(spark, lattice_frames):
+    """tick_merge_bucketed's swap is crash-safe: if a crash lands in the
+    window where the live table has been renamed aside but the staging
+    table has not yet taken the name, load_bucketed_state restores from
+    <table>__old and the crawl resumes from the previous tick's state."""
+    from flink_crawler_spark.operators.state_table import (
+        load_bucketed_state,
+        save_bucketed_state,
+    )
+
+    state, _updates = lattice_frames
+    table = "crawl_state_crash_test"
+    try:
+        save_bucketed_state(state, table, buckets=4)
+        want = {r["url"]: r.asDict() for r in spark.table(table).collect()}
+        # simulate the crash window: live name renamed aside, no staging
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__old")
+        assert not spark.catalog.tableExists(table)
+        restored = load_bucketed_state(spark, table)
+        got = {r["url"]: r.asDict() for r in restored.collect()}
+        assert got == want
+        assert spark.catalog.tableExists(table)  # name restored
+        assert not spark.catalog.tableExists(f"{table}__old")
+    finally:
+        for t_ in (table, f"{table}__old", f"{table}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")

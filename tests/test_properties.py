@@ -234,3 +234,45 @@ def test_decode_bytes_utf8_roundtrip(text):
 def test_bom_always_wins(content, content_type):
     # a UTF-8 BOM prefix forces utf-8-sig regardless of declared charset
     assert detect_charset(b"\xef\xbb\xbf" + content, content_type) == "utf-8-sig"
+
+
+# ---------------------------------------------------------------------------
+# UTF-16 validity expression == Python's strict decoder (charset.py)
+# — the JVM-side guard must accept exactly the byte strings Spark's
+# decode can survive, i.e. strict-decodable UTF-16.
+# ---------------------------------------------------------------------------
+
+# byte strings biased toward surrogate-range bytes so pairing logic is
+# actually exercised (uniform bytes almost never form surrogates)
+_u16_bytes_st = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0xD8, max_value=0xDF),  # surrogate high bytes
+        st.just(0x00),
+    ),
+    min_size=0,
+    max_size=24,
+).map(bytes)
+
+
+@given(st.lists(_u16_bytes_st, min_size=1, max_size=24))
+@settings(max_examples=6, deadline=None)
+def test_utf16_valid_expr_matches_python_strict_decode(spark, byte_rows):
+    from flink_crawler_spark.functions.charset import utf16_valid_expr
+
+    df = spark.createDataFrame([(b,) for b in byte_rows], "content binary")
+    got = df.select(
+        utf16_valid_expr(F.col("content"), big_endian=False).alias("le"),
+        utf16_valid_expr(F.col("content"), big_endian=True).alias("be"),
+    ).collect()
+
+    def ok(b: bytes, codec: str) -> bool:
+        try:
+            b.decode(codec, "strict")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    for b, r in zip(byte_rows, got):
+        assert r.le == ok(b, "utf-16-le"), f"LE mismatch on {b!r}"
+        assert r.be == ok(b, "utf-16-be"), f"BE mismatch on {b!r}"
