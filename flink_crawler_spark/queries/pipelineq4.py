@@ -1,5 +1,6 @@
 """Pipeline wave 4: dataset-assembly decisions a training run lives or
-dies by — leakage-safe splitting and temperature-based mixture sampling.
+dies by — leakage-safe splitting, temperature-based mixture sampling,
+and semantic (embedding-cosine) eval decontamination.
 
 Both are exact-value oracled. Reference anchor: these extend the
 crawl engine's corpus outputs (operators/parse.py content sinks,
@@ -208,4 +209,81 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "rate",
         (F.col("uval") < F.floor(F.col("rate") * _SCALE).cast("long")).alias("accepted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic_contamination — embedding-cosine eval decontamination
+# ---------------------------------------------------------------------------
+
+SEM_CONTAM_TAU = 0.35  # discriminative on the synthetic clusters (~p90 of
+# max cross-label cosine); real eval decontamination on meaningful
+# embeddings runs ~0.95+ — the threshold is a config constant, the shape
+# is what matters
+BENCH_LABEL = 9
+_DOT64 = " + ".join(f"c.emb[{i}] * b.emb[{i}]" for i in range(1, 65))
+
+
+@register(
+    "semantic_contamination",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+         sqrt(list_sum(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE label = {BENCH_LABEL}),
+c AS (SELECT * FROM e WHERE label <> {BENCH_LABEL}),
+p AS (
+  SELECT c.vec_id, max(round(({_DOT64}) / (c.nrm * b.nrm), 6)) AS max_benchmark_cos
+  FROM c JOIN b ON TRUE
+  GROUP BY c.vec_id
+)
+SELECT vec_id, max_benchmark_cos,
+       max_benchmark_cos >= {SEM_CONTAM_TAU} AS contaminated
+FROM p
+""",
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval decontamination: flag corpus embeddings whose
+    cosine to ANY benchmark embedding reaches the threshold — the
+    paraphrase-robust complement to ``benchmark_contamination``'s exact
+    8-gram screen (an eval item reworded enough to share no 8-gram
+    still sits next to its source in embedding space).
+
+    Scale shape: eval sets are small by nature, so the benchmark side
+    BROADCASTS (thousands of rows whatever the corpus size) and the
+    corpus side is ONE scan through a broadcast nested-loop join; the
+    only shuffle is the per-vector max aggregation, map-side-combined
+    on vec_id. No corpus-vs-corpus pair ever forms — contamination is
+    corpus x benchmark, never O(n^2). Dot/norm folds are sequential
+    doubles in both engines, rounded to 6dp before max, so the flags
+    are engine-exact."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    keyed = e.select("vec_id", "label", emb.alias("emb"), nrm.alias("nrm"))
+    bench = keyed.filter(F.col("label") == BENCH_LABEL).select(
+        F.col("emb").alias("bemb"), F.col("nrm").alias("bnrm")
+    )
+    corpus = keyed.filter(F.col("label") != BENCH_LABEL)
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("bemb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cos = F.round(dot / (F.col("nrm") * F.col("bnrm")), 6)
+    return (
+        corpus.join(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_benchmark_cos"))
+        .select(
+            "vec_id",
+            "max_benchmark_cos",
+            (F.col("max_benchmark_cos") >= SEM_CONTAM_TAU).alias("contaminated"),
+        )
     )
