@@ -60,18 +60,57 @@ def ingest_seeds(
     os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
 
+def ingest_seeds_table(
+    spark: SparkSession,
+    seeds: DataFrame,
+    state_table: str,
+    *,
+    now_ms: int,
+    buckets: int = 64,
+    single_domain: str | None = None,
+) -> int:
+    """Merge a batch of (new) seed rows into the BUCKETED state table —
+    the 100 TB deployment shape (streaming seed source + durable
+    bucketed URL DB). Returns the table's completed-tick counter, which
+    seed ingestion does not advance."""
+    from ..operators.state_table import (
+        get_state_tick,
+        load_bucketed_state,
+        save_bucketed_state,
+        set_state_tick,
+        tick_merge_bucketed,
+    )
+
+    cleaned = clean_urls(seeds, single_domain=single_domain)
+    obs = seeds_to_state(cleaned, now_ms=now_ms)
+    exists = spark.catalog.tableExists(state_table) or spark.catalog.tableExists(
+        f"{state_table}__old"
+    )
+    if not exists:
+        save_bucketed_state(merge_crawl_state(obs), state_table, buckets=buckets)
+        set_state_tick(spark, state_table, 0)
+        return 0
+    load_bucketed_state(spark, state_table)  # restore from __old if needed
+    tick = get_state_tick(spark, state_table)
+    tick_merge_bucketed(spark, state_table, obs, buckets=buckets)
+    set_state_tick(spark, state_table, tick)
+    return tick
+
+
 def continuous_crawl(
     spark: SparkSession,
     *,
     seed_path: str,
     pages: DataFrame,
-    state_dir: str,
+    state_dir: str | None = None,
     checkpoint_dir: str,
     config: CrawlConfig | None = None,
     ticks_per_batch: int = 3,
     seeds_per_batch: int = 0,  # 0 = whole file in one batch
     start_ms: int = 1_700_000_000_000,
     available_now: bool = True,
+    state_table: str | None = None,
+    state_buckets: int = 64,
 ):
     """Run the crawl as a streaming job fed by the seed DataSource.
 
@@ -81,9 +120,18 @@ def continuous_crawl(
     the whole file). ``available_now=False`` keeps triggering micro-batches
     (the always-on deployment; stop via query.stop() or
     processAllAvailable() for tests).
+
+    State backend: exactly one of ``state_dir`` (per-tick parquet
+    snapshots) or ``state_table`` (the BUCKETED catalog table — the
+    100 TB deployment: per-tick merge is a bucket-local join, the table
+    is the checkpoint). With ``state_table`` the batch loop runs
+    through the same `CrawlConfig.state_table` seam the batch engine
+    uses, so both run modes share one durable URL DB format.
     """
     from ..sources.seed_datasource import SeedDataSource
 
+    if (state_dir is None) == (state_table is None):
+        raise ValueError("exactly one of state_dir= / state_table= must be given")
     cfg = config or CrawlConfig()
     try:
         spark.dataSource.register(SeedDataSource)
@@ -98,17 +146,41 @@ def continuous_crawl(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tick = _latest_tick(state_dir) or 0
-        now_ms = start_ms + tick * cfg.tick_ms
-        ingest_seeds(
-            spark, batch_df, state_dir, now_ms=now_ms, single_domain=cfg.single_domain
-        )
-        batch_cfg = replace(
-            cfg,
-            state_dir=state_dir,
-            max_ticks=tick + ticks_per_batch,
-            trace=False,
-        )
+        if state_table is not None:
+            from ..operators.state_table import get_state_tick
+
+            exists = spark.catalog.tableExists(state_table) or spark.catalog.tableExists(
+                f"{state_table}__old"
+            )
+            tick = get_state_tick(spark, state_table) if exists else 0
+            now_ms = start_ms + tick * cfg.tick_ms
+            ingest_seeds_table(
+                spark,
+                batch_df,
+                state_table,
+                now_ms=now_ms,
+                buckets=state_buckets,
+                single_domain=cfg.single_domain,
+            )
+            batch_cfg = replace(
+                cfg,
+                state_table=state_table,
+                state_buckets=state_buckets,
+                max_ticks=tick + ticks_per_batch,
+                trace=False,
+            )
+        else:
+            tick = _latest_tick(state_dir) or 0
+            now_ms = start_ms + tick * cfg.tick_ms
+            ingest_seeds(
+                spark, batch_df, state_dir, now_ms=now_ms, single_domain=cfg.single_domain
+            )
+            batch_cfg = replace(
+                cfg,
+                state_dir=state_dir,
+                max_ticks=tick + ticks_per_batch,
+                trace=False,
+            )
         empty_seeds = spark.createDataFrame([], "url string, score double")
         crawl(spark, empty_seeds, pages=pages, config=batch_cfg, start_ms=start_ms)
 

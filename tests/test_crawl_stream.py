@@ -165,3 +165,52 @@ def test_streaming_crawl_converges_to_batch_state(spark, tmp_path):
     b = {r["url"]: r.asDict() for r in state.collect()}
     assert a == b
     assert b["http://domain2.com/deep"]["status"] == "FETCHED"
+
+
+def test_streaming_crawl_with_bucketed_state_table(spark, tmp_path):
+    """The 100 TB deployment shape end-to-end: streaming seed source +
+    BUCKETED catalog state table. Converges to the same state as the
+    batch loop, the table survives as the durable URL DB, and a second
+    drain of the same stream is a no-op (idempotent seed re-merge)."""
+    from flink_crawler_spark.operators.state_table import load_bucketed_state
+    from flink_crawler_spark.plans.crawl_loop import crawl
+
+    adjacency = {
+        "http://t1.com/": ["http://t1.com/a"],
+        "http://t1.com/a": ["http://t2.com/"],
+        "http://t2.com/": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame([("http://t1.com/", 1.0)], ["url", "score"])
+    batch = crawl(
+        spark, seeds, pages=pages,
+        config=CrawlConfig(max_ticks=6, collect_stats=False),
+    )
+    want = {r["url"]: r.asDict() for r in batch.crawl_state.collect()}
+
+    seed_file = tmp_path / "seeds.txt"
+    seed_file.write_text("http://t1.com/\n")
+    table = "crawl_stream_table_test"
+    try:
+        q = continuous_crawl(
+            spark,
+            seed_path=str(seed_file),
+            pages=pages,
+            state_table=table,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            config=CrawlConfig(collect_stats=False),
+            ticks_per_batch=6,
+            available_now=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["url"]: r.asDict() for r in load_bucketed_state(spark, table).collect()}
+        assert got == want
+        assert got["http://t2.com/"]["status"] == "FETCHED"
+    finally:
+        for t_ in (table, f"{table}__old", f"{table}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
