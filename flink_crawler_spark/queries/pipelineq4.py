@@ -287,3 +287,233 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_benchmark_cos") >= SEM_CONTAM_TAU).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel — the whole corpus-curation pipeline as ONE plan
+# ---------------------------------------------------------------------------
+
+CF_MIN_WORDS, CF_MAX_WORDS = 20, 100_000
+CF_MIN_MWL, CF_MAX_MWL = 3.0, 10.0
+CF_JACCARD = 0.6
+CF_TARGET_FRAC = 0.5
+CF_SHARDS = 16
+_CF_WS = r"[ \t\n\f\r]+"  # explicit class: Java vs RE2 \s differ on \x0B
+
+
+def _cf_oracle() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS mh{k}"
+        for k in range(NUM_HASHES)
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    band_unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + ") AS bh FROM sigs"
+        for b in range(BANDS)
+    )
+    u6 = " + ".join(
+        f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '{_CF_WS}'), x -> x != '') AS words
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, text,
+         (len(words) >= {CF_MIN_WORDS} AND len(words) <= {CF_MAX_WORDS}
+          AND (CASE WHEN len(words) > 0
+               THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+               ELSE 0.0 END) >= {CF_MIN_MWL}
+          AND (CASE WHEN len(words) > 0
+               THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+               ELSE 0.0 END) <= {CF_MAX_MWL}) AS q_keep
+  FROM w
+),
+qs AS (SELECT doc_id, source, text FROM q WHERE q_keep),
+e AS (SELECT doc_id, source, text, md5(text) AS dig FROM qs),
+emin AS (SELECT dig, min(doc_id) AS keep_id FROM e GROUP BY dig),
+es AS (SELECT e.doc_id, e.source, e.text FROM e JOIN emin
+       ON e.dig = emin.dig AND e.doc_id = emin.keep_id),
+toks AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM es),
+shl AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM toks),
+sigs AS (SELECT doc_id, {mh_cols} FROM shl),
+buckets AS (
+{band_unions}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN shl a ON p.id_a = a.doc_id
+  JOIN shl b ON p.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {CF_JACCARD}
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM es
+  UNION
+  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+nd AS (SELECT es.doc_id, es.source,
+              (c.cluster_id = es.doc_id) AS nd_keep
+       FROM es JOIN clusters c ON es.doc_id = c.doc_id),
+ns AS (SELECT doc_id, source FROM nd WHERE nd_keep),
+counts AS (SELECT source, count(*) AS n FROM ns GROUP BY source),
+tot AS (SELECT sum(CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))) AS wsum,
+               sum(n) AS ntot FROM counts),
+rates AS (
+  SELECT c.source,
+         round(least(1.0,
+               {CF_TARGET_FRAC} * t.ntot
+               * CAST(CAST(round(sqrt(CAST(c.n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS DOUBLE)
+               / CAST(t.wsum AS DOUBLE) / c.n), 6) AS rate
+  FROM counts c CROSS JOIN tot t
+),
+coin AS (
+  SELECT ns.doc_id, ns.source,
+         CAST({u6} AS BIGINT) AS uval,
+         ((strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+          + (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) % {CF_SHARDS}
+           AS bucket
+  FROM ns
+),
+sampled AS (
+  SELECT c.doc_id,
+         c.uval < CAST(floor(r.rate * {_SCALE}) AS BIGINT) AS accepted,
+         c.bucket
+  FROM coin c JOIN rates r ON c.source = r.source
+)
+SELECT q.doc_id, q.source, q.q_keep,
+       es.doc_id IS NOT NULL AS exact_keep,
+       coalesce(nd.nd_keep, FALSE) AS nd_keep,
+       coalesce(s.accepted, FALSE) AS accepted,
+       CASE WHEN coalesce(s.accepted, FALSE) THEN CAST(s.bucket AS INT) END AS shard
+FROM q
+LEFT JOIN es ON q.doc_id = es.doc_id
+LEFT JOIN nd ON q.doc_id = nd.doc_id
+LEFT JOIN sampled s ON q.doc_id = s.doc_id
+"""
+
+
+@register("curation_funnel", oracle=_cf_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — the
+    composition a real training-data run executes, with one row per
+    input document recording how far it survived the funnel:
+
+      quality gate (word count + mean word length)
+        -> exact dedup (md5 digest, keep lowest doc_id)
+        -> near-dup dedup (MinHash -> LSH bands -> exact-Jaccard verify
+           -> connected components, keep the cluster representative)
+        -> temperature sampling (sqrt-reweighted per-source acceptance)
+        -> shard assignment (md5 bucket, accepted docs only)
+
+    Every stage reuses the individually-oracled operators; the single
+    end-to-end oracle catches composition drift the per-stage gates
+    cannot (a survivor-set off by one doc shifts every downstream
+    count, rate, and coin). Scale shape: the funnel inherits each
+    stage's shape — pushed-down scans, digest/LSH-bucket equi-joins
+    (never all-pairs), broadcast-sized rate/count tables, and a final
+    broadcast join of tiny flag frames back to the corpus scan. The
+    source-weight sum rides DECIMAL(28,6) (the dsir/PQ idiom) so the
+    temperature rates are order-independent and engine-exact."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components, near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = F.filter(F.split(F.col("text"), _CF_WS), lambda x: x != "")
+    n_words = F.size(words)
+    tot_chars = F.aggregate(
+        F.transform(words, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    mwl = F.when(n_words > 0, tot_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    q = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            (n_words >= CF_MIN_WORDS)
+            & (n_words <= CF_MAX_WORDS)
+            & (mwl >= CF_MIN_MWL)
+            & (mwl <= CF_MAX_MWL)
+        ).alias("q_keep"),
+    )
+    qs = q.filter("q_keep")
+    e = qs.withColumn("dig", F.md5(F.encode(F.col("text"), "UTF-8")))
+    es = (
+        e.withColumn("__min", F.min("doc_id").over(Window.partitionBy("dig")))
+        .filter(F.col("doc_id") == F.col("__min"))
+        .select("doc_id", "source", "text")
+    )
+    edges = near_dup_pairs(
+        es, threshold=CF_JACCARD, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=3
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(es.select("doc_id"), edges, id_col="doc_id")
+    nd = es.join(cc, "doc_id").select(
+        "doc_id", "source", (F.col("doc_id") == F.col("cluster_id")).alias("nd_keep")
+    )
+    ns = nd.filter("nd_keep").select("doc_id", "source")
+
+    counts = ns.groupBy("source").agg(F.count("*").alias("n"))
+    w6 = F.round(F.sqrt(F.col("n").cast("double")), 6).cast("decimal(28,6)")
+    tot = counts.agg(F.sum(w6).alias("wsum"), F.sum("n").alias("ntot"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(CF_TARGET_FRAC)
+                * F.col("ntot")
+                * w6.cast("double")
+                / F.col("wsum").cast("double")
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    coin = ns.withColumn(
+        "__key", F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    )
+
+    def hexv(i: int):
+        return F.expr(f"CAST(locate(substr(__key, {i}, 1), '{_HEX}') - 1 AS BIGINT)")
+
+    uval = sum(hexv(i + 1) * F.lit(16 ** (5 - i)) for i in range(6))
+    bucket = ((hexv(7) * 16 + hexv(8)) % CF_SHARDS).cast("int")
+    sampled = (
+        coin.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            (uval < F.floor(F.col("rate") * _SCALE).cast("long")).alias("accepted"),
+            bucket.alias("bucket"),
+        )
+    )
+    return (
+        q.select("doc_id", "source", "q_keep")
+        .join(es.select("doc_id", F.lit(True).alias("__e")), "doc_id", "left")
+        .join(nd.select("doc_id", "nd_keep"), "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "q_keep",
+            F.col("__e").isNotNull().alias("exact_keep"),
+            F.coalesce("nd_keep", F.lit(False)).alias("nd_keep"),
+            F.coalesce("accepted", F.lit(False)).alias("accepted"),
+            F.when(F.coalesce("accepted", F.lit(False)), F.col("bucket")).alias("shard"),
+        )
+    )
