@@ -58,12 +58,15 @@ PRIORITY_WINDOW = [
     "robots_wildcard_match",     # F2 RFC 9309 wildcard/anchor patterns (new r3)
     "parse_multiformat",         # U1 multi-format dispatch + watchdog
     "crawl_reachability",        # §2.14 whole-topology loop
-    "frontier_topk",             # T1/§2.6 fetch-queue top-k
     "frontier_domain_quota",     # §2.5 per-domain quotas
-    "outlink_cap",               # T2/T3 outlink cap
-    "politeness_lag",            # A2/J4 politeness
     "rate_window_30s",           # G4 TimedCounter rate gauge (rotated in, r3)
-    "new_urls_anti_join",        # §2.12 anti join
+    # (frontier_topk / politeness_lag / new_urls_anti_join / outlink_cap
+    # rotated OUT after 3 green rounds each; the four NEW r4 operators
+    # rotated IN for first driver verification)
+    "curation_funnel",           # composed curation pipeline (new r4)
+    "leakage_safe_split",        # cluster-keyed split (new r4)
+    "mixture_temperature_sample",  # temperature sampling (new r4)
+    "semantic_contamination",    # embedding decontamination (new r4)
     "trimmed_mean_price_udaf",   # §2.15 UDAF extension slot (rotated in, r3)
     "moving_avg_10",             # G1 last-10 moving average (r4: back in, r1/r2 green)
     "status_counts",             # G3 status counters (r4: back in, r1/r2 green)
