@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         max_content_size=args.maxcontentsize,
         fetch_timeout_sec=args.timeout,
         fetchers_per_task=args.fetcherspertask,
+        # content sinks need the accumulated parse output; without this a
+        # >50-tick crawl auto-enables compaction, keep_parsed defaults
+        # off, res.parsed is None, and the explicitly requested sinks
+        # below would be skipped silently
+        keep_parsed=bool(args.textcontentfile or args.warccontentpath) or None,
     )
     t0 = time.time()
     res = crawl(

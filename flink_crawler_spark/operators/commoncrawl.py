@@ -365,10 +365,11 @@ def cached_range_reader(archive_dir: str, cache_dir: str | None = None):
             import hashlib
 
             os.makedirs(cache_dir, exist_ok=True)
-            # Key by a digest of the FULL path, not the basename: two CDX
-            # filenames with equal basenames in different segment dirs
+            # Key by a digest of the RESOLVED path (src), not the raw CDX
+            # filename: two readers with different archive_dirs sharing a
+            # cache_dir, or equal basenames in different segment dirs,
             # must not collide and serve bytes from the wrong segment.
-            digest = hashlib.md5(filename.encode("utf-8")).hexdigest()[:16]
+            digest = hashlib.md5(src.encode("utf-8")).hexdigest()[:16]
             cached = os.path.join(
                 cache_dir, digest + "-" + os.path.basename(filename)
             )

@@ -56,6 +56,7 @@ def tick_merge_bucketed(
     *,
     buckets: int = 64,
     merged_transform=None,
+    tick: int | None = None,
 ) -> DataFrame:
     """One durable tick: join-merge the delta into the bucketed table and
     crash-safely replace it (write to a staging table, rename the old
@@ -65,7 +66,14 @@ def tick_merge_bucketed(
     ``merged_transform`` (optional) decorates the merged frame before the
     write — the crawl loop uses it to attach ``df.observe`` status
     counters so per-tick metrics ride the state write job instead of
-    costing a second action."""
+    costing a second action.
+
+    ``tick`` (optional) is stamped as the ``crawl.tick`` property on the
+    STAGING table BEFORE the swap: saveAsTable creates the staging table
+    without properties, so stamping after the swap would leave a crash
+    window in which the new state resumes at tick 0 (regressed now_ms,
+    wrong politeness windows). Stamped-before-rename, the property and
+    the data move atomically together."""
     from .merge import merge_updates_join
 
     state = load_bucketed_state(spark, table)
@@ -74,6 +82,8 @@ def tick_merge_bucketed(
         merged = merged_transform(merged)
     staging = f"{table}__staging"
     save_bucketed_state(merged, staging, buckets=buckets)
+    if tick is not None:
+        set_state_tick(spark, staging, tick)
     # crash-safe swap: the old state is renamed aside (recoverable) before
     # the staging table takes the name; only then is the backup dropped.
     # A crash in any window leaves either <table> or <table>__old existing

@@ -271,6 +271,11 @@ def _crawl_body(
     compact = cfg.compact_history
     if compact is None:
         compact = cfg.state_table is not None or cfg.max_ticks > 50
+    elif not compact and cfg.state_table is not None:
+        # not a preference in table mode: lazy trace/parsed frames would
+        # reference table versions whose files the next tick's swap
+        # deletes — evaluating them later crashes or reads wrong data
+        raise ValueError("state_table requires compact_history (got False)")
     keep_parsed = cfg.keep_parsed
     if keep_parsed is None:
         keep_parsed = not compact
@@ -490,18 +495,21 @@ def _crawl_body(
 
         # U1: parse + side outputs (persisted: 4 outputs off one frame,
         # and parsed_frames are unioned after the loop)
-        if cfg.parser == "tree":
-            from ..operators.parse import parse_pages_html as _parse_fn
-        else:
-            _parse_fn = parse_pages
-        parsed = _parse_fn(results, scorer=scorer, max_outlinks=cfg.max_outlinks)
         # Hot path: the tick job only consumes (url, pld, score, outlinks)
         # — persist a PRUNED projection so the language profiler and
         # title/body-text regexes never compute (or even analyze, in the
-        # regex-parser mode) inside the loop. parsed_output keeps the
-        # full lazy plan: it recomputes from the deterministic fixture
-        # only if the caller reads res.parsed.
+        # regex-parser mode) inside the loop. The FULL parse plan is only
+        # constructed at all when something consumes it (keep_parsed, or
+        # the tree parser whose slim projection derives from it);
+        # parsed_output keeps it lazy: it recomputes from the
+        # deterministic fixture only if the caller reads res.parsed.
+        parsed = None
         if cfg.parser == "tree":
+            from ..operators.parse import parse_pages_html
+
+            parsed = parse_pages_html(
+                results, scorer=scorer, max_outlinks=cfg.max_outlinks
+            )
             parsed_slim = parsed.select(
                 "url", "pld", "score", "outlinks", "n_outlinks"
             ).persist()
@@ -513,6 +521,10 @@ def _crawl_body(
             ).persist()
         record(tick, "parsed", parsed_slim)
         if keep_parsed:
+            if parsed is None:
+                parsed = parse_pages(
+                    results, scorer=scorer, max_outlinks=cfg.max_outlinks
+                )
             pf = parsed_output(parsed)
             if compact:
                 # eager: a lazy frame would reference this tick's caches
@@ -574,8 +586,10 @@ def _crawl_body(
             # — the only Exchange in the merge plan is the per-tick
             # delta's; the state side never re-shuffles
             # (operators/state_table.py, test_bucketed_state.py)
-            from ..operators.state_table import set_state_tick, tick_merge_bucketed
+            from ..operators.state_table import tick_merge_bucketed
 
+            # tick is stamped on the staging table BEFORE the swap, so
+            # data and tick counter replace the live table atomically
             new_state = tick_merge_bucketed(
                 spark,
                 cfg.state_table,
@@ -586,8 +600,8 @@ def _crawl_body(
                     if state_obs is not None
                     else None
                 ),
+                tick=tick,
             )
-            set_state_tick(spark, cfg.state_table, tick)
         else:
             # localCheckpoint truncates lineage — without it the state
             # plan grows with every tick and analysis time explodes.
@@ -684,12 +698,10 @@ def _crawl_body(
                 if n is not None and int(n) > 0
             }
             stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
-            # early idle exit — but only when no refetch can come due
-            # within the remaining run horizon (a continuous/refetch
-            # crawl with zero UNFETCHED rows still has work coming:
-            # next_fetch_time = fetch_time + refetch_interval_ms)
-            no_refetch_due = cfg.refetch_interval_ms > (cfg.max_ticks - tick) * cfg.tick_ms
-            if counts.get("UNFETCHED", 0) == 0 and no_refetch_due:
+            # frontier admission is UNFETCHED-only (FetchQueue.java
+            # semantics, operators/frontier.py), so zero UNFETCHED rows
+            # means no future tick can admit anything — exit now
+            if counts.get("UNFETCHED", 0) == 0:
                 break  # without stats, the empty-frontier check exits one tick later
 
     # budget-mode (non-compact) parsed_slim persists are read by every

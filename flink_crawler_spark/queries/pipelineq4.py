@@ -137,10 +137,13 @@ _SCALE = 16 ** 6   # md5 prefix resolution for the acceptance threshold
 WITH counts AS (
   SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
 ),
-tot AS (SELECT sum(power(n, {TEMP})) AS wsum, sum(n) AS ntot FROM counts),
+tot AS (SELECT sum(CAST(round(power(n, {TEMP}), 6) AS DECIMAL(28,6))) AS wsum,
+               sum(n) AS ntot FROM counts),
 rates AS (
   SELECT c.source,
-         round(least(1.0, {TARGET_FRAC} * t.ntot * power(c.n, {TEMP}) / t.wsum / c.n), 6)
+         round(least(1.0, {TARGET_FRAC} * t.ntot
+               * CAST(CAST(round(power(c.n, {TEMP}), 6) AS DECIMAL(28,6)) AS DOUBLE)
+               / CAST(t.wsum AS DOUBLE) / c.n), 6)
            AS rate
   FROM counts c CROSS JOIN tot t
 ),
@@ -178,9 +181,11 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero for the decision, regardless of corpus size."""
     docs = t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").cast("double").alias("n"))
-    tot = counts.agg(
-        F.sum(F.pow("n", F.lit(TEMP))).alias("wsum"), F.sum("n").alias("ntot")
-    )
+    # per-source weights round to 6dp and sum as DECIMAL (the dsir/PQ
+    # idiom): wsum is order-independent, so Spark's partial-aggregation
+    # order can never flip a rate's 6th decimal vs DuckDB's scan order
+    w6 = F.round(F.pow("n", F.lit(TEMP)), 6).cast("decimal(28,6)")
+    tot = counts.agg(F.sum(w6).alias("wsum"), F.sum("n").alias("ntot"))
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         F.round(
@@ -188,8 +193,8 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0),
                 F.lit(TARGET_FRAC)
                 * F.col("ntot")
-                * F.pow("n", F.lit(TEMP))
-                / F.col("wsum")
+                * w6.cast("double")
+                / F.col("wsum").cast("double")
                 / F.col("n"),
             ),
             6,
@@ -237,7 +242,10 @@ WITH e AS (
 b AS (SELECT * FROM e WHERE label = {BENCH_LABEL}),
 c AS (SELECT * FROM e WHERE label <> {BENCH_LABEL}),
 p AS (
-  SELECT c.vec_id, max(round(({_DOT64}) / (c.nrm * b.nrm), 6)) AS max_benchmark_cos
+  SELECT c.vec_id,
+         max(CASE WHEN c.nrm * b.nrm > 0
+                  THEN round(({_DOT64}) / (c.nrm * b.nrm), 6)
+                  ELSE 0.0 END) AS max_benchmark_cos
   FROM c JOIN b ON TRUE
   GROUP BY c.vec_id
 )
@@ -276,7 +284,11 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, v: a + v,
     )
-    cos = F.round(dot / (F.col("nrm") * F.col("bnrm")), 6)
+    # zero-norm guard pinned on BOTH engines: Spark's Divide yields NULL
+    # on a 0 divisor while DuckDB's 0/0 is NaN (which its max() ranks
+    # above every double) — sentinel 0.0 keeps the pair exact
+    denom = F.col("nrm") * F.col("bnrm")
+    cos = F.when(denom > 0, F.round(dot / denom, 6)).otherwise(F.lit(0.0))
     return (
         corpus.join(F.broadcast(bench))
         .groupBy("vec_id")

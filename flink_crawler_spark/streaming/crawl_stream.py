@@ -92,8 +92,9 @@ def ingest_seeds_table(
         return 0
     load_bucketed_state(spark, state_table)  # restore from __old if needed
     tick = get_state_tick(spark, state_table)
-    tick_merge_bucketed(spark, state_table, obs, buckets=buckets)
-    set_state_tick(spark, state_table, tick)
+    # tick stamped on staging before the swap — the counter survives any
+    # crash window of the rename sequence
+    tick_merge_bucketed(spark, state_table, obs, buckets=buckets, tick=tick)
     return tick
 
 
@@ -147,11 +148,18 @@ def continuous_crawl(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if state_table is not None:
-            from ..operators.state_table import get_state_tick
+            from ..operators.state_table import get_state_tick, load_bucketed_state
 
             exists = spark.catalog.tableExists(state_table) or spark.catalog.tableExists(
                 f"{state_table}__old"
             )
+            if exists:
+                # restore the live name from __old FIRST — a crash in
+                # tick_merge_bucketed's rename window leaves only the
+                # backup, and reading the tick property off the missing
+                # live table would kill the streaming query instead of
+                # recovering
+                load_bucketed_state(spark, state_table)
             tick = get_state_tick(spark, state_table) if exists else 0
             now_ms = start_ms + tick * cfg.tick_ms
             ingest_seeds_table(

@@ -152,7 +152,8 @@ def main():
     # warm
     spark.read.parquet(os.path.join(dirs[sizes[0]], "documents.parquet")).count()
 
-    need = sorted({m for m in sizes} | {2})
+    # capped families fall back to [1, min(cap, 2)] — always have those dirs
+    need = sorted({m for m in sizes} | {1, 2})
     dirs.update({m: gen_dir(spark, root, m) for m in need if m not in dirs})
 
     results: dict[str, dict[int, float]] = {}
