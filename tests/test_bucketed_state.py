@@ -214,3 +214,32 @@ def test_bucketed_state_crash_recovery_from_old(spark, lattice_frames):
     finally:
         for t_ in (table, f"{table}__old", f"{table}__staging"):
             spark.sql(f"DROP TABLE IF EXISTS {t_}")
+
+
+def test_tick_property_rides_the_swap_atomically(spark, lattice_frames):
+    """The crawl.tick counter is stamped on the STAGING table before the
+    rename, so the tick and the data replace the live table together —
+    no crash window can pair new state with a stale (or missing, i.e.
+    tick-0) counter."""
+    from flink_crawler_spark.operators.state_table import (
+        get_state_tick,
+        save_bucketed_state,
+        set_state_tick,
+        tick_merge_bucketed,
+    )
+
+    state, updates = lattice_frames
+    table = "crawl_state_tickprop_test"
+    try:
+        save_bucketed_state(state, table, buckets=4)
+        set_state_tick(spark, table, 3)
+        tick_merge_bucketed(spark, table, updates, buckets=4, tick=4)
+        assert get_state_tick(spark, table) == 4
+        # and a merge WITHOUT a tick (seed ingestion path) preserves the
+        # live value only if re-stamped by the caller — the property
+        # lives on the table that carries the data
+        tick_merge_bucketed(spark, table, updates, buckets=4, tick=4)
+        assert get_state_tick(spark, table) == 4
+    finally:
+        for t_ in (table, f"{table}__old", f"{table}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
