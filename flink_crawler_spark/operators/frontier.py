@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _eligible_expr(now_ms: int, min_fetch_score: float, refetch: bool):
+    """Admission predicate. Default: UNFETCHED-only (FetchQueue.java
+    admission). With ``refetch``, FETCHED rows whose next_fetch_time has
+    arrived re-enter — the reference's re-crawl behavior (UrlDBFunction
+    timers re-emit tracked URLs when their fetch time comes due); the
+    new FETCHED observation then wins the merge by status_time."""
+    base = (
+        (F.col("status") == "UNFETCHED")
+        & (F.col("score") >= F.lit(min_fetch_score))
+        & (F.col("next_fetch_time") <= F.lit(now_ms))
+    )
+    if not refetch:
+        return base
+    due = (F.col("status") == "FETCHED") & (
+        F.col("next_fetch_time") <= F.lit(now_ms)
+    )
+    return base | due
+
+
 def select_frontier(
     crawl_state: DataFrame,
     *,
@@ -33,6 +52,7 @@ def select_frontier(
     max_queue_size: int | None = 10_000,
     min_fetch_score: float = 0.0,
     max_per_domain: int = 100,
+    refetch: bool = False,
 ) -> DataFrame:
     """One fetch-queue tick. Deterministic ties (score desc, url asc).
 
@@ -46,11 +66,7 @@ def select_frontier(
     pld-partitioned end-to-end — one exchange for the whole admission +
     politeness pipeline.
     """
-    eligible = crawl_state.filter(
-        (F.col("status") == "UNFETCHED")
-        & (F.col("score") >= F.lit(min_fetch_score))
-        & (F.col("next_fetch_time") <= F.lit(now_ms))
-    )
+    eligible = crawl_state.filter(_eligible_expr(now_ms, min_fetch_score, refetch))
     per_domain = Window.partitionBy("pld").orderBy(F.col("score").desc(), F.col("url").asc())
     capped = (
         eligible.withColumn("rn", F.row_number().over(per_domain))
@@ -100,6 +116,7 @@ def select_frontier_with_quotas(
     now_ms: int,
     budget: int,
     min_fetch_score: float = 0.0,
+    refetch: bool = False,
 ) -> DataFrame:
     """Frontier tick with score-proportional per-domain quotas.
 
@@ -107,11 +124,7 @@ def select_frontier_with_quotas(
     only shuffle is the per-PLD window on the (already filtered) state.
     """
     quotas = domain_quotas(domain_scores, budget=budget)
-    eligible = crawl_state.filter(
-        (F.col("status") == "UNFETCHED")
-        & (F.col("score") >= F.lit(min_fetch_score))
-        & (F.col("next_fetch_time") <= F.lit(now_ms))
-    )
+    eligible = crawl_state.filter(_eligible_expr(now_ms, min_fetch_score, refetch))
     per_domain = Window.partitionBy("pld").orderBy(F.col("score").desc(), F.col("url").asc())
     return (
         eligible.join(F.broadcast(quotas), "pld", "left")

@@ -74,6 +74,11 @@ class CrawlConfig:
     force_crawl_delay_ms: int | None = None
     tick_ms: int = 100_000  # politeness window per tick
     refetch_interval_ms: int = 365 * 86_400_000  # effectively fetch-once
+    refetch: bool = False  # re-admit FETCHED rows whose next_fetch_time
+    # arrived (the reference's continuous re-crawl: UrlDBFunction timers
+    # re-emit tracked URLs when due). Off = FetchQueue's UNFETCHED-only
+    # admission; on, termination also waits for refetches due within the
+    # remaining tick horizon.
     max_outlinks: int = 50  # -maxoutlinks
     single_domain: str | None = None  # -singledomain (PLD-restricted crawl)
     html_only: bool = False  # -htmlonly (mime filter before parse)
@@ -417,6 +422,7 @@ def _crawl_body(
                 now_ms=now_ms,
                 budget=cfg.domain_score_budget,
                 min_fetch_score=cfg.min_fetch_score,
+                refetch=cfg.refetch,
             ).persist()
         else:
             frontier = select_frontier(
@@ -425,6 +431,7 @@ def _crawl_body(
                 max_queue_size=cfg.max_queue_size,
                 min_fetch_score=cfg.min_fetch_score,
                 max_per_domain=cfg.max_per_domain,
+                refetch=cfg.refetch,
             ).persist()
         # NOTE: no eager count here — the frontier persist is materialized
         # by the state-checkpoint job below, and the emptiness check reads
@@ -566,7 +573,7 @@ def _crawl_body(
 
         state_obs = None
         obs_aggs = None
-        if cfg.collect_stats:
+        if cfg.collect_stats or cfg.refetch:
             # status counters ride the state job via df.observe
             # (CollectMetrics) — the Flink-counter surface
             # (StatusCounterFunction / DEFAULT_METRIC gauges) at zero
@@ -577,10 +584,20 @@ def _crawl_body(
             from ..schemas import FETCH_STATUSES
 
             state_obs = Observation(f"state_t{tick}")
-            obs_aggs = [
-                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
-                for s in FETCH_STATUSES
-            ]
+            obs_aggs = []
+            if cfg.collect_stats:
+                obs_aggs += [
+                    F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                    for s in FETCH_STATUSES
+                ]
+            if cfg.refetch:
+                # refetch-mode termination needs the earliest due time
+                # among tracked FETCHED rows — rides the same job
+                obs_aggs.append(
+                    F.min(
+                        F.when(F.col("status") == "FETCHED", F.col("next_fetch_time"))
+                    ).alias("__min_nft")
+                )
         if cfg.state_table is not None:
             # 100 TB path: bucket-local join-merge into the durable table
             # — the only Exchange in the merge plan is the per-tick
@@ -651,7 +668,25 @@ def _crawl_body(
             parsed_slim.unpersist()
         else:
             budget_slim_frames.append(parsed_slim)
+        due_ms = None
+        if cfg.refetch and state_obs is not None:
+            v = state_obs.get.get("__min_nft")
+            due_ms = int(v) if v is not None else None
         if n_frontier == 0:
+            if (
+                cfg.refetch
+                and due_ms is not None
+                and due_ms > now_ms
+                and tick < cfg.max_ticks
+            ):
+                # nothing admissible NOW, but a refetch timer is set:
+                # sleep the clock forward so the next tick lands on the
+                # due time (Flink's per-key timer semantics — the loop
+                # sleeps to the next timer instead of running empty
+                # dataflows until it arrives)
+                now_ms = max(now_ms, due_ms - cfg.tick_ms)
+                crawl_state = new_state
+                continue
             # terminal tick: updates were empty, so new_state == crawl_state
             # (singleton merge groups are identity); stop like the
             # empty-frontier break did, one job later but one job cheaper
@@ -695,13 +730,16 @@ def _crawl_body(
             counts = {
                 s: int(n)
                 for s, n in state_obs.get.items()
-                if n is not None and int(n) > 0
+                if s != "__min_nft" and n is not None and int(n) > 0
             }
             stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
             # frontier admission is UNFETCHED-only (FetchQueue.java
             # semantics, operators/frontier.py), so zero UNFETCHED rows
-            # means no future tick can admit anything — exit now
-            if counts.get("UNFETCHED", 0) == 0:
+            # means no future tick can admit anything — exit now. In
+            # refetch mode FETCHED rows re-enter when due, so the
+            # empty-frontier check above (which consults the earliest
+            # refetch timer) is the terminator instead.
+            if counts.get("UNFETCHED", 0) == 0 and not cfg.refetch:
                 break  # without stats, the empty-frontier check exits one tick later
 
     # budget-mode (non-compact) parsed_slim persists are read by every

@@ -296,3 +296,61 @@ def test_failed_sitemap_surfaces_in_trace(spark, simple_graph):
     assert failed == {"http://domain1.com/missing-sitemap.xml"}
     # the healthy sitemap's entries still reach the URL DB (pass-through)
     assert D("domain2.com", "deep") in traced(res, "sitemap_entries")
+
+
+def test_refetch_mode_recrawls_due_pages(spark, simple_graph):
+    """Continuous re-crawl (UrlDBFunction timer semantics): with
+    refetch=True, FETCHED pages re-enter the frontier once their
+    next_fetch_time arrives; with the default fetch-once admission they
+    never do."""
+    seeds = spark.createDataFrame([(D("domain1.com"), 1.0)], ["url", "score"])
+
+    # fetch-once (default): every page fetched exactly once
+    once = crawl(
+        spark, seeds, pages=simple_graph,
+        config=CrawlConfig(max_ticks=8, refetch_interval_ms=200_000),
+    )
+    fetch_counts = {
+        r["url"]: r["n"]
+        for r in once.trace.filter(F.col("operator") == "fetch")
+        .groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(fetch_counts.values()) == 1
+
+    # refetch: interval = 2 ticks -> the seed page re-fetches within the run
+    re = crawl(
+        spark, seeds, pages=simple_graph,
+        config=CrawlConfig(
+            max_ticks=8, refetch=True, refetch_interval_ms=200_000, tick_ms=100_000
+        ),
+    )
+    re_counts = {
+        r["url"]: r["n"]
+        for r in re.trace.filter(F.col("operator") == "fetch")
+        .groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(re_counts.values()) >= 2, re_counts
+    assert re.ticks == 8  # a continuous crawl runs to its tick budget
+
+
+def test_refetch_timer_sleep_jumps_the_clock(spark, simple_graph):
+    """When the frontier is empty but a refetch timer is set, the loop
+    sleeps the clock forward to the due time (Flink per-key timer
+    semantics) instead of burning empty ticks until it arrives."""
+    seeds = spark.createDataFrame([(D("domain1.com"), 1.0)], ["url", "score"])
+    # interval = 50 ticks of simulated time; only 6 real ticks allowed —
+    # without the clock jump no refetch could ever happen
+    res = crawl(
+        spark, seeds, pages=simple_graph,
+        config=CrawlConfig(
+            max_ticks=6, refetch=True,
+            refetch_interval_ms=5_000_000, tick_ms=100_000,
+        ),
+    )
+    counts = {
+        r["url"]: r["n"]
+        for r in res.trace.filter(F.col("operator") == "fetch")
+        .groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(counts.values()) >= 2, counts
+    assert res.ticks <= 6
