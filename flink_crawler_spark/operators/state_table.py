@@ -46,6 +46,10 @@ def load_bucketed_state(spark: SparkSession, table: str) -> DataFrame:
     ``<table>__old`` — restore it."""
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(f"{table}__old"):
         spark.sql(f"ALTER TABLE {table}__old RENAME TO {table}")
+    # the swap sequence can leave a cached relation with a stale file
+    # listing for this name (FAILED_READ_FILE.FILE_NOT_EXIST on the next
+    # scan) — drop it before handing out the frame
+    spark.catalog.refreshTable(table)
     return spark.table(table)
 
 
@@ -108,3 +112,99 @@ def get_state_tick(spark: SparkSession, table: str) -> int:
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {r["key"]: r["value"] for r in rows}
     return int(props.get("crawl.tick", 0))
+
+
+# ---------------------------------------------------------------------------
+# LSM-style delta log: per-tick writes are O(delta), not O(state)
+# ---------------------------------------------------------------------------
+#
+# tick_merge_bucketed keeps the merge COMPUTE delta-only but still
+# REWRITES the whole table every tick (plain parquet has no row-level
+# MERGE). The log backend removes that: each tick appends ONE small
+# bucketed delta table (`<table>__delta_t<N>`), reads view the state as
+# base ⋈ merge(deltas) — still a bucket-local join, both sides bucketed
+# by url — and every `compact_every` ticks the view is folded back into
+# the base with the same crash-safe swap. Per-tick write cost is
+# O(delta); the full rewrite is amortized 1/compact_every. This is the
+# LSM/merge-on-read layout Delta/Iceberg implement natively; on plain
+# parquet the per-tick delta TABLE (not append) keeps exactly-once:
+# the base's crawl.tick property is the authoritative marker, a crash
+# between delta-create and marker-set leaves an orphan delta that the
+# re-run of the same tick drops and recreates.
+
+
+def _base_tick(spark: SparkSession, table: str) -> int:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return int(props.get("crawl.base_tick", 0))
+
+
+def tick_append_log(
+    spark: SparkSession, table: str, updates: DataFrame, *, buckets: int, tick: int
+) -> None:
+    """One log-mode tick: write this tick's pre-merged delta as its own
+    bucketed table, then flip the authoritative tick marker."""
+    from .merge import merge_crawl_state, OBS_COLS
+
+    delta = merge_crawl_state(updates.select(*OBS_COLS))
+    dt = f"{table}__delta_t{tick}"
+    # re-running a crashed tick replaces its orphan delta: exactly-once
+    spark.sql(f"DROP TABLE IF EXISTS {dt}")
+    save_bucketed_state(delta, dt, buckets=buckets)
+    set_state_tick(spark, table, tick)
+
+
+def read_state_log(spark: SparkSession, table: str) -> DataFrame:
+    """The merged state view: base ⋈ merge(committed deltas). Lazy —
+    evaluated by whatever job consumes it (the crawl loop's frontier
+    scan). Orphan deltas past the marker are ignored."""
+    from .merge import merge_updates_join
+
+    base = load_bucketed_state(spark, table)
+    b0 = _base_tick(spark, table)
+    tick = get_state_tick(spark, table)
+    frames = [
+        spark.table(f"{table}__delta_t{t}")
+        for t in range(b0 + 1, tick + 1)
+        if spark.catalog.tableExists(f"{table}__delta_t{t}")
+    ]
+    # fold deltas PAIRWISE through the bucket-local join, newest last —
+    # the merge lattice is associative so the fold is exact, every step
+    # zips co-bucketed sides (no Exchange), and it sidesteps a planner
+    # hazard: a Union of co-bucketed scans keeps claiming the children's
+    # HashPartitioning while owning the CONCATENATED partition count,
+    # and the downstream join then dies with 'Can't zip RDDs with
+    # unequal numbers of partitions'.
+    state = base
+    for f in frames:
+        state = merge_updates_join(state, f)
+    return state
+
+
+def compact_state_log(
+    spark: SparkSession, table: str, *, buckets: int, merged_transform=None
+) -> DataFrame:
+    """Fold the committed deltas into the base with the crash-safe swap,
+    advance crawl.base_tick, and drop the folded delta tables."""
+    b0 = _base_tick(spark, table)
+    tick = get_state_tick(spark, table)
+    if tick <= b0:
+        return load_bucketed_state(spark, table)
+    merged = read_state_log(spark, table)
+    if merged_transform is not None:
+        merged = merged_transform(merged)
+    staging = f"{table}__staging"
+    save_bucketed_state(merged, staging, buckets=buckets)
+    # carry both markers on the staging table so they swap with the data
+    set_state_tick(spark, staging, tick)
+    spark.sql(
+        f"ALTER TABLE {staging} SET TBLPROPERTIES ('crawl.base_tick'='{int(tick)}')"
+    )
+    old = f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    for t in range(b0 + 1, tick + 1):
+        spark.sql(f"DROP TABLE IF EXISTS {table}__delta_t{t}")
+    return load_bucketed_state(spark, table)

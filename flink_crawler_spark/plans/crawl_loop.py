@@ -110,6 +110,12 @@ class CrawlConfig:
     # state_dir.
     state_table: str | None = None
     state_buckets: int = 64  # physical layout constant — size for END state
+    # LSM log mode on top of state_table: each tick writes ONE small
+    # bucketed delta table (O(delta) write) and the state is read as
+    # base ⋈ merge(deltas) — still bucket-local; every N ticks the view
+    # compacts into the base with the crash-safe swap, amortizing the
+    # full rewrite 1/N. None = rewrite per tick (tick_merge_bucketed).
+    state_log_every: int | None = None
     # Long-crawl lineage bounding. The loop accumulates per-tick trace /
     # parsed / domain-score frames; left lazy, each holds a reference to
     # that tick's checkpointed state (or, in state_table mode, to a
@@ -309,13 +315,24 @@ def _crawl_body(
     resumed = False
     if cfg.state_table is not None and cfg.state_dir is not None:
         raise ValueError("state_table and state_dir are mutually exclusive")
+    if cfg.state_log_every is not None and cfg.state_table is None:
+        raise ValueError("state_log_every requires state_table")
     if cfg.state_table is not None:
-        from ..operators.state_table import get_state_tick, load_bucketed_state
+        from ..operators.state_table import (
+            get_state_tick,
+            load_bucketed_state,
+            read_state_log,
+        )
 
         if spark.catalog.tableExists(cfg.state_table) or spark.catalog.tableExists(
             f"{cfg.state_table}__old"
         ):
-            crawl_state = load_bucketed_state(spark, cfg.state_table)
+            load_bucketed_state(spark, cfg.state_table)  # restore from __old
+            crawl_state = (
+                read_state_log(spark, cfg.state_table)
+                if cfg.state_log_every
+                else load_bucketed_state(spark, cfg.state_table)
+            )
             start_tick = get_state_tick(spark, cfg.state_table)
             now_ms += start_tick * cfg.tick_ms
             resumed = True
@@ -598,7 +615,71 @@ def _crawl_body(
                         F.when(F.col("status") == "FETCHED", F.col("next_fetch_time"))
                     ).alias("__min_nft")
                 )
+        def _fold_tick_history():
+            # ---- history compaction (long-crawl flat-cost path) ----
+            if cfg.domain_score_budget is not None and compact and domain_score_hist:
+                # fold the score history to the newest N scores per pld —
+                # ONE small checkpointed frame, so the quota plan and the
+                # frames it holds do not grow with tick count
+                from pyspark.sql import Window
+
+                hist = domain_score_hist[0]
+                for h in domain_score_hist[1:]:
+                    hist = hist.unionByName(h)
+                w = Window.partitionBy("pld").orderBy(
+                    F.col("seq").desc(), F.col("score")
+                )
+                folded = (
+                    hist.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= cfg.domain_score_window)
+                    .drop("__rn")
+                    .localCheckpoint(eager=True)
+                )
+                domain_score_hist.clear()
+                domain_score_hist.append(folded)
+            if compact and cfg.trace and len(trace_frames) > tick_mark:
+                # fold this tick's trace slice into one checkpointed chunk
+                # (reads only this tick's caches, which are still live)
+                chunk = trace_frames[tick_mark]
+                for f in trace_frames[tick_mark + 1 :]:
+                    chunk = chunk.unionByName(f)
+                del trace_frames[tick_mark:]
+                trace_frames.append(chunk.localCheckpoint(eager=True))
+
         if cfg.state_table is not None:
+            # Table modes: every cache consumer runs BEFORE the merge —
+            # the post-merge swap refreshes the table relation, which
+            # cascade-evicts dependent cached frames, and a count or
+            # fold after the swap would recompute against deleted
+            # files. The count job materializes the tick's persists;
+            # the merge write below reuses them.
+            n_frontier = frontier.count()
+            _fold_tick_history()
+
+        log_metrics = None
+        if cfg.state_table is not None and cfg.state_log_every:
+            # LSM log mode: the tick writes ONE delta-sized bucketed
+            # table; state reads are base ⋈ merge(deltas) (bucket-local
+            # both sides); the full rewrite happens only at compaction.
+            from ..operators.state_table import (
+                read_state_log,
+                tick_append_log,
+            )
+
+            tick_append_log(
+                spark, cfg.state_table, updates, buckets=cfg.state_buckets, tick=tick
+            )
+            # compaction is deferred to the END of the tick: DROP TABLE
+            # on the folded deltas cascade-uncaches every cached plan
+            # referencing them — including the frontier cache the counts
+            # and trace folds below still need
+            new_state = read_state_log(spark, cfg.state_table)
+            if obs_aggs:
+                # no full-state job to ride in log mode: one bounded agg
+                # action over the (column-pruned) state view
+                log_metrics = new_state.agg(*obs_aggs).collect()[0].asDict()
+                state_obs = None
+        elif cfg.state_table is not None:
             # 100 TB path: bucket-local join-merge into the durable table
             # — the only Exchange in the merge plan is the per-tick
             # delta's; the state side never re-shuffles
@@ -628,35 +709,12 @@ def _crawl_body(
             if state_obs is not None:
                 merged = merged.observe(state_obs, *obs_aggs)
             new_state = merged.localCheckpoint(eager=True)
-        n_frontier = frontier.count()  # reads the cache the job above filled
-
-        # ---- history compaction (long-crawl flat-cost path) ----
-        if cfg.domain_score_budget is not None and compact and domain_score_hist:
-            # fold the score history to the newest N scores per pld —
-            # ONE small checkpointed frame, so the quota plan and the
-            # frames it holds do not grow with tick count
-            from pyspark.sql import Window
-
-            hist = domain_score_hist[0]
-            for h in domain_score_hist[1:]:
-                hist = hist.unionByName(h)
-            w = Window.partitionBy("pld").orderBy(F.col("seq").desc(), F.col("score"))
-            folded = (
-                hist.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= cfg.domain_score_window)
-                .drop("__rn")
-                .localCheckpoint(eager=True)
-            )
-            domain_score_hist.clear()
-            domain_score_hist.append(folded)
-        if compact and cfg.trace and len(trace_frames) > tick_mark:
-            # fold this tick's trace slice into one checkpointed chunk
-            # (reads only this tick's caches, which are still live)
-            chunk = trace_frames[tick_mark]
-            for f in trace_frames[tick_mark + 1 :]:
-                chunk = chunk.unionByName(f)
-            del trace_frames[tick_mark:]
-            trace_frames.append(chunk.localCheckpoint(eager=True))
+        if cfg.state_table is None:
+            # default mode has no table swap: the checkpoint job above
+            # materialized the caches; the count just reads them (the
+            # original one-real-job-per-tick order)
+            n_frontier = frontier.count()
+            _fold_tick_history()
 
         frontier.unpersist()
         results.unpersist()
@@ -668,9 +726,27 @@ def _crawl_body(
             parsed_slim.unpersist()
         else:
             budget_slim_frames.append(parsed_slim)
+
+        if (
+            cfg.state_table is not None
+            and cfg.state_log_every
+            and tick % cfg.state_log_every == 0
+        ):
+            # caches are released and trace chunks checkpointed — the
+            # delta DROPs inside compaction can no longer uncache
+            # anything this tick still reads
+            from ..operators.state_table import compact_state_log, read_state_log
+
+            compact_state_log(spark, cfg.state_table, buckets=cfg.state_buckets)
+            new_state = read_state_log(spark, cfg.state_table)
+        tick_metrics = None
+        if state_obs is not None:
+            tick_metrics = dict(state_obs.get)  # rode the state job
+        elif log_metrics is not None:
+            tick_metrics = log_metrics
         due_ms = None
-        if cfg.refetch and state_obs is not None:
-            v = state_obs.get.get("__min_nft")
+        if cfg.refetch and tick_metrics is not None:
+            v = tick_metrics.get("__min_nft")
             due_ms = int(v) if v is not None else None
         if n_frontier == 0:
             if (
@@ -724,12 +800,13 @@ def _crawl_body(
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state
         if cfg.collect_stats:
-            # metrics were collected DURING the checkpoint job above;
-            # .get is a lookup, not an action. Absent statuses (None or
-            # 0) are omitted to keep the historical groupBy dict shape.
+            # metrics were collected DURING the checkpoint job above (or
+            # the log-mode agg); reading them is a lookup, not an action.
+            # Absent statuses (None or 0) are omitted to keep the
+            # historical groupBy dict shape.
             counts = {
                 s: int(n)
-                for s, n in state_obs.get.items()
+                for s, n in tick_metrics.items()
                 if s != "__min_nft" and n is not None and int(n) > 0
             }
             stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})

@@ -243,3 +243,79 @@ def test_tick_property_rides_the_swap_atomically(spark, lattice_frames):
     finally:
         for t_ in (table, f"{table}__old", f"{table}__staging"):
             spark.sql(f"DROP TABLE IF EXISTS {t_}")
+
+
+def test_crawl_loop_with_state_log_mode(spark, tmp_path):
+    """LSM log mode: per-tick writes are delta tables (the base is only
+    rewritten at compaction), the state view converges to the identical
+    final state as the default loop, and a restarted crawl resumes from
+    base+deltas."""
+    import os
+
+    from flink_crawler_spark.operators.state_table import read_state_log
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+    from flink_crawler_spark.sources.fixtures import (
+        render_pages,
+        web_graph_from_adjacency,
+    )
+
+    adjacency = {
+        "http://l1.com/": ["http://l1.com/a", "http://l2.com/"],
+        "http://l1.com/a": ["http://l2.com/b"],
+        "http://l2.com/": ["http://l2.com/b"],
+        "http://l2.com/b": ["http://l1.com/c"],
+        "http://l1.com/c": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame([("http://l1.com/", 1.0)], ["url", "score"])
+    base = crawl(spark, seeds, pages=pages, config=CrawlConfig(max_ticks=8))
+    want = {r["url"]: r.asDict() for r in base.crawl_state.collect()}
+
+    table = "crawl_state_log_test"
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        res = crawl(
+            spark,
+            seeds,
+            pages=pages,
+            config=CrawlConfig(
+                max_ticks=8,
+                state_table=table,
+                state_buckets=n_buckets,
+                state_log_every=3,  # compact every 3 ticks
+            ),
+        )
+        got = {r["url"]: r.asDict() for r in res.crawl_state.collect()}
+        assert got == want
+        assert got["http://l1.com/c"]["status"] == "FETCHED"
+
+        # the base table's data files were written at seed time or the
+        # last compaction — NOT once per tick (the whole point): between
+        # compactions only __delta_t* tables appear
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        base_dir = os.path.join(warehouse, table)
+        # ticks since the last compaction live as delta tables
+        deltas = [
+            t_.name for t_ in spark.catalog.listTables()
+            if t_.name.startswith(f"{table}__delta_t")
+        ]
+        last_compaction = (res.ticks // 3) * 3
+        assert len(deltas) == res.ticks - last_compaction, (deltas, res.ticks)
+
+        # restart: resumes from base+deltas, state unchanged at fixpoint
+        resumed = crawl(
+            spark, seeds, pages=pages,
+            config=CrawlConfig(
+                max_ticks=10, state_table=table,
+                state_buckets=n_buckets, state_log_every=3,
+            ),
+        )
+        got2 = {r["url"]: r.asDict() for r in read_state_log(spark, table).collect()}
+        assert got2 == want
+        assert resumed.ticks >= res.ticks
+    finally:
+        for t_ in list(spark.catalog.listTables()):
+            if t_.name.startswith(table):
+                spark.sql(f"DROP TABLE IF EXISTS {t_.name}")
