@@ -621,3 +621,49 @@ def frontier_fairness_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5 refetch admission (continuous re-crawl timers)
+# --------------------------------------------------------------------------
+
+# mid-corpus clock: ships before 1995-06-01 are past due for refetch
+REFETCH_NOW_MS = 801_964_800_000
+
+
+@register(
+    "frontier_refetch_due",
+    oracle=f"""
+WITH {OBS_SQL.strip()}, {MERGED_SQL.strip()},
+eligible AS (
+  SELECT url, pld, status, round(score, 6) AS score
+  FROM merged
+  WHERE (status = 'UNFETCHED' AND score >= 0.0 AND next_fetch_time <= {REFETCH_NOW_MS})
+     OR (status = 'FETCHED' AND next_fetch_time <= {REFETCH_NOW_MS})
+)
+SELECT url, pld, status, score
+FROM (SELECT url, pld, status, score,
+             row_number() OVER (PARTITION BY pld ORDER BY score DESC, url ASC) AS rn
+      FROM eligible) c
+WHERE rn <= 10
+""",
+)
+def frontier_refetch_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refetch admission (CrawlConfig.refetch): FETCHED rows whose
+    next_fetch_time has arrived re-enter the frontier alongside due
+    UNFETCHED rows — the reference's continuous re-crawl timers
+    (UrlDBFunction.java:333-351) as a set-based admission predicate.
+    Same per-domain window cap as the fetch-once path; the status
+    column in the output shows both admission classes."""
+    from ..operators.frontier import select_frontier
+
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    out = select_frontier(
+        merged,
+        now_ms=REFETCH_NOW_MS,
+        max_queue_size=None,
+        max_per_domain=10,
+        min_fetch_score=0.0,
+        refetch=True,
+    )
+    return out.select("url", "pld", "status", F.round("score", 6).alias("score"))
