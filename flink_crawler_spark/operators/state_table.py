@@ -46,10 +46,14 @@ def load_bucketed_state(spark: SparkSession, table: str) -> DataFrame:
     ``<table>__old`` — restore it."""
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(f"{table}__old"):
         spark.sql(f"ALTER TABLE {table}__old RENAME TO {table}")
-    # the swap sequence can leave a cached relation with a stale file
-    # listing for this name (FAILED_READ_FILE.FILE_NOT_EXIST on the next
-    # scan) — drop it before handing out the frame
-    spark.catalog.refreshTable(table)
+        # the rename can leave a cached relation with a stale file
+        # listing (FAILED_READ_FILE.FILE_NOT_EXIST on the next scan)
+        spark.catalog.refreshTable(table)
+    # NOTE: no unconditional refreshTable here — refreshing cascades an
+    # eviction through every cached frame that references the table,
+    # which would wipe the crawl tick's persisted caches on each merge
+    # read. The swap paths (tick_merge_bucketed / compact_state_log)
+    # refresh explicitly after their renames instead.
     return spark.table(table)
 
 
@@ -61,6 +65,7 @@ def tick_merge_bucketed(
     buckets: int = 64,
     merged_transform=None,
     tick: int | None = None,
+    now_ms: int | None = None,
 ) -> DataFrame:
     """One durable tick: join-merge the delta into the bucketed table and
     crash-safely replace it (write to a staging table, rename the old
@@ -80,14 +85,22 @@ def tick_merge_bucketed(
     the data move atomically together."""
     from .merge import merge_updates_join
 
-    state = load_bucketed_state(spark, table)
+    # read the LOG VIEW, not just the base: a table previously run in
+    # log mode may carry committed-but-uncompacted delta ticks — merging
+    # from the bare base would silently drop them. With no pending
+    # deltas this is exactly the base scan.
+    state = read_state_log(spark, table)
     merged = merge_updates_join(state, updates)
     if merged_transform is not None:
         merged = merged_transform(merged)
     staging = f"{table}__staging"
     save_bucketed_state(merged, staging, buckets=buckets)
     if tick is not None:
-        set_state_tick(spark, staging, tick)
+        set_state_tick(spark, staging, tick, now_ms=now_ms)
+        # the swap folds any pending deltas too — advance the base marker
+        spark.sql(
+            f"ALTER TABLE {staging} SET TBLPROPERTIES ('crawl.base_tick'='{int(tick)}')"
+        )
     # crash-safe swap: the old state is renamed aside (recoverable) before
     # the staging table takes the name; only then is the backup dropped.
     # A crash in any window leaves either <table> or <table>__old existing
@@ -97,14 +110,24 @@ def tick_merge_bucketed(
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.catalog.refreshTable(table)  # drop the pre-swap file listing
+    if tick is not None:
+        _sweep_deltas(spark, table, up_to=tick)
     return load_bucketed_state(spark, table)
 
 
-def set_state_tick(spark: SparkSession, table: str, tick: int) -> None:
-    """Record the completed tick number on the state table itself, so a
-    restarted crawl resumes at the right now_ms (the batch-loop analogue
-    of the reference's checkpointed iteration counter)."""
-    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('crawl.tick'='{int(tick)}')")
+def set_state_tick(
+    spark: SparkSession, table: str, tick: int, *, now_ms: int | None = None
+) -> None:
+    """Record the completed tick number (and, optionally, the simulated
+    clock) on the state table itself, so a restarted crawl resumes at
+    the right now_ms — including refetch-mode clock jumps, which a
+    tick-count-derived clock would silently rewind (the batch-loop
+    analogue of the reference's checkpointed iteration counter)."""
+    props = f"'crawl.tick'='{int(tick)}'"
+    if now_ms is not None:
+        props += f", 'crawl.now_ms'='{int(now_ms)}'"
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
 
 
 def get_state_tick(spark: SparkSession, table: str) -> int:
@@ -112,6 +135,14 @@ def get_state_tick(spark: SparkSession, table: str) -> int:
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {r["key"]: r["value"] for r in rows}
     return int(props.get("crawl.tick", 0))
+
+
+def get_state_now_ms(spark: SparkSession, table: str) -> int | None:
+    """Persisted simulated clock; None when unset (pre-clock tables)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    v = props.get("crawl.now_ms")
+    return int(v) if v is not None else None
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +164,22 @@ def get_state_tick(spark: SparkSession, table: str) -> int:
 # re-run of the same tick drops and recreates.
 
 
+def _sweep_deltas(spark: SparkSession, table: str, *, up_to: int) -> None:
+    """Drop every folded delta table (t <= up_to) by prefix listing, so
+    orphans from a crash between a swap and its drops are also swept."""
+    import re as _re
+
+    pref = f"{table}__delta_t"
+    # SHOW TABLES LIKE, not catalog.listTables(): the latter decodes
+    # every table's full metadata (and trips EXPRESSION_DECODING_FAILED
+    # on some temp-view mixes); the SQL listing returns bare names
+    for r in spark.sql(f"SHOW TABLES LIKE '{pref}*'").collect():
+        name = r["tableName"]
+        m = _re.fullmatch(_re.escape(pref) + r"(\d+)", name)
+        if m and int(m.group(1)) <= up_to:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def _base_tick(spark: SparkSession, table: str) -> int:
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     props = {r["key"]: r["value"] for r in rows}
@@ -140,7 +187,13 @@ def _base_tick(spark: SparkSession, table: str) -> int:
 
 
 def tick_append_log(
-    spark: SparkSession, table: str, updates: DataFrame, *, buckets: int, tick: int
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    *,
+    buckets: int,
+    tick: int,
+    now_ms: int | None = None,
 ) -> None:
     """One log-mode tick: write this tick's pre-merged delta as its own
     bucketed table, then flip the authoritative tick marker."""
@@ -151,7 +204,7 @@ def tick_append_log(
     # re-running a crashed tick replaces its orphan delta: exactly-once
     spark.sql(f"DROP TABLE IF EXISTS {dt}")
     save_bucketed_state(delta, dt, buckets=buckets)
-    set_state_tick(spark, table, tick)
+    set_state_tick(spark, table, tick, now_ms=now_ms)
 
 
 def read_state_log(spark: SparkSession, table: str) -> DataFrame:
@@ -205,6 +258,6 @@ def compact_state_log(
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
-    for t in range(b0 + 1, tick + 1):
-        spark.sql(f"DROP TABLE IF EXISTS {table}__delta_t{t}")
+    spark.catalog.refreshTable(table)  # drop the pre-swap file listing
+    _sweep_deltas(spark, table, up_to=tick)
     return load_bucketed_state(spark, table)

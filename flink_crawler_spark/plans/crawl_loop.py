@@ -319,22 +319,26 @@ def _crawl_body(
         raise ValueError("state_log_every requires state_table")
     if cfg.state_table is not None:
         from ..operators.state_table import (
+            get_state_now_ms,
             get_state_tick,
-            load_bucketed_state,
             read_state_log,
         )
 
         if spark.catalog.tableExists(cfg.state_table) or spark.catalog.tableExists(
             f"{cfg.state_table}__old"
         ):
-            load_bucketed_state(spark, cfg.state_table)  # restore from __old
-            crawl_state = (
-                read_state_log(spark, cfg.state_table)
-                if cfg.state_log_every
-                else load_bucketed_state(spark, cfg.state_table)
-            )
+            # ALWAYS resume through the log view: a table previously run
+            # in log mode may carry committed-but-uncompacted delta
+            # ticks, and resuming from the bare base would silently drop
+            # them (with no pending deltas this IS the base scan).
+            # read_state_log's base load also restores from __old.
+            crawl_state = read_state_log(spark, cfg.state_table)
             start_tick = get_state_tick(spark, cfg.state_table)
-            now_ms += start_tick * cfg.tick_ms
+            stored_now = get_state_now_ms(spark, cfg.state_table)
+            # prefer the persisted clock: refetch-mode sleep jumps moved
+            # it past tick*tick_ms, and rewinding would re-burn ticks
+            # re-deriving jumps already taken
+            now_ms = stored_now if stored_now is not None else now_ms + start_tick * cfg.tick_ms
             resumed = True
     if cfg.state_dir is not None:
         import os
@@ -344,8 +348,10 @@ def _crawl_body(
             with open(marker) as fh:
                 content = fh.read().strip()
             try:
-                start_tick = int(content)
-            except ValueError:
+                parts = content.split()
+                start_tick = int(parts[0])
+                stored_now = int(parts[1]) if len(parts) > 1 else None
+            except (ValueError, IndexError):
                 raise ValueError(
                     f"corrupt checkpoint marker {marker!r} (contents {content!r}); "
                     "delete the state_dir to restart from seeds"
@@ -353,7 +359,9 @@ def _crawl_body(
             crawl_state = spark.read.parquet(
                 os.path.join(cfg.state_dir, f"state_t{start_tick}")
             ).localCheckpoint(eager=True)
-            now_ms += start_tick * cfg.tick_ms
+            # prefer the persisted clock (refetch sleep jumps move it
+            # past tick*tick_ms); older single-token markers fall back
+            now_ms = stored_now if stored_now is not None else now_ms + start_tick * cfg.tick_ms
             resumed = True
 
     if not resumed:
@@ -667,7 +675,12 @@ def _crawl_body(
             )
 
             tick_append_log(
-                spark, cfg.state_table, updates, buckets=cfg.state_buckets, tick=tick
+                spark,
+                cfg.state_table,
+                updates,
+                buckets=cfg.state_buckets,
+                tick=tick,
+                now_ms=now_ms,
             )
             # compaction is deferred to the END of the tick: DROP TABLE
             # on the folded deltas cascade-uncaches every cached plan
@@ -675,8 +688,13 @@ def _crawl_body(
             # and trace folds below still need
             new_state = read_state_log(spark, cfg.state_table)
             if obs_aggs:
-                # no full-state job to ride in log mode: one bounded agg
-                # action over the (column-pruned) state view
+                # no full-state job to ride in log mode: one agg action
+                # over the (column-pruned) state view. This is a second
+                # O(state-scan) per tick on top of the frontier's own
+                # scan — it does not change the asymptotics (selection
+                # already scans the view every tick; only the WRITE is
+                # O(delta)), but flip collect_stats off to drop it when
+                # the counts are not needed.
                 log_metrics = new_state.agg(*obs_aggs).collect()[0].asDict()
                 state_obs = None
         elif cfg.state_table is not None:
@@ -699,6 +717,7 @@ def _crawl_body(
                     else None
                 ),
                 tick=tick,
+                now_ms=now_ms,
             )
         else:
             # localCheckpoint truncates lineage — without it the state
@@ -779,7 +798,7 @@ def _crawl_body(
             new_state.write.mode("overwrite").parquet(path)
             tmp = os.path.join(cfg.state_dir, "_LATEST.tmp")
             with open(tmp, "w") as fh:
-                fh.write(str(tick))
+                fh.write(f"{tick} {now_ms}")  # tick + simulated clock
             os.replace(tmp, os.path.join(cfg.state_dir, "_LATEST"))  # atomic
             # retention sweep: a long crawl writes thousands of ticks —
             # keep the newest keep_checkpoints snapshots (the marker

@@ -657,7 +657,14 @@ def frontier_refetch_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     column in the output shows both admission classes."""
     from ..operators.frontier import select_frontier
 
-    merged = merge_crawl_state(crawl_obs(spark, sf_dir))
+    merged = merge_crawl_state(crawl_obs(spark, sf_dir)).withColumn(
+        # round BEFORE ranking (the module's round-before-hash
+        # convention): the oracle's window ranks on round(score, 6), and
+        # ranking on raw doubles could admit a different row at the
+        # rn<=10 boundary when a post-round tie hides an ulp difference
+        "score",
+        F.round("score", 6),
+    )
     out = select_frontier(
         merged,
         now_ms=REFETCH_NOW_MS,
@@ -666,4 +673,4 @@ def frontier_refetch_due(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_fetch_score=0.0,
         refetch=True,
     )
-    return out.select("url", "pld", "status", F.round("score", 6).alias("score"))
+    return out.select("url", "pld", "status", "score")

@@ -30,7 +30,8 @@ def _latest_tick(state_dir: str) -> int | None:
     if not os.path.exists(marker):
         return None
     with open(marker) as fh:
-        return int(fh.read().strip())
+        # marker format: "tick" or "tick now_ms" (clock added r4)
+        return int(fh.read().strip().split()[0])
 
 
 def ingest_seeds(

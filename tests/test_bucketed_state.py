@@ -170,6 +170,12 @@ def test_crawl_loop_through_bucketed_state_table(spark, tmp_path):
             }
             assert sa == sb, op
 
+        # the simulated clock is persisted with the tick (refetch-mode
+        # sleep jumps would otherwise rewind on resume)
+        from flink_crawler_spark.operators.state_table import get_state_now_ms
+
+        assert get_state_now_ms(spark, table) == 1_700_000_000_000 + bucketed.ticks * 100_000
+
         # restart: the table IS the checkpoint — a fresh crawl() call
         # resumes from it (no re-seeding) and stays at the fixpoint
         resumed = crawl(
@@ -235,11 +241,12 @@ def test_tick_property_rides_the_swap_atomically(spark, lattice_frames):
         set_state_tick(spark, table, 3)
         tick_merge_bucketed(spark, table, updates, buckets=4, tick=4)
         assert get_state_tick(spark, table) == 4
-        # and a merge WITHOUT a tick (seed ingestion path) preserves the
-        # live value only if re-stamped by the caller — the property
-        # lives on the table that carries the data
-        tick_merge_bucketed(spark, table, updates, buckets=4, tick=4)
-        assert get_state_tick(spark, table) == 4
+        # a merge WITHOUT a tick resets the counter to 0 (saveAsTable
+        # creates the staging table propertyless, and nothing re-stamps
+        # it) — the documented contract callers like ingest_seeds_table
+        # must compensate for by always passing tick=
+        tick_merge_bucketed(spark, table, updates, buckets=4)
+        assert get_state_tick(spark, table) == 0
     finally:
         for t_ in (table, f"{table}__old", f"{table}__staging"):
             spark.sql(f"DROP TABLE IF EXISTS {t_}")

@@ -72,7 +72,7 @@ def test_checkpoint_retention_sweeps_old_snapshots(spark, tmp_path):
     snaps = sorted(d for d in os.listdir(sd) if d.startswith("state_t"))
     assert len(snaps) == 2, snaps
     with open(os.path.join(sd, "_LATEST")) as fh:
-        latest = int(fh.read())
+        latest = int(fh.read().split()[0])
     assert f"state_t{latest}" in snaps  # marker points at a kept snapshot
     # resume from the swept dir reproduces the finished state
     again = crawl(

@@ -37,7 +37,7 @@ def test_continuous_crawl_drains_seed_file(spark, tmp_path):
     finally:
         q.stop()
 
-    tick = int(open(os.path.join(state_dir, "_LATEST")).read())
+    tick = int(open(os.path.join(state_dir, "_LATEST")).read().split()[0])
     state = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
     st = {r["url"]: r["status"] for r in state.collect()}
     assert st["http://s1.com/"] == "FETCHED"
@@ -67,7 +67,7 @@ def test_restarted_stream_does_not_redeliver_seeds(spark, tmp_path):
         )
         q.awaitTermination(300)
 
-    tick = int(open(os.path.join(state_dir, "_LATEST")).read())
+    tick = int(open(os.path.join(state_dir, "_LATEST")).read().split()[0])
     state = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
     rows = state.collect()
     assert len(rows) == 1  # no duplicate state rows after restart
@@ -160,7 +160,7 @@ def test_streaming_crawl_converges_to_batch_state(spark, tmp_path):
     finally:
         q.stop()
 
-    tick = int(open(os.path.join(state_dir, "_LATEST")).read())
+    tick = int(open(os.path.join(state_dir, "_LATEST")).read().split()[0])
     state = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
     b = {r["url"]: r.asDict() for r in state.collect()}
     assert a == b

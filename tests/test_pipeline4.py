@@ -8,7 +8,9 @@ the leakage-safe split exists for.
 
 from __future__ import annotations
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _plan(df) -> str:
