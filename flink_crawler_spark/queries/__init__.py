@@ -48,76 +48,71 @@ from . import pipelineq4  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- §2 crawl core ---
-    # (r4 rotation: url_normalize_lite / url_validate /
-    # url_lengthen_resolve / robots_longest_match / html_outlink_extract
-    # / sitemap_xml_roundtrip / surt_cdx_lookup / crawl_merge_lattice /
-    # domain_avg_of_avgs / union_outlinks_merge rotated OUT after 2-3
-    # green driver rounds each; 10 still-driver-unseen surfaces rotated
-    # IN below — see the r4 additions)
-    "robots_wildcard_match",     # F2 RFC 9309 wildcard/anchor patterns (new r3)
-    "parse_multiformat",         # U1 multi-format dispatch + watchdog
-    "crawl_reachability",        # §2.14 whole-topology loop
-    "frontier_domain_quota",     # §2.5 per-domain quotas
-    "rate_window_30s",           # G4 TimedCounter rate gauge (rotated in, r3)
-    # (frontier_topk / politeness_lag / new_urls_anti_join / outlink_cap
-    # rotated OUT after 3 green rounds each; the four NEW r4 operators
-    # rotated IN for first driver verification)
-    "curation_funnel",           # composed curation pipeline (new r4)
-    "leakage_safe_split",        # cluster-keyed split (new r4)
-    "mixture_temperature_sample",  # temperature sampling (new r4)
-    "semantic_contamination",    # embedding decontamination (new r4)
-    "trimmed_mean_price_udaf",   # §2.15 UDAF extension slot (rotated in, r3)
-    "moving_avg_10",             # G1 last-10 moving average (r4: back in, r1/r2 green)
-    "status_counts",             # G3 status counters (r4: back in, r1/r2 green)
-    "tsv_content_lines",         # P5 content-TSV formatter (r4: back in, r1/r2 green)
-    "warc_sink_source_roundtrip",  # W1 WARC bytes roundtrip (r4: first driver look)
-    "recrawl_schedule",          # AIMD refresh policy (r4: first driver look)
-    # --- streaming (§2.14/J1) ---
-    "stream_url_db_merge",
-    "stream_window_counts",
-    "stream_dedup",
-    "stream_stream_join",
-    "stream_sessionize",
-    # --- dedup family ---
-    "semdedup_prune",            # semantic dedup (new r3; exact over shared kmeans chain)
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "near_dup_clusters",
-    "ppjoin_pairs",
-    "simhash_near_dup_pairs",    # rotated in, r3 (r1-green; hard-verify again)
-    "char_dup_spans",            # exact-substring dup signal (r4: first driver look)
-    "incremental_ingest_dedup",  # cross-snapshot dedup (r4: first driver look)
-    # --- validation / extension surface ---
-    "data_quality_report",
-    # --- similarity family ---
-    "cosine_topk_bruteforce",
-    "pq_codebook_encode",        # PQ compression layout (new r3)
-    "kmeans_embeddings",
-    # --- text family ---
-    "doc_token_count",
-    "doc_quality_score",
-    "doc_lang_id",
-    "tfidf_top_terms",
-    # --- pipeline-curation family ---
-    "benchmark_contamination",
-    "sequence_pack_chop",
-    "gopher_quality_filter",     # published Gopher gate (r4: first driver look)
-    "dsir_importance_weights",   # DSIR weighting (r4: first driver look)
-    "corpus_shuffle_shard",      # shard layout (r4: first driver look)
-    # --- multimodal family ---
-    "media_stats",
-    "media_arrow_byte_stats",
-    "video_frame_sample",
-    "media_content_dedup",       # rotated in, r3
-    # --- streaming curation ---
-    "stream_doc_dedup_stats",    # rotated in, r3
-    # --- sketch family ---
-    "kmv_distinct_custkey_monthly",
-    "cms_heavy_hitters",
-    "bloom_bucket_prefilter",
-    # --- sources family ---
-    "partitioned_parquet_pruning",
+    # --- r5 rotation: ALL 50 slots drawn from the 74 oracled queries the
+    # driver has never verified (r4 verdict task 1 — 105/185 seen across
+    # r1-r4; this window burns the unseen backlog down to 24, all of them
+    # plain-aggregate SQL-breadth rows left for r6). Every r4-window row
+    # rotated OUT (all were driver-green r4; still covered by the local
+    # gate + pytest + bench).
+    # --- §2 crawl core (never driver-seen) ---
+    "frontier_refetch_due",       # continuous re-crawl admission (new r4)
+    "crawl_reachability_rcte",    # §2.14 loop, declarative recursive-CTE twin
+    "sitemap_failed_report",      # F4 failed-sitemap surfacing
+    "html_tree_parse",            # U1 structural HTML parse
+    "html_outlink_extract_udtf",  # §2.15 UDTF extension surface
+    "skew_salted_join",           # hot-PLD skew mitigation
+    # --- graph / iterative ---
+    "pagerank_5iter",
+    "sssp_bellman_ford",
+    "copurchase_triangles",
+    # --- streaming (6 never-seen surfaces; verdict task 7 asked ≥3) ---
+    "stream_stream_left_join",
+    "stream_window_counts_append",
+    "stream_dedup_within_watermark",
+    "stream_update_mode_counts",
+    "stream_static_join",
+    "stream_rate_gauge",
+    "stream_quality_gate_counts",
+    "sessionize_session_window_batch",
+    # --- dedup family (never-seen members) ---
+    "doc_simhash",
+    "ngram_jaccard_pairs",
+    "fuzzy_name_pairs",
+    "near_dup_keep_best",
+    "doc_fingerprint",
+    "hash_stratified_sample",
+    "cluster_stratified_sample",
+    # --- text / curation (never-seen members) ---
+    "doc_quality_features",
+    "doc_filter_pipeline",
+    "doc_repetition_filter",
+    "doc_pii_redact",
+    "doc_chunk_sliding",
+    "segment_boilerplate_filter",
+    "model_quality_classifier",
+    "corpus_mix_budget",
+    "dataset_card_rollup",
+    "doc_bpe_pretoken",
+    "bpe_merge_candidates",
+    "vocab_coverage",
+    # --- similarity ---
+    "ann_topk_pq_adc",
+    # --- multimodal (never-seen members) ---
+    "media_decode_stats",
+    "audio_chunk_energy",
+    "media_feature_fold",
+    "media_resize_stub",
+    # --- sources / formats (never-seen roundtrips) ---
+    "json_sink_source_roundtrip",
+    "csv_sink_source_roundtrip",
+    "orc_sink_source_roundtrip",
+    "json_props_extract",
+    "variant_props_extract",
+    # --- SQL breadth (hardest never-seen analytic shapes) ---
+    "order_gap_islands",
+    "scd2_versioned_revenue",
+    "grouping_sets_priority_status",
+    "quantity_bag_ops",
 ]
 
 
