@@ -121,16 +121,44 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "total_runtime_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if failures:
         out["failures"] = failures
+    # The round artifact records only a bounded TAIL of stdout (~2000
+    # chars), which decapitates the full 185-query JSON line and leaves
+    # the artifact's parsed field null. So: (1) persist the FULL result
+    # next to bench.py (committed per round — the judge's per-query diff
+    # reads this), (2) print the full line for anyone reading stdout
+    # whole, and (3) END stdout with a compact line that fits the tail,
+    # so the artifact's last-line parse always succeeds.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL_LATEST.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    compact = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "slowest": {k: round(v, 2) for k, v in slowest.items()},
+        "full_map": "BENCH_LOCAL_LATEST.json",
+    }
+    print(json.dumps(compact))
     return 1 if failures else 0
 
 

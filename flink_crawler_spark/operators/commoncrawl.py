@@ -293,7 +293,11 @@ def archive_fetch(
         if redirect_mode == "FOLLOW_ALL":
             follow = F.lit(True)
         elif redirect_mode == "FOLLOW_TEMP":
-            follow = ~permanent
+            # 303 See Other is NOT a followable temp redirect: the
+            # reference's FOLLOW_TEMP raises SEE_OTHER_DISALLOWED
+            # (surfaced as HTTP_REDIRECTION_ERROR) for 303
+            # (CommonCrawlFetcher.java RedirectMode handling)
+            follow = ~permanent & (code != 303)
         else:
             follow = F.lit(False)
         terminal_status = (

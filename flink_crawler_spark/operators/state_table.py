@@ -210,28 +210,36 @@ def tick_append_log(
 def read_state_log(spark: SparkSession, table: str) -> DataFrame:
     """The merged state view: base ⋈ merge(committed deltas). Lazy —
     evaluated by whatever job consumes it (the crawl loop's frontier
-    scan). Orphan deltas past the marker are ignored."""
-    from .merge import merge_updates_join
+    scan). Orphan deltas past the marker are ignored.
+
+    All pending deltas fold through ONE delta-sized groupBy-merge and
+    ONE bucket-local join with the base, so the per-scan cost is
+    O(state) + O(sum-of-deltas) regardless of how many ticks have
+    passed since the last compaction (the lattice is order- and
+    partitioning-independent — property-pinned in
+    test_merge_lattice_laws — so the k-way fold equals the pairwise
+    one). An earlier pairwise implementation chained one join per
+    pending delta: measured +~0.5 s/tick of read amplification PER
+    uncompacted tick (tools/state_log_ab.py). The deltas are read as
+    plain parquet FILES, not catalog tables: a Union of co-bucketed
+    table scans falsely advertises the children's HashPartitioning
+    while owning the concatenated partition count (zip crash /
+    missing-exchange hazard); file scans claim no partitioning, and the
+    tiny delta union then shuffles normally into the merge."""
+    from .merge import OBS_COLS, merge_crawl_state, merge_updates_join
 
     base = load_bucketed_state(spark, table)
     b0 = _base_tick(spark, table)
     tick = get_state_tick(spark, table)
-    frames = [
-        spark.table(f"{table}__delta_t{t}")
-        for t in range(b0 + 1, tick + 1)
-        if spark.catalog.tableExists(f"{table}__delta_t{t}")
-    ]
-    # fold deltas PAIRWISE through the bucket-local join, newest last —
-    # the merge lattice is associative so the fold is exact, every step
-    # zips co-bucketed sides (no Exchange), and it sidesteps a planner
-    # hazard: a Union of co-bucketed scans keeps claiming the children's
-    # HashPartitioning while owning the CONCATENATED partition count,
-    # and the downstream join then dies with 'Can't zip RDDs with
-    # unequal numbers of partitions'.
-    state = base
-    for f in frames:
-        state = merge_updates_join(state, f)
-    return state
+    files: list[str] = []
+    for t in range(b0 + 1, tick + 1):
+        dt = f"{table}__delta_t{t}"
+        if spark.catalog.tableExists(dt):
+            files.extend(spark.table(dt).inputFiles())
+    if not files:
+        return base
+    deltas = spark.read.parquet(*files).select(*OBS_COLS)
+    return merge_updates_join(base, merge_crawl_state(deltas))
 
 
 def compact_state_log(
@@ -248,8 +256,12 @@ def compact_state_log(
         merged = merged_transform(merged)
     staging = f"{table}__staging"
     save_bucketed_state(merged, staging, buckets=buckets)
-    # carry both markers on the staging table so they swap with the data
-    set_state_tick(spark, staging, tick)
+    # carry ALL markers on the staging table so they swap with the data —
+    # including the persisted simulated clock: dropping crawl.now_ms here
+    # would rewind a refetch-mode crawl that stops on a compaction
+    # boundary to start_ms + tick*tick_ms, re-deriving its timer-sleep
+    # jumps (the regression the clock-persistence fix closed).
+    set_state_tick(spark, staging, tick, now_ms=get_state_now_ms(spark, table))
     spark.sql(
         f"ALTER TABLE {staging} SET TBLPROPERTIES ('crawl.base_tick'='{int(tick)}')"
     )

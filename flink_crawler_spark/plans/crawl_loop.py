@@ -183,6 +183,16 @@ def seeds_to_state(clean: DataFrame, *, now_ms: int) -> DataFrame:
     )
 
 
+def _obs_counts(metrics: dict) -> dict:
+    """Observed status-counter row -> {status: n} with absent statuses
+    (None or 0) omitted, keeping the historical groupBy dict shape."""
+    return {
+        s: int(n)
+        for s, n in metrics.items()
+        if s != "__min_nft" and n is not None and int(n) > 0
+    }
+
+
 def crawl(
     spark: SparkSession,
     seeds: DataFrame,
@@ -405,12 +415,56 @@ def _crawl_body(
             ),
         )
 
+    # Status counters / refetch due-timer aggregates (built once — the
+    # Column exprs are reusable; an Observation is created per tick).
+    # These are the Flink-counter surface (StatusCounterFunction /
+    # DEFAULT_METRIC gauges) computed at zero extra actions per tick.
+    obs_aggs = None
+    log_mode = cfg.state_table is not None and bool(cfg.state_log_every)
+    if cfg.collect_stats or cfg.refetch:
+        from ..schemas import FETCH_STATUSES
+
+        obs_aggs = []
+        if cfg.collect_stats:
+            obs_aggs += [
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                for s in FETCH_STATUSES
+            ]
+        if cfg.refetch:
+            # refetch-mode termination needs the earliest due time among
+            # tracked FETCHED rows — rides the same job
+            obs_aggs.append(
+                F.min(
+                    F.when(F.col("status") == "FETCHED", F.col("next_fetch_time"))
+                ).alias("__min_nft")
+            )
+    # Log mode records per-tick stats one tick in arrears (the metrics
+    # ride the NEXT frontier scan of the state view) — this entry holds
+    # the tick whose counts have not arrived yet.
+    pending_stat: dict | None = None
+
     deadline = time.time() + cfg.max_duration_sec
     tick = start_tick
     while tick < cfg.max_ticks and time.time() < deadline:
         tick += 1
         now_ms += cfg.tick_ms
         tick_mark = len(trace_frames)  # compaction: this tick's trace slice
+
+        state_obs = None
+        if log_mode and obs_aggs:
+            # LSM log mode has no full-state WRITE job to ride, but the
+            # frontier selection below scans the state view anyway — the
+            # only O(state-scan) action of the tick. Attach the counters
+            # to THAT scan instead of paying a second full-state agg per
+            # tick. The metrics therefore describe the PRE-merge state
+            # (= last tick's post-merge state): stats are finalized one
+            # tick in arrears, and the refetch due-timer is only ever
+            # consulted on empty-frontier ticks, where the merge is an
+            # identity and pre == post exactly.
+            from pyspark.sql import Observation
+
+            state_obs = Observation(f"state_scan_t{tick}")
+            crawl_state = crawl_state.observe(state_obs, *obs_aggs)
 
         # persist (lazy) rather than checkpoint (eager job): the count()
         # below materializes the cache; downstream branches then reuse it.
@@ -596,33 +650,14 @@ def _crawl_body(
             .unionByName(new_obs.select(*OBS_COLS))
         )
 
-        state_obs = None
-        obs_aggs = None
-        if cfg.collect_stats or cfg.refetch:
-            # status counters ride the state job via df.observe
-            # (CollectMetrics) — the Flink-counter surface
-            # (StatusCounterFunction / DEFAULT_METRIC gauges) at zero
-            # extra actions per tick, instead of a separate
-            # groupBy+collect scan of the state
+        if not log_mode and obs_aggs:
+            # non-log modes: the counters ride the state checkpoint /
+            # bucketed-merge write job below via df.observe — post-merge
+            # metrics at zero extra actions
             from pyspark.sql import Observation
 
-            from ..schemas import FETCH_STATUSES
-
             state_obs = Observation(f"state_t{tick}")
-            obs_aggs = []
-            if cfg.collect_stats:
-                obs_aggs += [
-                    F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
-                    for s in FETCH_STATUSES
-                ]
-            if cfg.refetch:
-                # refetch-mode termination needs the earliest due time
-                # among tracked FETCHED rows — rides the same job
-                obs_aggs.append(
-                    F.min(
-                        F.when(F.col("status") == "FETCHED", F.col("next_fetch_time"))
-                    ).alias("__min_nft")
-                )
+
         def _fold_tick_history():
             # ---- history compaction (long-crawl flat-cost path) ----
             if cfg.domain_score_budget is not None and compact and domain_score_hist:
@@ -664,11 +699,13 @@ def _crawl_body(
             n_frontier = frontier.count()
             _fold_tick_history()
 
-        log_metrics = None
-        if cfg.state_table is not None and cfg.state_log_every:
+        if log_mode:
             # LSM log mode: the tick writes ONE delta-sized bucketed
             # table; state reads are base ⋈ merge(deltas) (bucket-local
             # both sides); the full rewrite happens only at compaction.
+            # Status counters already rode the frontier count's scan of
+            # the state view (state_obs attached at tick top) — the tick
+            # runs exactly one O(state-scan) action.
             from ..operators.state_table import (
                 read_state_log,
                 tick_append_log,
@@ -687,16 +724,6 @@ def _crawl_body(
             # referencing them — including the frontier cache the counts
             # and trace folds below still need
             new_state = read_state_log(spark, cfg.state_table)
-            if obs_aggs:
-                # no full-state job to ride in log mode: one agg action
-                # over the (column-pruned) state view. This is a second
-                # O(state-scan) per tick on top of the frontier's own
-                # scan — it does not change the asymptotics (selection
-                # already scans the view every tick; only the WRITE is
-                # O(delta)), but flip collect_stats off to drop it when
-                # the counts are not needed.
-                log_metrics = new_state.agg(*obs_aggs).collect()[0].asDict()
-                state_obs = None
         elif cfg.state_table is not None:
             # 100 TB path: bucket-local join-merge into the durable table
             # — the only Exchange in the merge plan is the per-tick
@@ -760,9 +787,17 @@ def _crawl_body(
             new_state = read_state_log(spark, cfg.state_table)
         tick_metrics = None
         if state_obs is not None:
-            tick_metrics = dict(state_obs.get)  # rode the state job
-        elif log_metrics is not None:
-            tick_metrics = log_metrics
+            # rode the state write job (non-log modes: post-merge) or the
+            # frontier count's state-view scan (log mode: pre-merge)
+            tick_metrics = dict(state_obs.get)
+        if log_mode and cfg.collect_stats and tick_metrics is not None:
+            # the scan metrics describe LAST tick's post-merge state —
+            # finalize that tick's pending stats entry (before any
+            # break/continue below can drop it)
+            if pending_stat is not None:
+                pending_stat["status_counts"] = _obs_counts(tick_metrics)
+                stats.append(pending_stat)
+                pending_stat = None
         due_ms = None
         if cfg.refetch and tick_metrics is not None:
             v = tick_metrics.get("__min_nft")
@@ -819,24 +854,40 @@ def _crawl_body(
         # idle detection (NoActivityCrawlTerminator analogue): state fixpoint
         crawl_state = new_state
         if cfg.collect_stats:
-            # metrics were collected DURING the checkpoint job above (or
-            # the log-mode agg); reading them is a lookup, not an action.
-            # Absent statuses (None or 0) are omitted to keep the
-            # historical groupBy dict shape.
-            counts = {
-                s: int(n)
-                for s, n in tick_metrics.items()
-                if s != "__min_nft" and n is not None and int(n) > 0
-            }
-            stats.append({"tick": tick, "frontier": n_frontier, "status_counts": counts})
-            # frontier admission is UNFETCHED-only (FetchQueue.java
-            # semantics, operators/frontier.py), so zero UNFETCHED rows
-            # means no future tick can admit anything — exit now. In
-            # refetch mode FETCHED rows re-enter when due, so the
-            # empty-frontier check above (which consults the earliest
-            # refetch timer) is the terminator instead.
-            if counts.get("UNFETCHED", 0) == 0 and not cfg.refetch:
-                break  # without stats, the empty-frontier check exits one tick later
+            if log_mode:
+                # this tick's post-merge counts arrive with the NEXT
+                # frontier scan — park the entry until then (finalized
+                # above, or by the one-time agg after the loop if the
+                # crawl ends on max_ticks/deadline)
+                pending_stat = {"tick": tick, "frontier": n_frontier}
+            else:
+                # metrics were collected DURING the checkpoint job above;
+                # reading them is a lookup, not an action. Absent statuses
+                # (None or 0) are omitted to keep the historical groupBy
+                # dict shape.
+                counts = _obs_counts(tick_metrics)
+                stats.append(
+                    {"tick": tick, "frontier": n_frontier, "status_counts": counts}
+                )
+                # frontier admission is UNFETCHED-only (FetchQueue.java
+                # semantics, operators/frontier.py), so zero UNFETCHED rows
+                # means no future tick can admit anything — exit now. In
+                # refetch mode FETCHED rows re-enter when due, so the
+                # empty-frontier check above (which consults the earliest
+                # refetch timer) is the terminator instead.
+                if counts.get("UNFETCHED", 0) == 0 and not cfg.refetch:
+                    break  # without stats, the empty-frontier check exits one tick later
+
+    if pending_stat is not None:
+        # log-mode crawl ended with a tick whose post-merge counts never
+        # rode a later scan (max_ticks / wall-clock exit, or the terminal
+        # empty-frontier tick whose identity merge makes pre == post):
+        # one final agg over the state view — a single O(state-scan)
+        # action at crawl END, not per tick
+        row = crawl_state.agg(*obs_aggs).collect()[0].asDict()
+        pending_stat["status_counts"] = _obs_counts(row)
+        stats.append(pending_stat)
+        pending_stat = None
 
     # budget-mode (non-compact) parsed_slim persists are read by every
     # later tick's moving-average plan — release them now that the loop

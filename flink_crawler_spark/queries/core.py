@@ -597,15 +597,40 @@ def frontier_fairness_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
     counts sorted ascending (deterministic tie-break by pld):
     integer products summed exactly, two double divisions at the end.
-    One count-aggregate + one global-rank window over the (small)
-    per-domain table."""
+
+    The global rank is a two-phase distributed rank (the
+    sequence_pack_chop prefix-sum idiom): range-partition the per-domain
+    table on the sort key, count rows per partition (bounded driver
+    round-trip — one value per partition, the same trip Spark's own
+    RangePartitioner takes), broadcast the exclusive offsets back, and
+    rank WITHIN each partition. No single-partition window anywhere — a
+    web-scale crawl tracks 10^7-10^8 PLDs and a global Window.orderBy
+    would serialize them through one task."""
     merged = merge_crawl_state(crawl_obs(spark, sf_dir))
     pc = merged.groupBy("pld").agg(F.count(F.lit(1)).alias("n_urls"))
-    w = Window.orderBy(F.asc("n_urls"), F.asc("pld"))
-    rk = pc.select(
-        "pld",
-        "n_urls",
-        F.row_number().over(w).alias("i"),
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        pc.repartitionByRange(nparts, F.asc("n_urls"), F.asc("pld"))
+        .withColumn("__pid", F.spark_partition_id())
+        # scanned twice (partition sizes + final rank); pin one
+        # materialization so both scans see identical range boundaries
+        .localCheckpoint(eager=True)
+    )
+    sizes = {r["__pid"]: r["cnt"] for r in
+             ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, running = [], 0
+    for pid in range(nparts):
+        offsets.append((pid, running))
+        running += sizes.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, "__pid int, __rank_base long")
+    w = Window.partitionBy("__pid").orderBy(F.asc("n_urls"), F.asc("pld"))
+    rk = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .select(
+            "pld",
+            "n_urls",
+            (F.col("__rank_base") + F.row_number().over(w)).alias("i"),
+        )
     )
     tot = rk.agg(
         F.count(F.lit(1)).alias("n"),

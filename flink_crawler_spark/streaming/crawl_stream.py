@@ -25,13 +25,21 @@ from ..operators.merge import merge_crawl_state, merge_updates
 from ..plans.crawl_loop import CrawlConfig, clean_urls, crawl, seeds_to_state
 
 
-def _latest_tick(state_dir: str) -> int | None:
+def _latest_marker(state_dir: str) -> tuple[int, int | None] | None:
+    """(tick, now_ms) from the checkpoint marker; now_ms is None for
+    pre-clock single-token markers."""
     marker = os.path.join(state_dir, "_LATEST")
     if not os.path.exists(marker):
         return None
     with open(marker) as fh:
         # marker format: "tick" or "tick now_ms" (clock added r4)
-        return int(fh.read().strip().split()[0])
+        parts = fh.read().strip().split()
+    return int(parts[0]), (int(parts[1]) if len(parts) > 1 else None)
+
+
+def _latest_tick(state_dir: str) -> int | None:
+    m = _latest_marker(state_dir)
+    return None if m is None else m[0]
 
 
 def ingest_seeds(
@@ -45,10 +53,12 @@ def ingest_seeds(
     """Merge a batch of (new) seed rows into the durable state table."""
     cleaned = clean_urls(seeds, single_domain=single_domain)
     obs = seeds_to_state(cleaned, now_ms=now_ms)
-    tick = _latest_tick(state_dir)
-    if tick is None:
+    m = _latest_marker(state_dir)
+    stored_now: int | None = None
+    if m is None:
         state, tick = merge_crawl_state(obs), 0
     else:
+        tick, stored_now = m
         current = spark.read.parquet(os.path.join(state_dir, f"state_t{tick}"))
         # materialize + cut lineage BEFORE overwriting the path we just
         # read ("cannot overwrite a path that is also being read from")
@@ -57,7 +67,11 @@ def ingest_seeds(
     state.write.mode("overwrite").parquet(os.path.join(state_dir, f"state_t{tick}"))
     tmp = os.path.join(state_dir, "_LATEST.tmp")
     with open(tmp, "w") as fh:
-        fh.write(str(tick))
+        # two-token "tick now_ms" format, PRESERVING a persisted clock: a
+        # refetch-mode crawl may have sleep-jumped now_ms past
+        # tick*tick_ms, and writing a clockless marker here would rewind
+        # the resume and re-burn ticks re-deriving jumps already taken
+        fh.write(f"{tick} {stored_now if stored_now is not None else now_ms}")
     os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
 
@@ -75,6 +89,7 @@ def ingest_seeds_table(
     bucketed URL DB). Returns the table's completed-tick counter, which
     seed ingestion does not advance."""
     from ..operators.state_table import (
+        get_state_now_ms,
         get_state_tick,
         load_bucketed_state,
         save_bucketed_state,
@@ -89,13 +104,24 @@ def ingest_seeds_table(
     )
     if not exists:
         save_bucketed_state(merge_crawl_state(obs), state_table, buckets=buckets)
-        set_state_tick(spark, state_table, 0)
+        set_state_tick(spark, state_table, 0, now_ms=now_ms)
         return 0
     load_bucketed_state(spark, state_table)  # restore from __old if needed
     tick = get_state_tick(spark, state_table)
+    stored_now = get_state_now_ms(spark, state_table)
     # tick stamped on staging before the swap — the counter survives any
-    # crash window of the rename sequence
-    tick_merge_bucketed(spark, state_table, obs, buckets=buckets, tick=tick)
+    # crash window of the rename sequence. Carry the persisted clock
+    # through the swap too: a clockless stamp would strip crawl.now_ms
+    # from a refetch-enabled table on every seed micro-batch, rewinding
+    # its sleep-jumped clock before the batch's crawl() resume reads it.
+    tick_merge_bucketed(
+        spark,
+        state_table,
+        obs,
+        buckets=buckets,
+        tick=tick,
+        now_ms=stored_now if stored_now is not None else now_ms,
+    )
     return tick
 
 
@@ -149,11 +175,16 @@ def continuous_crawl(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if state_table is not None:
-            from ..operators.state_table import get_state_tick, load_bucketed_state
+            from ..operators.state_table import (
+                get_state_now_ms,
+                get_state_tick,
+                load_bucketed_state,
+            )
 
             exists = spark.catalog.tableExists(state_table) or spark.catalog.tableExists(
                 f"{state_table}__old"
             )
+            stored_now = None
             if exists:
                 # restore the live name from __old FIRST — a crash in
                 # tick_merge_bucketed's rename window leaves only the
@@ -161,8 +192,12 @@ def continuous_crawl(
                 # live table would kill the streaming query instead of
                 # recovering
                 load_bucketed_state(spark, state_table)
+                stored_now = get_state_now_ms(spark, state_table)
             tick = get_state_tick(spark, state_table) if exists else 0
-            now_ms = start_ms + tick * cfg.tick_ms
+            # prefer the persisted clock — refetch sleep jumps moved it
+            # past tick*tick_ms, and seeds stamped with a rewound clock
+            # would sort as already-due history
+            now_ms = stored_now if stored_now is not None else start_ms + tick * cfg.tick_ms
             ingest_seeds_table(
                 spark,
                 batch_df,
@@ -179,8 +214,10 @@ def continuous_crawl(
                 trace=False,
             )
         else:
-            tick = _latest_tick(state_dir) or 0
-            now_ms = start_ms + tick * cfg.tick_ms
+            m = _latest_marker(state_dir)
+            tick = m[0] if m is not None else 0
+            stored_now = m[1] if m is not None else None
+            now_ms = stored_now if stored_now is not None else start_ms + tick * cfg.tick_ms
             ingest_seeds(
                 spark, batch_df, state_dir, now_ms=now_ms, single_domain=cfg.single_domain
             )

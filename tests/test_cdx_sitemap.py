@@ -126,6 +126,7 @@ def test_archive_fetch_redirect_modes_and_mime(spark, tmp_path):
     pages = [
         ("http://a.example.com/perm", 301, {"Location": "http://a.example.com/t"}, b""),
         ("http://a.example.com/temp", 302, {"Location": "http://a.example.com/t"}, b""),
+        ("http://a.example.com/see", 303, {"Location": "http://a.example.com/t"}, b""),
         ("http://a.example.com/t", 200, {"Content-Type": "text/html"}, b"<html>t</html>"),
         ("http://a.example.com/img", 200, {"Content-Type": "image/png"}, b"\x89PNG"),
     ]
@@ -133,23 +134,34 @@ def test_archive_fetch_redirect_modes_and_mime(spark, tmp_path):
     cdx = _cdx_df(spark, cdx_rows)
     frontier = spark.createDataFrame(
         [("http://a.example.com/perm",), ("http://a.example.com/temp",),
-         ("http://a.example.com/img",)], ["url"]
+         ("http://a.example.com/see",), ("http://a.example.com/img",)], ["url"]
     )
-    # FOLLOW_TEMP: temp redirect followed, permanent reported as moved
+    # FOLLOW_TEMP: temp redirect followed, permanent reported as moved,
+    # 303 See Other disallowed (reference SEE_OTHER_DISALLOWED ->
+    # HTTP_REDIRECTION_ERROR)
     got = {r["url"]: r for r in archive_fetch(
         frontier, cdx, redirect_mode="FOLLOW_TEMP", accept_mime=("text/html",), now_ms=1
     ).collect()}
     assert got["http://a.example.com/perm"]["status"] == "HTTP_MOVED_PERMANENTLY"
     assert got["http://a.example.com/temp"]["status"] == "FETCHED"
+    assert got["http://a.example.com/see"]["status"] == "HTTP_REDIRECTION_ERROR"
     # 200 with unacceptable mime aborts before any byte-range read
     assert got["http://a.example.com/img"]["status"] == "ABORTED_INVALID_MIMETYPE"
 
-    # FOLLOW_NONE: both redirects refused
+    # FOLLOW_NONE: every redirect refused
     got2 = {r["url"]: r for r in archive_fetch(
         frontier, cdx, redirect_mode="FOLLOW_NONE", now_ms=1
     ).collect()}
     assert got2["http://a.example.com/perm"]["status"] == "HTTP_MOVED_PERMANENTLY"
     assert got2["http://a.example.com/temp"]["status"] == "HTTP_REDIRECTION_ERROR"
+    assert got2["http://a.example.com/see"]["status"] == "HTTP_REDIRECTION_ERROR"
+
+    # FOLLOW_ALL chases 303 like any other redirect
+    got3 = {r["url"]: r for r in archive_fetch(
+        frontier, cdx, redirect_mode="FOLLOW_ALL", now_ms=1
+    ).collect()}
+    assert got3["http://a.example.com/see"]["status"] == "FETCHED"
+    assert got3["http://a.example.com/see"]["fetched_url"] == "http://a.example.com/t"
 
 
 def test_warc_member_roundtrip(tmp_path):

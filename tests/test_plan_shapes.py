@@ -45,3 +45,22 @@ def test_mix_budget_window_keyed_by_source(spark, sf_dir):
         if line.strip().startswith("Window ") or " Window " in line:
             assert "source" in line, line
     assert "SinglePartition" not in plan, plan
+
+
+def test_gini_rank_window_is_partitioned(spark, sf_dir):
+    """The fairness rank must use the two-phase distributed rank: every
+    Window in the plan is keyed by the range-partition id — a global
+    (empty partition spec) row_number would serialize all 10^7-10^8
+    per-PLD rows through one task at crawl scale. (The final 1-row
+    gini aggregate legitimately funnels its tiny partials to one
+    partition, so no blanket SinglePartition assert here.)"""
+    from flink_crawler_spark.queries.core import frontier_fairness_gini
+
+    plan = _plan(frontier_fairness_gini(spark, sf_dir))
+    win_lines = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("Window ") or " Window " in line
+    ]
+    assert win_lines, plan  # the rank window must exist
+    for line in win_lines:
+        assert "__pid" in line, line
