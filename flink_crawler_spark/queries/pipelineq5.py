@@ -1,0 +1,349 @@
+"""Corpus-statistics wave 5: information-theoretic quality signals and
+gate-composition analytics for the training-data pipeline.
+
+  * doc_entropy_score — per-doc unigram Shannon entropy + type-token
+    ratio WITHOUT a shuffle: token counts come from sorted-array run
+    lengths (pure HOFs inside the scan), the repetitive/low-diversity
+    signal every curation stack computes before training.
+  * ccnet_bigram_nll — the CCNet-style language-model filter: score
+    each doc by its average negative log-likelihood under an add-k
+    smoothed corpus bigram model (CCNet uses KenLM perplexity; the
+    bigram LM is its exactly-computable analogue).
+  * filter_agreement_matrix — pairwise agreement counts between four
+    independent quality gates; the dataset-assembly diagnostic that
+    shows whether gates are redundant or orthogonal before stacking
+    them into a funnel.
+  * word_rank_curve — top-50 corpus words with frequency share and
+    cumulative share (the Zipf head) via TakeOrdered, never a global
+    sort.
+
+All exact-value DuckDB oracles. Reference-semantics note: these extend
+the LLM-pipeline surface (SURVEY.md §6); the crawler core they feed is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from .base import register, t
+
+# same token class as functions/text.py::tokens_expr (Java regex); the
+# DuckDB twin uses the identical explicit class (RE2-safe)
+DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# doc_entropy_score — shuffle-free unigram entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_entropy_score",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, unnest({DUCK_TOKS}) AS w FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY doc_id, w),
+c2 AS (SELECT doc_id, c, CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n FROM c),
+agg AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         round(-sum((c / n) * ln(c / n)), 6) AS entropy,
+         round(CAST(count(*) AS DOUBLE) / max(n), 6) AS ttr
+  FROM c2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.entropy, 0.0) AS entropy,
+       coalesce(a.ttr, 0.0) AS ttr
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def doc_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats) and type-token ratio —
+    low entropy / low TTR flags repetitive, template, or spam text
+    (the repetition companion to gopher_quality_filter).
+
+    100 TB shape: NO shuffle. The per-doc word histogram is computed
+    inside the projection as run lengths of the SORTED token array
+    (sequence + element_at HOFs), so the whole query is one
+    parallel scan — the corpus never explodes through an Exchange.
+    Empty docs pin a 0.0 sentinel on both engines."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.array_sort(tokens_expr(F.col("text")))
+    n = F.size(ws)
+    # 0-based indices where a new run (distinct word) starts
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.element_at(ws, i + 1) != F.element_at(ws, i)),
+    )
+    # run length k = next start (or n) - this start
+    nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+    counts = F.zip_with(starts, nexts, lambda a, b: b - a)
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c.cast("double") / nd) * F.log(c.cast("double") / nd),
+    )
+    has = n > 0
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(has, F.size(starts)).otherwise(0).cast("long").alias("n_distinct"),
+        F.when(has, F.round(entropy, 6)).otherwise(0.0).alias("entropy"),
+        F.when(has, F.round(F.size(starts).cast("double") / nd, 6))
+        .otherwise(0.0)
+        .alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_bigram_nll — corpus bigram LM score (CCNet perplexity analogue)
+# ---------------------------------------------------------------------------
+
+BG_K = 0.5  # add-k smoothing
+
+
+@register(
+    "ccnet_bigram_nll",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.big AS big
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> struct_pack(w1 := toks[i],
+                                       big := toks[i] || ' ' || toks[i + 1]))) AS u
+        FROM tk WHERE len(toks) >= 2)
+),
+c1 AS (SELECT unnest(toks) AS w FROM tk),
+uc AS (SELECT w, count(*) AS c FROM c1 GROUP BY w),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+bc AS (SELECT big, count(*) AS c FROM bg GROUP BY big)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((bc.c + {BG_K}) / (uc.c + {BG_K} * vv.v))), 6) AS avg_nll
+FROM bg JOIN bc USING (big) JOIN uc ON uc.w = bg.w1 CROSS JOIN vv
+GROUP BY bg.doc_id
+""",
+)
+def ccnet_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: average negative log-likelihood of
+    each doc's bigrams under an add-k smoothed bigram model fit on the
+    whole corpus (p(w2|w1) = (c(w1 w2)+k)/(c(w1)+k|V|)). CCNet buckets
+    docs into head/middle/tail by KenLM perplexity; the bigram LM is
+    the exactly-reproducible analogue, fit and applied in one job.
+
+    100 TB shape: the model is two corpus-wide count aggregates (fully
+    map-side combinable), the scoring pass is hash joins keyed on the
+    bigram/unigram — at web scale the pruned model table is the
+    broadcast side; nothing is quadratic and no Python runs."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("big")),
+    )
+    bg = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.big").alias("big"))
+    )
+    uni = d.select(F.explode(toks).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    vv = uc.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bc = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bc"))
+    nll = -F.log(
+        (F.col("bc") + F.lit(BG_K)) / (F.col("uc") + F.lit(BG_K) * F.col("v"))
+    )
+    return (
+        bg.join(bc, "big")
+        .join(uc, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_matrix — are the quality gates redundant?
+# ---------------------------------------------------------------------------
+
+FA_MIN_W, FA_MAX_W = 50, 1000
+FA_MIN_MWL, FA_MAX_MWL = 3.0, 10.0
+FA_MIN_TTR = 0.35
+FA_MAX_TOP = 0.05
+
+_FA_GATES_SQL = f"""
+stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tot_chars,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) AS max_c
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+gates AS (
+  SELECT doc_id,
+         (n >= {FA_MIN_W} AND n <= {FA_MAX_W}) AS g_words,
+         (tot_chars / n >= {FA_MIN_MWL} AND tot_chars / n <= {FA_MAX_MWL}) AS g_mwl,
+         (n_distinct / n >= {FA_MIN_TTR}) AS g_ttr,
+         (max_c / n <= {FA_MAX_TOP}) AS g_top
+  FROM stats
+)"""
+
+_FA_PAIRS = [
+    ("g_words", "g_mwl"),
+    ("g_words", "g_ttr"),
+    ("g_words", "g_top"),
+    ("g_mwl", "g_ttr"),
+    ("g_mwl", "g_top"),
+    ("g_ttr", "g_top"),
+]
+
+
+@register(
+    "filter_agreement_matrix",
+    oracle=f"""
+WITH {_FA_GATES_SQL.strip()}
+{" UNION ALL ".join(
+    f'''SELECT '{a}' AS gate_a, '{b}' AS gate_b,
+       CAST(sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+       CAST(sum(CASE WHEN NOT {a} AND NOT {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+       CAST(sum(CASE WHEN {a} <> {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+       round(CAST(sum(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement
+FROM gates''' for a, b in _FA_PAIRS)}
+""",
+)
+def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between four independent quality gates
+    (word-count window, mean-word-length window, type-token ratio,
+    top-term share). Before stacking gates into curation_funnel, this
+    is the diagnostic that shows which gates are near-duplicates (drop
+    one) and which are orthogonal (keep both) — the standard ablation
+    table in corpus-curation reports.
+
+    100 TB shape: ONE corpus scan computes every per-doc boolean
+    (sorted-run HOFs, no shuffle), then the 6 pair rows are one
+    partial-aggregated reduction of 4 booleans — output is 6 rows no
+    matter the corpus size."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.array_sort(tokens_expr(F.col("text")))
+    n = F.size(ws)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.element_at(ws, i + 1) != F.element_at(ws, i)),
+    )
+    nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+    counts = F.zip_with(starts, nexts, lambda a, b: b - a)
+    nd = n.cast("double")
+    tot_chars = F.aggregate(
+        F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    ).cast("double")
+    gates = d.filter(n > 0).select(
+        ((nd >= FA_MIN_W) & (nd <= FA_MAX_W)).alias("g_words"),
+        ((tot_chars / nd >= FA_MIN_MWL) & (tot_chars / nd <= FA_MAX_MWL)).alias("g_mwl"),
+        ((F.size(starts).cast("double") / nd >= FA_MIN_TTR)).alias("g_ttr"),
+        ((F.array_max(counts).cast("double") / nd <= FA_MAX_TOP)).alias("g_top"),
+    )
+    aggs = []
+    for a, b in _FA_PAIRS:
+        ca, cb = F.col(a), F.col(b)
+        aggs += [
+            F.sum(F.when(ca & cb, 1).otherwise(0)).alias(f"{a}|{b}|bk"),
+            F.sum(F.when(~ca & ~cb, 1).otherwise(0)).alias(f"{a}|{b}|bd"),
+            F.sum(F.when(ca != cb, 1).otherwise(0)).alias(f"{a}|{b}|dis"),
+            F.sum(F.when(ca == cb, 1).otherwise(0)).alias(f"{a}|{b}|agr"),
+            F.count(F.lit(1)).alias(f"{a}|{b}|n"),
+        ]
+    wide = gates.agg(*aggs)
+    # unpivot the single wide row into the 6 pair rows (stack over a
+    # 1-row frame — constant-size, no data motion)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}|{b}|bk`, `{a}|{b}|bd`, `{a}|{b}|dis`, `{a}|{b}|agr`, `{a}|{b}|n`"
+        for a, b in _FA_PAIRS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_FA_PAIRS)}, {stack_args}) AS "
+            "(gate_a, gate_b, bk, bd, dis, agr, nn)"
+        )
+    ).select(
+        "gate_a",
+        "gate_b",
+        F.col("bk").cast("long").alias("n_both_keep"),
+        F.col("bd").cast("long").alias("n_both_drop"),
+        F.col("dis").cast("long").alias("n_disagree"),
+        F.round(F.col("agr").cast("double") / F.col("nn"), 6).alias("agreement"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# word_rank_curve — the Zipf head via TakeOrdered, never a global sort
+# ---------------------------------------------------------------------------
+
+WR_TOPK = 50
+
+
+@register(
+    "word_rank_curve",
+    oracle=f"""
+WITH uni AS (SELECT unnest({DUCK_TOKS}) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM wc),
+top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w ASC LIMIT {WR_TOPK})
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank,
+       w AS word, cnt,
+       round(cnt / tot.n, 6) AS share,
+       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / tot.n, 6) AS cum_share
+FROM top CROSS JOIN tot
+""",
+)
+def word_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} corpus words with frequency share and cumulative share —
+    the Zipf-head table that drives stopword lists, tokenizer vocab
+    sanity checks, and boilerplate detection thresholds.
+
+    100 TB shape: word counts are one map-side-combined groupBy; the
+    top-K comes from orderBy().limit(K) — planned as
+    TakeOrderedAndProject (per-partition heaps + driver merge of K
+    rows), NEVER a global sort of the 10^7-word vocabulary. The rank /
+    cumulative window then runs over K=50 rows only (bounded by
+    construction)."""
+    d = t(spark, sf_dir, "documents")
+    uni = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("double").alias("n"))
+    top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(WR_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    cum = Window.orderBy(F.desc("cnt"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+            F.round(F.sum("cnt").over(cum).cast("double") / F.col("n"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
