@@ -606,32 +606,13 @@ def frontier_fairness_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank WITHIN each partition. No single-partition window anywhere — a
     web-scale crawl tracks 10^7-10^8 PLDs and a global Window.orderBy
     would serialize them through one task."""
+    from ..operators.partitioning import distributed_row_number
+
     merged = merge_crawl_state(crawl_obs(spark, sf_dir))
     pc = merged.groupBy("pld").agg(F.count(F.lit(1)).alias("n_urls"))
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        pc.repartitionByRange(nparts, F.asc("n_urls"), F.asc("pld"))
-        .withColumn("__pid", F.spark_partition_id())
-        # scanned twice (partition sizes + final rank); pin one
-        # materialization so both scans see identical range boundaries
-        .localCheckpoint(eager=True)
-    )
-    sizes = {r["__pid"]: r["cnt"] for r in
-             ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, running = [], 0
-    for pid in range(nparts):
-        offsets.append((pid, running))
-        running += sizes.get(pid, 0)
-    off_df = spark.createDataFrame(offsets, "__pid int, __rank_base long")
-    w = Window.partitionBy("__pid").orderBy(F.asc("n_urls"), F.asc("pld"))
-    rk = (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .select(
-            "pld",
-            "n_urls",
-            (F.col("__rank_base") + F.row_number().over(w)).alias("i"),
-        )
-    )
+    rk = distributed_row_number(
+        pc, [F.asc("n_urls"), F.asc("pld")], out="i"
+    ).select("pld", "n_urls", "i")
     tot = rk.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_urls").alias("tot"),

@@ -384,16 +384,18 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks"),
     )
-    # global rarity order: doc-frequency ascending, token ascending
-    tok_rank = (
+    # global rarity order: doc-frequency ascending, token ascending —
+    # two-phase distributed rank, NOT a global Window.orderBy: at web
+    # scale the vocabulary is 10^7 tokens and a single-partition window
+    # would serialize it through one task
+    from ..operators.partitioning import distributed_row_number
+
+    tok_rank = distributed_row_number(
         toks.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    from pyspark.sql import Window
-
-    tok_rank = tok_rank.withColumn(
-        "rank", F.row_number().over(Window.orderBy("df", "tok"))
+        .agg(F.count(F.lit(1)).alias("df")),
+        [F.asc("df"), F.asc("tok")],
+        out="rank",
     )
     ranked = (
         toks.select("doc_id", F.explode("toks").alias("tok"))

@@ -57,3 +57,38 @@ def test_rebalance_spreads_rows(spark):
     # round-robin: no partition holds everything
     assert max(r["count"] for r in sizes) < df.count()
     assert out.count() == df.count()
+
+
+def test_distributed_row_number_matches_global_rank(spark):
+    """The two-phase rank must equal a global Window row_number on any
+    input — including duplicate sort keys (tie-broken by the full key
+    list) and fewer rows than partitions (empty range partitions)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from flink_crawler_spark.operators.partitioning import distributed_row_number
+
+    rnd = random.Random(7)
+    rows = [(f"k{i:04d}", rnd.randint(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["rank"]
+        for r in distributed_row_number(df, order, out="rank").collect()
+    }
+    want = {
+        r["k"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+    # tiny input: most range partitions empty, ranks still dense from 1
+    tiny = spark.createDataFrame([("a", 2), ("b", 1), ("c", 1)], "k string, v int")
+    got2 = {
+        r["k"]: r["rank"]
+        for r in distributed_row_number(tiny, order, out="rank").collect()
+    }
+    assert got2 == {"b": 1, "c": 2, "a": 3}

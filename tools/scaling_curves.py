@@ -132,6 +132,10 @@ FAMILIES = [
     ("minhash/LSH", "near_dup_clusters", None),
     ("ppjoin", "ppjoin_pairs", 2),
     ("PQ/ADC", "ann_topk_pq_adc", None),
+    # r5 wave: HOF entropy (shuffle-free scan) + bigram LM (two corpus
+    # aggs + keyed joins) — both should fit ~linear
+    ("entropy-HOF", "doc_entropy_score", None),
+    ("bigram-LM", "ccnet_bigram_nll", None),
 ]
 
 
