@@ -38,6 +38,50 @@ DUCK_TOKS = (
 )
 
 
+def _run_stats(ws, n):
+    """Word-histogram statistics of a SORTED token array — n_distinct,
+    sum(c*ln c) over run lengths c, and the max run length — computed by
+    ONE boundary-flag zip + ONE fold.
+
+    CRITICAL perf rule (measured 30-100x): interpreted higher-order
+    functions re-evaluate CAPTURED child expressions on every lambda
+    invocation — `element_at(ws, i)` inside a filter lambda re-tokenizes
+    and re-sorts the document PER ELEMENT (O(n) re-evals/row, ~20 ms/row
+    on 60-token docs). Here every lambda touches only its own arguments
+    and the accumulator; `ws` appears only as a direct child, evaluated
+    O(1) times per row."""
+    # flag = 1 at the END of each equal-run (next element differs / none)
+    brk = F.zip_with(
+        ws,
+        F.concat(F.slice(ws, 2, n - 1), F.array(F.lit(None).cast("string"))),
+        lambda a, b: F.when(b.isNull() | (a != b), 1).otherwise(0),
+    )
+    n_distinct = F.aggregate(brk, F.lit(0), lambda acc, f: acc + f)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("slogs"),
+        F.lit(0).cast("long").alias("maxc"),
+    )
+
+    def step(acc, f):
+        run2 = acc["run"] + 1
+        ended = f == 1
+        return F.struct(
+            F.when(ended, F.lit(0).cast("long")).otherwise(run2).alias("run"),
+            F.when(
+                ended, acc["slogs"] + run2.cast("double") * F.log(run2.cast("double"))
+            )
+            .otherwise(acc["slogs"])
+            .alias("slogs"),
+            F.when(ended & (run2 > acc["maxc"]), run2)
+            .otherwise(acc["maxc"])
+            .alias("maxc"),
+        )
+
+    fold = F.aggregate(brk, zero, step)
+    return n_distinct, fold["slogs"], fold["maxc"]
+
+
 # ---------------------------------------------------------------------------
 # doc_entropy_score — shuffle-free unigram entropy
 # ---------------------------------------------------------------------------
@@ -71,34 +115,26 @@ def doc_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the repetition companion to gopher_quality_filter).
 
     100 TB shape: NO shuffle. The per-doc word histogram is computed
-    inside the projection as run lengths of the SORTED token array
-    (sequence + element_at HOFs), so the whole query is one
-    parallel scan — the corpus never explodes through an Exchange.
-    Empty docs pin a 0.0 sentinel on both engines."""
+    inside the projection as run lengths of the SORTED token array (one
+    boundary-flag zip + one fold — see _run_stats for the lambda-capture
+    perf rule), so the whole query is one parallel scan — the corpus
+    never explodes through an Exchange. Entropy uses the identity
+    -sum((c/n) ln(c/n)) = ln(n) - sum(c ln c)/n so the fold needs no
+    per-element reference to n. Empty docs pin a 0.0 sentinel on both
+    engines."""
     d = t(spark, sf_dir, "documents")
     ws = F.array_sort(tokens_expr(F.col("text")))
     n = F.size(ws)
-    # 0-based indices where a new run (distinct word) starts
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0) | (F.element_at(ws, i + 1) != F.element_at(ws, i)),
-    )
-    # run length k = next start (or n) - this start
-    nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-    counts = F.zip_with(starts, nexts, lambda a, b: b - a)
+    n_distinct, slogs, _maxc = _run_stats(ws, n)
     nd = n.cast("double")
-    entropy = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + (c.cast("double") / nd) * F.log(c.cast("double") / nd),
-    )
+    entropy = F.log(nd) - slogs / nd
     has = n > 0
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
-        F.when(has, F.size(starts)).otherwise(0).cast("long").alias("n_distinct"),
+        F.when(has, n_distinct).otherwise(0).cast("long").alias("n_distinct"),
         F.when(has, F.round(entropy, 6)).otherwise(0.0).alias("entropy"),
-        F.when(has, F.round(F.size(starts).cast("double") / nd, 6))
+        F.when(has, F.round(n_distinct.cast("double") / nd, 6))
         .otherwise(0.0)
         .alias("ttr"),
     )
@@ -238,57 +274,80 @@ def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in corpus-curation reports.
 
     100 TB shape: ONE corpus scan computes every per-doc boolean
-    (sorted-run HOFs, no shuffle), then the 6 pair rows are one
-    partial-aggregated reduction of 4 booleans — output is 6 rows no
-    matter the corpus size."""
+    (sorted-run HOFs, no shuffle), a groupBy on the 4 booleans reduces
+    the corpus to at most 16 combination cells (map-side combined), and
+    the 6 pair rows come from those 16 rows — output is 6 rows no
+    matter the corpus size.
+
+    Plan note (measured, r5): two perf rules compose here. (1) The gate
+    expressions follow _run_stats' lambda-capture rule — an earlier
+    index-based formulation re-evaluated the sorted token array per
+    lambda element and cost ~20 ms/row. (2) The gate booleans are
+    materialized (4 booleans/doc — negligible at any corpus size)
+    before the groupBy, because grouping by computed lambda-bearing
+    keys inlines the HOF tree into the aggregate's key evaluation —
+    measured 159 s vs <1 s at sf0.1; the reduction then groups plain
+    attributes."""
     d = t(spark, sf_dir, "documents")
     ws = F.array_sort(tokens_expr(F.col("text")))
     n = F.size(ws)
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0) | (F.element_at(ws, i + 1) != F.element_at(ws, i)),
-    )
-    nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
-    counts = F.zip_with(starts, nexts, lambda a, b: b - a)
+    n_distinct, _slogs, maxc = _run_stats(ws, n)
     nd = n.cast("double")
     tot_chars = F.aggregate(
         F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
     ).cast("double")
-    gates = d.filter(n > 0).select(
-        ((nd >= FA_MIN_W) & (nd <= FA_MAX_W)).alias("g_words"),
-        ((tot_chars / nd >= FA_MIN_MWL) & (tot_chars / nd <= FA_MAX_MWL)).alias("g_mwl"),
-        ((F.size(starts).cast("double") / nd >= FA_MIN_TTR)).alias("g_ttr"),
-        ((F.array_max(counts).cast("double") / nd <= FA_MAX_TOP)).alias("g_top"),
-    )
-    aggs = []
-    for a, b in _FA_PAIRS:
-        ca, cb = F.col(a), F.col(b)
-        aggs += [
-            F.sum(F.when(ca & cb, 1).otherwise(0)).alias(f"{a}|{b}|bk"),
-            F.sum(F.when(~ca & ~cb, 1).otherwise(0)).alias(f"{a}|{b}|bd"),
-            F.sum(F.when(ca != cb, 1).otherwise(0)).alias(f"{a}|{b}|dis"),
-            F.sum(F.when(ca == cb, 1).otherwise(0)).alias(f"{a}|{b}|agr"),
-            F.count(F.lit(1)).alias(f"{a}|{b}|n"),
-        ]
-    wide = gates.agg(*aggs)
-    # unpivot the single wide row into the 6 pair rows (stack over a
-    # 1-row frame — constant-size, no data motion)
-    stack_args = ", ".join(
-        f"'{a}', '{b}', `{a}|{b}|bk`, `{a}|{b}|bd`, `{a}|{b}|dis`, `{a}|{b}|agr`, `{a}|{b}|n`"
-        for a, b in _FA_PAIRS
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(_FA_PAIRS)}, {stack_args}) AS "
-            "(gate_a, gate_b, bk, bd, dis, agr, nn)"
+    gates = (
+        d.filter(n > 0)
+        .select(
+            ((nd >= FA_MIN_W) & (nd <= FA_MAX_W)).alias("g_words"),
+            ((tot_chars / nd >= FA_MIN_MWL) & (tot_chars / nd <= FA_MAX_MWL)).alias(
+                "g_mwl"
+            ),
+            ((n_distinct.cast("double") / nd >= FA_MIN_TTR)).alias("g_ttr"),
+            ((maxc.cast("double") / nd <= FA_MAX_TOP)).alias("g_top"),
         )
-    ).select(
-        "gate_a",
-        "gate_b",
-        F.col("bk").cast("long").alias("n_both_keep"),
-        F.col("bd").cast("long").alias("n_both_drop"),
-        F.col("dis").cast("long").alias("n_disagree"),
-        F.round(F.col("agr").cast("double") / F.col("nn"), 6).alias("agreement"),
+        .localCheckpoint(eager=True)
+    )
+    cells = gates.groupBy("g_words", "g_mwl", "g_ttr", "g_top").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # expand each of the <=16 cells into its 6 gate pairs and reduce —
+    # constant-size data from here on
+    pair_rows = cells.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("gate_a"),
+                        F.lit(b).alias("gate_b"),
+                        F.col(a).alias("va"),
+                        F.col(b).alias("vb"),
+                    )
+                    for a, b in _FA_PAIRS
+                ]
+            )
+        ).alias("p"),
+    ).select("c", "p.gate_a", "p.gate_b", "p.va", "p.vb")
+    va, vb, c = F.col("va"), F.col("vb"), F.col("c")
+    return (
+        pair_rows.groupBy("gate_a", "gate_b")
+        .agg(
+            F.sum(F.when(va & vb, c).otherwise(0)).alias("n_both_keep"),
+            F.sum(F.when(~va & ~vb, c).otherwise(0)).alias("n_both_drop"),
+            F.sum(F.when(va != vb, c).otherwise(0)).alias("n_disagree"),
+            F.round(
+                F.sum(F.when(va == vb, c).otherwise(0)).cast("double") / F.sum(c), 6
+            ).alias("agreement"),
+        )
+        .select(
+            "gate_a",
+            "gate_b",
+            F.col("n_both_keep").cast("long").alias("n_both_keep"),
+            F.col("n_both_drop").cast("long").alias("n_both_drop"),
+            F.col("n_disagree").cast("long").alias("n_disagree"),
+            "agreement",
+        )
     )
 
 
