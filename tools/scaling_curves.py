@@ -169,7 +169,11 @@ def main():
         results[fam] = {}
         for m in fam_sizes:
             t0 = time.time()
-            fn(spark, dirs[m]).count()
+            # localCheckpoint, not count(): count lets Catalyst prune a
+            # pure projection's columns, timing only the scan — the
+            # entropy-HOF family would read as flat regardless of its
+            # real expression cost
+            fn(spark, dirs[m]).localCheckpoint(eager=True)
             results[fam][m] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
 
