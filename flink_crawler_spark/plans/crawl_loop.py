@@ -699,6 +699,31 @@ def _crawl_body(
             n_frontier = frontier.count()
             _fold_tick_history()
 
+        if log_mode and state_obs is not None and cfg.collect_stats:
+            # The frontier count above fired the observation — these are
+            # LAST tick's post-merge counts. Finalize that tick's stats
+            # entry now, and restore the UNFETCHED==0 early exit the
+            # per-tick-agg design had: zero UNFETCHED rows post-merge
+            # (non-refetch) means no tick can ever admit again, so skip
+            # this tick's (empty) delta write + marker advance entirely
+            # and report the previous tick as the last one that worked —
+            # same res.ticks, same durable table tick as the r4 design.
+            early = dict(state_obs.get)
+            if pending_stat is not None:
+                pending_stat["status_counts"] = _obs_counts(early)
+                stats.append(pending_stat)
+                pending_stat = None
+            if (
+                not cfg.refetch
+                and n_frontier == 0
+                and early.get("UNFETCHED") in (None, 0)
+            ):
+                frontier.unpersist()
+                results.unpersist()
+                parsed_slim.unpersist()
+                tick -= 1
+                break
+
         if log_mode:
             # LSM log mode: the tick writes ONE delta-sized bucketed
             # table; state reads are base ⋈ merge(deltas) (bucket-local
@@ -788,16 +813,10 @@ def _crawl_body(
         tick_metrics = None
         if state_obs is not None:
             # rode the state write job (non-log modes: post-merge) or the
-            # frontier count's state-view scan (log mode: pre-merge)
+            # frontier count's state-view scan (log mode: pre-merge —
+            # last tick's pending stats were already finalized from it
+            # right after the count, before the merge)
             tick_metrics = dict(state_obs.get)
-        if log_mode and cfg.collect_stats and tick_metrics is not None:
-            # the scan metrics describe LAST tick's post-merge state —
-            # finalize that tick's pending stats entry (before any
-            # break/continue below can drop it)
-            if pending_stat is not None:
-                pending_stat["status_counts"] = _obs_counts(tick_metrics)
-                stats.append(pending_stat)
-                pending_stat = None
         due_ms = None
         if cfg.refetch and tick_metrics is not None:
             v = tick_metrics.get("__min_nft")

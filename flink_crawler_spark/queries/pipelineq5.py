@@ -31,11 +31,10 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_expr
 from .base import register, t
 
-# same token class as functions/text.py::tokens_expr (Java regex); the
-# DuckDB twin uses the identical explicit class (RE2-safe)
-DUCK_TOKS = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x <> '')"
-)
+# single source of truth for the oracle token class — textops builds it
+# from the same TOKEN_SPLIT_RE that functions/text.py::tokens_expr uses,
+# so the Spark and DuckDB sides cannot drift
+from .textops import DUCK_TOKS  # noqa: E402
 
 
 def _run_stats(ws, n):
@@ -387,7 +386,11 @@ def word_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction)."""
     d = t(spark, sf_dir, "documents")
     uni = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
-    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # the vocab-sized count table feeds BOTH the total and the top-k;
+    # pin it so the corpus explode+aggregate runs once, not twice
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
     tot = wc.agg(F.sum("cnt").cast("double").alias("n"))
     top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(WR_TOPK)
     w = Window.orderBy(F.desc("cnt"), F.asc("w"))

@@ -37,11 +37,6 @@ def _latest_marker(state_dir: str) -> tuple[int, int | None] | None:
     return int(parts[0]), (int(parts[1]) if len(parts) > 1 else None)
 
 
-def _latest_tick(state_dir: str) -> int | None:
-    m = _latest_marker(state_dir)
-    return None if m is None else m[0]
-
-
 def ingest_seeds(
     spark: SparkSession,
     seeds: DataFrame,

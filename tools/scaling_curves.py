@@ -169,11 +169,14 @@ def main():
         results[fam] = {}
         for m in fam_sizes:
             t0 = time.time()
-            # localCheckpoint, not count(): count lets Catalyst prune a
-            # pure projection's columns, timing only the scan — the
+            # noop sink, not count(): count lets Catalyst prune a pure
+            # projection's columns, timing only the scan — the
             # entropy-HOF family would read as flat regardless of its
-            # real expression cost
-            fn(spark, dirs[m]).localCheckpoint(eager=True)
+            # real expression cost. (Not localCheckpoint either: that
+            # PINS every measured result's RDD blocks for the rest of
+            # the run, so late families would be timed under
+            # accumulated memory pressure.)
+            fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
             results[fam][m] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
 

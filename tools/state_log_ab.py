@@ -34,7 +34,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 import flink_crawler_spark.operators.state_table as st
-import flink_crawler_spark.plans.crawl_loop as cl
 from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
 from flink_crawler_spark.session import get_spark
 from flink_crawler_spark.sources.fixtures import (
@@ -105,19 +104,19 @@ def run_arm(spark, pages, seed_url, *, ticks: int, log_every, ballast: int,
     seed_table(spark, table, seed_url, ballast, buckets)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
 
-    writes: list[tuple[str, int]] = []  # (table written, bytes)
+    # Tick boundaries come from the per-tick state write (each tick
+    # writes exactly one delta table in log mode / one staging table in
+    # the default mode) — no global time-module monkeypatching, which
+    # would intercept every driver-side time.time() caller and shift
+    # boundaries with spurious marks. A final mark after crawl() closes
+    # the last interval, so the terminal (often compaction-boundary)
+    # tick is included in the profile.
+    writes: list[tuple[str, int, float]] = []  # (table written, bytes, t_end)
     orig_save = st.save_bucketed_state
 
     def spy_save(state, tbl, *, buckets=64):
         orig_save(state, tbl, buckets=buckets)
-        writes.append((tbl, dir_bytes(os.path.join(warehouse, tbl))))
-
-    marks: list[float] = []
-    real = time.time
-
-    def spy_time():
-        marks.append(real())
-        return marks[-1]
+        writes.append((tbl, dir_bytes(os.path.join(warehouse, tbl)), time.time()))
 
     seeds = spark.createDataFrame([(seed_url, 1.0)], ["url", "score"])
     cfg = CrawlConfig(
@@ -131,15 +130,23 @@ def run_arm(spark, pages, seed_url, *, ticks: int, log_every, ballast: int,
         collect_stats=False,
     )
     st.save_bucketed_state = spy_save
-    cl.time.time = spy_time
-    t0 = real()
+    t0 = time.time()
     try:
         res = crawl(spark, seeds, pages=pages, config=cfg)
     finally:
-        cl.time.time = real
         st.save_bucketed_state = orig_save
-    total = real() - t0
-    tick_times = [b_ - a_ for a_, b_ in zip(marks[1:-1], marks[2:])]
+    t_end = time.time()
+    total = t_end - t0
+    # per-tick write timestamps: the delta writes (log mode) or the
+    # staging writes (default mode); compaction/staging writes in log
+    # mode belong to the tick that triggered them and are not ticks
+    per_tick = [
+        w[2]
+        for w in writes
+        if ("__delta_t" in w[0]) == (log_every is not None)
+    ]
+    bounds = [t0] + per_tick + [t_end]
+    tick_times = [b_ - a_ for a_, b_ in zip(bounds, bounds[1:])]
     n_rows = spark.table(table).count() if spark.catalog.tableExists(table) else -1
     drop_all(spark, table)
     return res, total, tick_times, writes, n_rows
@@ -150,8 +157,8 @@ def summarize(label, res, total, tick_times, writes, n_rows, log_every):
     k = max(n // 5, 1)
     first = sum(tick_times[:k]) / k
     last = sum(tick_times[-k:]) / k
-    deltas = [(t, b) for t, b in writes if "__delta_t" in t]
-    fulls = [(t, b) for t, b in writes if "__delta_t" not in t]
+    deltas = [(w[0], w[1]) for w in writes if "__delta_t" in w[0]]
+    fulls = [(w[0], w[1]) for w in writes if "__delta_t" not in w[0]]
     d_mb = sum(b for _, b in deltas) / 1e6
     f_mb = sum(b for _, b in fulls) / 1e6
     print(f"{label}: ticks={res.ticks} state_rows={n_rows} total={total:.1f}s "
