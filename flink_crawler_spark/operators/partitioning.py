@@ -81,3 +81,54 @@ def distributed_row_number(
         .withColumn(out, F.col("__rank_base") + F.row_number().over(w))
         .drop("__pid", "__rank_base")
     )
+
+
+def distributed_keyed_row_number(
+    df: DataFrame, key_cols, order_cols, *, out: str = "rank", nparts: int | None = None
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY key ORDER BY order_cols)``
+    WITHOUT a per-key single-task sort — the keyed twin of
+    ``distributed_row_number`` for when one key dominates (at web scale
+    one language holds half the corpus; ``Window.partitionBy(lang)``
+    would pull those rows through one task).
+
+      1. ``repartitionByRange`` on (key, order): a key's rows occupy a
+         CONTIGUOUS run of partitions, sorted;
+      2. count rows per (partition, key) — a distributed aggregate, no
+         driver collect of per-key state;
+      3. a key needs a nonzero offset only in partitions AFTER the first
+         one it appears in — at most (nparts - 1) boundary-spanning
+         entries exist in total, so the offset table is broadcast-sized
+         by construction regardless of key cardinality;
+      4. rank within (partition, key) + broadcast offset.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    key_names = [df.select(k).columns[0] for k in keys]
+    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(nparts, *keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt = ranged.groupBy("__pid", *key_names).agg(F.count(F.lit(1)).alias("__cnt"))
+    wk = (
+        Window.partitionBy(*key_names)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        cnt.withColumn("__rank_base", F.coalesce(F.sum("__cnt").over(wk), F.lit(0)))
+        .filter(F.col("__rank_base") > 0)
+        .select("__pid", *key_names, "__rank_base")
+    )
+    w = Window.partitionBy("__pid", *key_names).orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(spans), ["__pid", *key_names], "left")
+        .withColumn(
+            out, F.coalesce(F.col("__rank_base"), F.lit(0)) + F.row_number().over(w)
+        )
+        .drop("__pid", "__rank_base")
+    )

@@ -145,11 +145,10 @@ def doc_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BG_K = 0.5  # add-k smoothing
 
-
-@register(
-    "ccnet_bigram_nll",
-    oracle=f"""
-WITH tk AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+# the bigram-LM CTE chain up to a per-doc `nll` CTE (doc_id, n_bigrams,
+# avg_nll) — shared by ccnet_bigram_nll and the perplexity-bucket
+# assignment in pipelineq6 (same model, different consumer)
+BIGRAM_NLL_CTES = f"""tk AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
 bg AS (
   SELECT doc_id, u.w1 AS w1, u.big AS big
   FROM (SELECT doc_id,
@@ -161,26 +160,24 @@ bg AS (
 c1 AS (SELECT unnest(toks) AS w FROM tk),
 uc AS (SELECT w, count(*) AS c FROM c1 GROUP BY w),
 vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
-bc AS (SELECT big, count(*) AS c FROM bg GROUP BY big)
-SELECT bg.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(-ln((bc.c + {BG_K}) / (uc.c + {BG_K} * vv.v))), 6) AS avg_nll
-FROM bg JOIN bc USING (big) JOIN uc ON uc.w = bg.w1 CROSS JOIN vv
-GROUP BY bg.doc_id
-""",
-)
-def ccnet_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality score: average negative log-likelihood of
-    each doc's bigrams under an add-k smoothed bigram model fit on the
-    whole corpus (p(w2|w1) = (c(w1 w2)+k)/(c(w1)+k|V|)). CCNet buckets
-    docs into head/middle/tail by KenLM perplexity; the bigram LM is
-    the exactly-reproducible analogue, fit and applied in one job.
+bc AS (SELECT big, count(*) AS c FROM bg GROUP BY big),
+nll AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln((bc.c + {BG_K}) / (uc.c + {BG_K} * vv.v))), 6) AS avg_nll
+  FROM bg JOIN bc USING (big) JOIN uc ON uc.w = bg.w1 CROSS JOIN vv
+  GROUP BY bg.doc_id
+)"""
+
+
+def doc_bigram_nll(d: DataFrame) -> DataFrame:
+    """Per-doc average NLL under an add-k corpus bigram LM
+    (doc_id, n_bigrams, avg_nll) — the Spark twin of BIGRAM_NLL_CTES.
 
     100 TB shape: the model is two corpus-wide count aggregates (fully
     map-side combinable), the scoring pass is hash joins keyed on the
     bigram/unigram — at web scale the pruned model table is the
     broadcast side; nothing is quadratic and no Python runs."""
-    d = t(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     n = F.size(toks)
     pairs = F.zip_with(
@@ -210,6 +207,23 @@ def ccnet_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "ccnet_bigram_nll",
+    oracle=f"""
+WITH {BIGRAM_NLL_CTES}
+SELECT doc_id, n_bigrams, avg_nll FROM nll
+""",
+)
+def ccnet_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: average negative log-likelihood of
+    each doc's bigrams under an add-k smoothed bigram model fit on the
+    whole corpus (p(w2|w1) = (c(w1 w2)+k)/(c(w1)+k|V|)). CCNet buckets
+    docs into head/middle/tail by KenLM perplexity; the bigram LM is
+    the exactly-reproducible analogue, fit and applied in one job.
+    See doc_bigram_nll for the 100 TB plan shape."""
+    return doc_bigram_nll(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
