@@ -238,3 +238,125 @@ def near_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# excerpt_containment_pairs — asymmetric overlap (quote/excerpt detection)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from .dedupq import DUCK_SHINGLES, DUCK_TOKS as DEDUP_TOKS, _buckets_sql, _sigs_sql
+
+    return f"""
+WITH {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DEDUP_TOKS} AS toks FROM documents) x)
+SELECT p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) AS DOUBLE), 6) AS containment_ab,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(b.sh) AS DOUBLE), 6) AS containment_ba
+FROM pairs p
+JOIN shs a ON p.id_a = a.doc_id
+JOIN shs b ON p.id_b = b.doc_id
+"""
+
+
+@register("excerpt_containment_pairs", oracle=_containment_oracle())
+def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for LSH candidate pairs:
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Jaccard misses the
+    quote/excerpt case — a short doc fully contained in a long one has
+    high containment but low Jaccard (union is dominated by the long
+    side) — so excerpt detection reads C in both directions, not J.
+    Same candidate generation as the near-dup chain (MinHash + LSH band
+    buckets; note banding recall is tuned for Jaccard, the standard
+    production trade-off), exact set math on candidates only.
+
+    100 TB shape: identical to ngram_jaccard_pairs — one signature
+    scan, band equi-join, verify joins keyed on the (small) pair
+    list; never all-pairs."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles_expr
+    from .dedupq import BANDS, NUM_HASHES
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    sh = docs.select(
+        "doc_id", F.array_sort(shingles_expr(F.col("text"), 3)).alias("sh")
+    ).localCheckpoint(eager=True)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment_ab"),
+            F.round(inter / F.size("sh_b"), 6).alias("containment_ba"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_balance_report — straggler risk of the training-tape layout
+# ---------------------------------------------------------------------------
+
+
+def _shard_balance_oracle() -> str:
+    # wrap the corpus_shuffle_shard oracle verbatim (the
+    # near_dup_cluster_histogram reuse pattern): the report cannot
+    # drift from the sharding it audits
+    from .base import REGISTRY
+
+    base = REGISTRY["corpus_shuffle_shard"].oracle
+    return f"""
+WITH base AS ({base}),
+per AS (SELECT shard, count(*) AS n FROM base GROUP BY shard)
+SELECT CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(min(n) AS BIGINT) AS min_docs,
+       CAST(max(n) AS BIGINT) AS max_docs,
+       round(avg(n), 6) AS mean_docs,
+       round(CAST(max(n) AS DOUBLE) / min(n), 6) AS skew_ratio
+FROM per
+"""
+
+
+@register("shard_balance_report", oracle=_shard_balance_oracle())
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit of the corpus_shuffle_shard layout: doc-count
+    min/max/mean per shard and the max/min skew ratio. At 100 TB the
+    largest shard bounds every epoch's straggler (readers consume
+    shards whole), so a skewed layout wastes cluster time every epoch
+    of every run that reads the tape — this one-row report is the
+    pre-write gate. Built ON the verified sharding: Spark reuses
+    corpus_shuffle_shard, the oracle wraps its SQL verbatim."""
+    from .pipelineq3 import corpus_shuffle_shard
+
+    per = (
+        corpus_shuffle_shard(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("n").alias("min_docs"),
+        F.max("n").alias("max_docs"),
+        F.round(F.avg("n"), 6).alias("mean_docs"),
+        F.round(F.max("n").cast("double") / F.min("n"), 6).alias("skew_ratio"),
+    )

@@ -50,6 +50,37 @@ def test_fertility_lower_bound(spark, sf_dir):
             assert r["fertility"] >= 1.0 - 1e-9, r
 
 
+def test_containment_bounds_and_jaccard_relation(spark, sf_dir):
+    from flink_crawler_spark.queries.dedupq import ngram_jaccard_pairs
+    from flink_crawler_spark.queries.pipelineq7 import excerpt_containment_pairs
+
+    c = {
+        (r["id_a"], r["id_b"]): r
+        for r in excerpt_containment_pairs(spark, sf_dir).collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert set(c) == set(j)  # same LSH candidate set
+    for k, r in c.items():
+        ab, ba = r["containment_ab"], r["containment_ba"]
+        assert 0.0 <= ab <= 1.0 + 1e-9 and 0.0 <= ba <= 1.0 + 1e-9
+        # J <= C in each direction (union >= each set)
+        assert j[k] <= min(ab, ba) + 1e-6, (k, j[k], ab, ba)
+
+
+def test_shard_balance_consistent(spark, sf_dir):
+    from flink_crawler_spark.queries.base import t
+    from flink_crawler_spark.queries.pipelineq7 import shard_balance_report
+
+    r = shard_balance_report(spark, sf_dir).collect()[0]
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert r["min_docs"] <= r["mean_docs"] <= r["max_docs"]
+    assert r["skew_ratio"] >= 1.0
+    assert abs(r["mean_docs"] * r["n_shards"] - n_docs) < 0.01 * n_docs + 1
+
+
 def test_cluster_histogram_reconciles(spark, sf_dir):
     from flink_crawler_spark.queries.base import t
 
