@@ -86,7 +86,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = distributed_keyed_row_number(
         j, ["lang"], [F.asc("avg_nll"), F.asc("doc_id")], out="rn"
     )
-    cnt = j.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-language totals from rk, NOT from j: the rank primitive has
+    # already pinned the ranged frame with a localCheckpoint, so this
+    # aggregate reads the checkpoint — counting from j would re-evaluate
+    # the whole bigram-LM chain a second time (measured 2x at sf0.1)
+    cnt = rk.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     b = F.floor(((F.col("rn") - 1) * 3.0) / F.col("cnt"))
     return (
         rk.join(F.broadcast(cnt), "lang")

@@ -285,13 +285,18 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to ngram_jaccard_pairs — one signature
     scan, band equi-join, verify joins keyed on the (small) pair
     list; never all-pairs."""
+    from ..operators import ensure_parallelism
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles_expr
     from .dedupq import BANDS, NUM_HASHES
 
     docs = t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
-    sh = docs.select(
+    # ensure_parallelism BEFORE the shingle projection: a single-file
+    # scan would otherwise compute every doc's shingle set in one task
+    # (measured 4x on the whole query at sf0.1 vs ngram_jaccard_pairs,
+    # which already spreads it)
+    sh = ensure_parallelism(docs).select(
         "doc_id", F.array_sort(shingles_expr(F.col("text"), 3)).alias("sh")
     ).localCheckpoint(eager=True)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
