@@ -207,10 +207,22 @@ def tick_append_log(
     set_state_tick(spark, table, tick, now_ms=now_ms)
 
 
-def read_state_log(spark: SparkSession, table: str) -> DataFrame:
+def read_state_log(
+    spark: SparkSession, table: str, *, at_tick: int | None = None
+) -> DataFrame:
     """The merged state view: base ⋈ merge(committed deltas). Lazy —
     evaluated by whatever job consumes it (the crawl loop's frontier
     scan). Orphan deltas past the marker are ignored.
+
+    ``at_tick`` reads the state AS OF that tick (time travel): the base
+    holds everything up to ``crawl.base_tick``, so any tick between the
+    last compaction and the marker is reconstructable by folding only
+    the delta prefix — the free audit/debug dividend of the LSM layout
+    (what did the URL DB say before the tick that went wrong?).
+    History older than the base is compacted away: ``at_tick`` below
+    ``crawl.base_tick`` raises, as does a tick past the marker. The
+    retention window is exactly ``state_log_every`` ticks — size it for
+    the audit horizon you want.
 
     All pending deltas fold through ONE delta-sized groupBy-merge and
     ONE bucket-local join with the base, so the per-scan cost is
@@ -231,6 +243,18 @@ def read_state_log(spark: SparkSession, table: str) -> DataFrame:
     base = load_bucketed_state(spark, table)
     b0 = _base_tick(spark, table)
     tick = get_state_tick(spark, table)
+    if at_tick is not None:
+        if at_tick < b0:
+            raise ValueError(
+                f"state history before tick {b0} is compacted away "
+                f"(requested at_tick={at_tick}; raise state_log_every to "
+                f"widen the retention window)"
+            )
+        if at_tick > tick:
+            raise ValueError(
+                f"at_tick={at_tick} is past the committed marker ({tick})"
+            )
+        tick = at_tick
     files: list[str] = []
     for t in range(b0 + 1, tick + 1):
         dt = f"{table}__delta_t{t}"

@@ -326,3 +326,80 @@ def test_crawl_loop_with_state_log_mode(spark, tmp_path):
         for t_ in list(spark.catalog.listTables()):
             if t_.name.startswith(table):
                 spark.sql(f"DROP TABLE IF EXISTS {t_.name}")
+
+
+def test_state_log_time_travel(spark, tmp_path):
+    """LSM time travel: between compactions, read_state_log(at_tick=T)
+    reconstructs the URL DB exactly as it stood after tick T — equal to
+    an independent crawl stopped at max_ticks=T — and history behind
+    the compacted base (or past the marker) raises."""
+    import pytest
+
+    from flink_crawler_spark.operators.state_table import (
+        compact_state_log,
+        read_state_log,
+    )
+    from flink_crawler_spark.plans.crawl_loop import CrawlConfig, crawl
+    from flink_crawler_spark.sources.fixtures import (
+        render_pages,
+        web_graph_from_adjacency,
+    )
+
+    adjacency = {
+        "http://t1.com/": ["http://t1.com/a", "http://t2.com/"],
+        "http://t1.com/a": ["http://t2.com/b"],
+        "http://t2.com/": ["http://t2.com/b"],
+        "http://t2.com/b": ["http://t1.com/c"],
+        "http://t1.com/c": [],
+    }
+    pages = render_pages(web_graph_from_adjacency(spark, adjacency)).localCheckpoint(
+        eager=True
+    )
+    seeds = spark.createDataFrame([("http://t1.com/", 1.0)], ["url", "score"])
+    table = "crawl_state_tt_test"
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        res = crawl(
+            spark,
+            seeds,
+            pages=pages,
+            config=CrawlConfig(
+                max_ticks=4,
+                state_table=table,
+                state_buckets=n_buckets,
+                state_log_every=100,  # keep every delta: full history
+            ),
+        )
+        assert res.ticks == 4
+        for T in (1, 2, 3):
+            want = {
+                r["url"]: r.asDict()
+                for r in crawl(
+                    spark, seeds, pages=pages, config=CrawlConfig(max_ticks=T)
+                ).crawl_state.collect()
+            }
+            got = {
+                r["url"]: r.asDict()
+                for r in read_state_log(spark, table, at_tick=T).collect()
+            }
+            assert got == want, f"as-of tick {T} diverged"
+        with pytest.raises(ValueError):
+            read_state_log(spark, table, at_tick=res.ticks + 1)
+
+        # compaction folds the history into the base: the final view is
+        # unchanged, but per-tick history is gone
+        final = {
+            r["url"]: r.asDict() for r in read_state_log(spark, table).collect()
+        }
+        compact_state_log(spark, table, buckets=n_buckets)
+        after = {
+            r["url"]: r.asDict()
+            for r in read_state_log(spark, table, at_tick=res.ticks).collect()
+        }
+        assert after == final
+        with pytest.raises(ValueError):
+            read_state_log(spark, table, at_tick=1)
+    finally:
+        for t_ in list(spark.catalog.listTables()):
+            if t_.name.startswith(table):
+                spark.sql(f"DROP TABLE IF EXISTS {t_.name}")
