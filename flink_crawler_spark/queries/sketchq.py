@@ -249,3 +249,108 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").alias("partkey"), F.col("n").alias("true_count"))
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union/intersection estimates from MERGED sketches.
+# The reason sketches exist at 100 TB is that they compose WITHOUT
+# rescanning data: |A∪B| comes from union-and-truncate of the two
+# bottom-k arrays, |A∩B| from the Jaccard fraction of the merged
+# sketch (ρ = |sk(U) ∩ sk(A) ∩ sk(B)| / |sk(U)|, |A∩B| ≈ ρ·|A∪B|).
+# Both are pure functions of md5 values, so the estimates themselves
+# are value-oracled next to the exact answers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmv_set_algebra",
+    oracle=f"""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1994),
+b AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995),
+ha AS (SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM a),
+hb AS (SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM b),
+ska AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ha) x WHERE rn <= {_K}),
+skb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hb) x WHERE rn <= {_K}),
+hu AS (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) y),
+sku AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hu) z WHERE rn <= {_K}),
+n AS (SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b) u) AS nu,
+             (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) i) AS ni,
+             (SELECT max(hv) FROM ska) AS ka,
+             (SELECT max(hv) FROM skb) AS kb,
+             (SELECT max(hv) FROM sku) AS ku,
+             (SELECT count(*) FROM sku
+              WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)) AS rho_num,
+             (SELECT count(*) FROM sku) AS ksz)
+SELECT CAST(na AS BIGINT) AS n_a_exact,
+       CAST(nb AS BIGINT) AS n_b_exact,
+       CAST(nu AS BIGINT) AS union_exact,
+       CAST(ni AS BIGINT) AS inter_exact,
+       CAST(CASE WHEN na <= {_K} THEN CAST(na AS DOUBLE)
+                 ELSE round({_K - 1}.0 * {_HASH_SPACE!r} / CAST(ka AS DOUBLE), 6) END AS DOUBLE) AS est_a,
+       CAST(CASE WHEN nb <= {_K} THEN CAST(nb AS DOUBLE)
+                 ELSE round({_K - 1}.0 * {_HASH_SPACE!r} / CAST(kb AS DOUBLE), 6) END AS DOUBLE) AS est_b,
+       CAST(CASE WHEN nu <= {_K} THEN CAST(nu AS DOUBLE)
+                 ELSE round({_K - 1}.0 * {_HASH_SPACE!r} / CAST(ku AS DOUBLE), 6) END AS DOUBLE) AS union_est,
+       round((CAST(rho_num AS DOUBLE) / ksz)
+             * CAST(CASE WHEN nu <= {_K} THEN CAST(nu AS DOUBLE)
+                         ELSE round({_K - 1}.0 * {_HASH_SPACE!r} / CAST(ku AS DOUBLE), 6) END AS DOUBLE),
+             6) AS inter_est
+FROM n
+""",
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch composition: distinct 1994-customers (A) vs 1995 (B),
+    |A∪B| and |A∩B| estimated FROM THE SKETCHES ALONE (merge =
+    union-and-truncate of bottom-k arrays; intersection via the Jaccard
+    fraction of the merged sketch), reported beside the exact values.
+    This is the operation that makes sketches pay at 100 TB: per-
+    segment sketches roll up to any ad-hoc union/overlap question —
+    "how many users did segments X and Y share last quarter?" — with
+    k·8 bytes per segment and ZERO rescans of the fact data.
+
+    Determinism: every step is a pure function of the 60-bit md5 hash,
+    so both engines compute identical sketches, the same ρ, and the
+    same rounded estimates (int→double casts of >2^53 hashes round to
+    nearest identically). Sketch extraction uses orderBy().limit(k) —
+    TakeOrderedAndProject, a distributed bottom-k, never a
+    single-partition window; the bounded collects below pull ≤ 3k hash
+    values + 4 counters to the driver (sketch-sized by definition)."""
+    od = t(spark, sf_dir, "orders")
+
+    def keys(y: int) -> DataFrame:
+        return od.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    a, b = keys(1994), keys(1995)
+    ha = a.select(_md5_60bit(F.col("o_custkey")).alias("hv"))
+    hb = b.select(_md5_60bit(F.col("o_custkey")).alias("hv"))
+    ska = [r["hv"] for r in ha.orderBy("hv").limit(_K).collect()]
+    skb = [r["hv"] for r in hb.orderBy("hv").limit(_K).collect()]
+    sku = sorted(set(ska) | set(skb))[:_K]
+    na, nb = a.count(), b.count()
+    nu = a.unionByName(b).distinct().count()
+    ni = a.intersect(b).count()
+    rho_num = sum(1 for hv in sku if hv in set(ska) and hv in set(skb))
+    ksz = len(sku)
+
+    def est_expr(n: int, sketch: list[int]):
+        if n <= _K:
+            return F.lit(float(n))
+        return F.round(
+            F.lit(float(_K - 1)) * F.lit(_HASH_SPACE) / F.lit(float(max(sketch))), 6
+        )
+
+    est_u = est_expr(nu, sku)
+    return spark.range(1).select(
+        F.lit(na).cast("bigint").alias("n_a_exact"),
+        F.lit(nb).cast("bigint").alias("n_b_exact"),
+        F.lit(nu).cast("bigint").alias("union_exact"),
+        F.lit(ni).cast("bigint").alias("inter_exact"),
+        est_expr(na, ska).cast("double").alias("est_a"),
+        est_expr(nb, skb).cast("double").alias("est_b"),
+        est_u.cast("double").alias("union_est"),
+        F.round((F.lit(float(rho_num)) / F.lit(float(ksz))) * est_u, 6).alias(
+            "inter_est"
+        ),
+    )

@@ -115,3 +115,25 @@ def test_approx_percentile_within_rank_bound(spark, sf_dir):
 
     for r in approx_percentile_prices(spark, sf_dir).collect():
         assert r["lo_bound"] <= r["approx_median"] <= r["hi_bound"]
+
+
+def test_kmv_set_algebra_bounds_and_mergeability(spark, sf_dir):
+    from flink_crawler_spark.queries.sketchq import kmv_set_algebra
+
+    r = kmv_set_algebra(spark, sf_dir).collect()[0]
+    # sanity: exact set identities
+    assert r["union_exact"] + r["inter_exact"] == r["n_a_exact"] + r["n_b_exact"]
+    assert r["inter_exact"] <= min(r["n_a_exact"], r["n_b_exact"])
+    assert r["union_exact"] >= max(r["n_a_exact"], r["n_b_exact"])
+    # KMV rse ~ 1/sqrt(k-1) = 18% at k=32; allow 4 sigma
+    for est, exact in (
+        (r["est_a"], r["n_a_exact"]),
+        (r["est_b"], r["n_b_exact"]),
+        (r["union_est"], r["union_exact"]),
+    ):
+        if exact > 32:
+            assert abs(est - exact) / exact < 0.75, (est, exact)
+        else:
+            assert est == float(exact)
+    # intersection estimate is bounded by the union estimate
+    assert 0.0 <= r["inter_est"] <= r["union_est"] + 1e-9
