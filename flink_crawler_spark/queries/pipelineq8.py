@@ -195,6 +195,9 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+    # pinned: scanned by count() AND the rank — without this the corpus
+    # tokenizes twice
+    d = d.localCheckpoint(eager=True)
     n = d.count()
     ranked = distributed_row_number(
         d, [F.col("n_tokens"), F.col("doc_id")], out="rn"

@@ -349,7 +349,7 @@ def quality_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
-    )
+    ).localCheckpoint(eager=True)  # scanned by count() AND the rank
     cl = near_dup_clusters(spark, sf_dir)
     fam = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c"))
     dd = cl.join(fam, "cluster_id").select(
