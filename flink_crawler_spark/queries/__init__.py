@@ -43,6 +43,7 @@ from . import pipelineq7  # noqa: E402,F401
 from . import pipelineq8  # noqa: E402,F401
 from . import pipelineq9  # noqa: E402,F401
 from . import pipelineq10  # noqa: E402,F401
+from . import pipelineq11  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
