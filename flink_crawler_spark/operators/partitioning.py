@@ -132,3 +132,121 @@ def distributed_keyed_row_number(
         )
         .drop("__pid", "__rank_base")
     )
+
+
+def distributed_keyed_running_sum(
+    df: DataFrame, key_cols, order_cols, value_col: str, *, out: str = "run_sum",
+    nparts: int | None = None
+) -> DataFrame:
+    """INCLUSIVE ``sum(value) OVER (PARTITION BY key ORDER BY order_cols)``
+    WITHOUT a per-key single-task sort — the prefix-SUM sibling of
+    ``distributed_keyed_row_number``, for running sums whose key has few
+    or skewed values (a per-returnflag cumulative weight has THREE keys;
+    ``Window.partitionBy(flag)`` would pull a third of the fact table
+    through one task):
+
+      1. ``repartitionByRange`` on (key, order): a key's rows occupy a
+         CONTIGUOUS sorted run of partitions;
+      2. sum per (partition, key) — a distributed aggregate;
+      3. a key carries a nonzero base only into partitions AFTER the
+         first one it appears in — at most (nparts - 1) boundary-spanning
+         entries total, so the carry table is broadcast-sized regardless
+         of key cardinality;
+      4. per-(partition, key) inclusive window sum + broadcast carry.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    key_names = [df.select(k).columns[0] for k in keys]
+    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(nparts, *keys, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    psum = ranged.groupBy("__pid", *key_names).agg(F.sum(value_col).alias("__psum"))
+    wk = (
+        Window.partitionBy(*key_names)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        psum.withColumn("__carry", F.sum("__psum").over(wk))
+        .filter(F.col("__carry").isNotNull())
+        .select("__pid", *key_names, "__carry")
+    )
+    w = (
+        Window.partitionBy("__pid", *key_names)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(spans), ["__pid", *key_names], "left")
+        .withColumn(
+            out,
+            F.sum(value_col).over(w)
+            + F.coalesce(F.col("__carry"), F.lit(0).cast(ranged.schema[value_col].dataType)),
+        )
+        .drop("__pid", "__carry")
+    )
+
+
+def distributed_running_max(
+    df: DataFrame, order_cols, value_col: str, *, out: str = "run_max",
+    nparts: int | None = None
+) -> DataFrame:
+    """EXCLUSIVE global running max of ``value_col`` over ``order_cols``
+    (max over rows strictly earlier in the order; NULL for the first
+    row) WITHOUT a single-partition window — the prefix-MAX sibling of
+    ``distributed_row_number``:
+
+      1. ``repartitionByRange`` on the order key;
+      2. one max per partition — a bounded driver round-trip;
+      3. broadcast each partition's EXCLUSIVE carry-in (the max over
+         all earlier partitions) and combine with a per-partition
+         exclusive window max via null-skipping ``greatest``.
+
+    Powers skyline/Pareto frontiers (the strictly-dominating running
+    max over a sorted value domain) at cardinalities where
+    ``Window.orderBy`` would serialize the input through one task."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    pmax = {
+        r["__pid"]: r["mx"]
+        for r in ranged.groupBy("__pid").agg(F.max(value_col).alias("mx")).collect()
+    }
+    vtype = ranged.schema[value_col].dataType
+    carry, run = [], None
+    for pid in range(nparts):
+        carry.append((pid, run))
+        m = pmax.get(pid)
+        if m is not None and (run is None or m > run):
+            run = m
+    carry_df = spark.createDataFrame(
+        carry,
+        StructType(
+            [
+                StructField("__pid", IntegerType(), False),
+                StructField("__carry", vtype, True),
+            ]
+        ),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(carry_df), "__pid")
+        .withColumn(out, F.greatest(F.max(value_col).over(w), F.col("__carry")))
+        .drop("__pid", "__carry")
+    )

@@ -44,6 +44,7 @@ from . import pipelineq8  # noqa: E402,F401
 from . import pipelineq9  # noqa: E402,F401
 from . import pipelineq10  # noqa: E402,F401
 from . import pipelineq11  # noqa: E402,F401
+from . import pipelineq12  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -61,6 +62,16 @@ PRIORITY_WINDOW = [
     # plain-aggregate SQL-breadth rows left for r6). Every r4-window row
     # rotated OUT (all were driver-green r4; still covered by the local
     # gate + pytest + bench).
+    # r6 backlog (never driver-seen after this window): the 24 SQL-breadth
+    # rows noted in round-5 records PLUS the wave-9..12 additions
+    # (systematic_pps_sample, length_bucket_packing,
+    # embedding_int8_quantize, stupid_backoff_score, bm25_search_topk,
+    # redirect_chain_resolve, incremental_mv_refresh,
+    # quality_dedup_calibration, maxsim_label_retrieval,
+    # temporal_split_embargo, robots_crawl_delay_budget,
+    # facility_location_select, stream_incremental_mv, rfm_user_segments)
+    # and wave 13 (pareto_skyline_orders, event_cusum_alarms)
+    # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
     "crawl_reachability_rcte",    # §2.14 loop, declarative recursive-CTE twin

@@ -138,6 +138,15 @@ FAMILIES = [
     # aggs + keyed joins) — both should fit ~linear
     ("entropy-HOF", "doc_entropy_score", None),
     ("bigram-LM", "ccnet_bigram_nll", None),
+    # r5 waves 9-12: trigram LM (5 n-gram-key joins), BM25 (filtered tf
+    # + broadcast df), PPS prefix sum (two-phase), distributed ntile
+    # rank, and the greedy facility loop (K fixed scans) — all expected
+    # ~linear
+    ("trigram-LM", "stupid_backoff_score", None),
+    ("BM25", "bm25_search_topk", None),
+    ("pps-prefix", "systematic_pps_sample", None),
+    ("dist-rank", "length_bucket_packing", None),
+    ("facility-greedy", "facility_location_select", None),
 ]
 
 
