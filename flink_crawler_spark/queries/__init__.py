@@ -45,6 +45,7 @@ from . import pipelineq9  # noqa: E402,F401
 from . import pipelineq10  # noqa: E402,F401
 from . import pipelineq11  # noqa: E402,F401
 from . import pipelineq12  # noqa: E402,F401
+from . import pipelineq13  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -70,7 +71,9 @@ PRIORITY_WINDOW = [
     # quality_dedup_calibration, maxsim_label_retrieval,
     # temporal_split_embargo, robots_crawl_delay_budget,
     # facility_location_select, stream_incremental_mv, rfm_user_segments)
-    # and wave 13 (pareto_skyline_orders, event_cusum_alarms)
+    # wave 13 (pareto_skyline_orders, event_cusum_alarms), and wave 14
+    # (zorder_layout_stats, event_markov_transitions,
+    # weighted_median_price, session_max_concurrency)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
