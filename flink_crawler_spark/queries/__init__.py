@@ -46,6 +46,7 @@ from . import pipelineq10  # noqa: E402,F401
 from . import pipelineq11  # noqa: E402,F401
 from . import pipelineq12  # noqa: E402,F401
 from . import pipelineq13  # noqa: E402,F401
+from . import pipelineq14  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -73,7 +74,9 @@ PRIORITY_WINDOW = [
     # facility_location_select, stream_incremental_mv, rfm_user_segments)
     # wave 13 (pareto_skyline_orders, event_cusum_alarms), and wave 14
     # (zorder_layout_stats, event_markov_transitions,
-    # weighted_median_price, session_max_concurrency)
+    # weighted_median_price, session_max_concurrency), and wave 15
+    # (association_rules_pairs, rrf_rank_fusion, anova_f_event_values,
+    # seasonal_decompose_weekly)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
