@@ -47,6 +47,7 @@ from . import pipelineq11  # noqa: E402,F401
 from . import pipelineq12  # noqa: E402,F401
 from . import pipelineq13  # noqa: E402,F401
 from . import pipelineq14  # noqa: E402,F401
+from . import pipelineq15  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -76,7 +77,8 @@ PRIORITY_WINDOW = [
     # (zorder_layout_stats, event_markov_transitions,
     # weighted_median_price, session_max_concurrency), and wave 15
     # (association_rules_pairs, rrf_rank_fusion, anova_f_event_values,
-    # seasonal_decompose_weekly)
+    # seasonal_decompose_weekly), and wave 16 (poisson_bootstrap_ci,
+    # kaplan_meier_conversion, woe_iv_price_bins, theil_sen_trend)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
