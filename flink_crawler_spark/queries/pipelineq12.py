@@ -144,7 +144,9 @@ def event_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
         .cast("decimal(28,6)")
         .alias("x")
-    )
+        # user-day rollup feeding the allowance scalar AND the series;
+        # pin so the events scan + shuffle run once
+    ).localCheckpoint(eager=True)
     kk = daily.agg(
         F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
         .cast("decimal(28,6)")

@@ -95,7 +95,9 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.max("cx") - F.min("cx"), F.lit(1)).alias("xr"),
         F.min("cy").alias("y0"),
         F.greatest(F.max("cy") - F.min("cy"), F.lit(1)).alias("yr"),
-    )
+        # 1-row normalizer broadcast into BOTH layout branches; pin it so
+        # each branch doesn't re-run the min/max scan
+    ).localCheckpoint(eager=True)
     n = o.crossJoin(F.broadcast(b)).select(
         F.expr("((cx - x0) * 65535) div xr").alias("x"),
         F.expr("((cy - y0) * 65535) div yr").alias("y"),
@@ -165,6 +167,9 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull())
         .groupBy(F.col("event_type").alias("src"), "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # feeds the per-src totals AND the final join; pinning the tiny
+        # |types|^2 table stops the full lead-window pass running twice
+        .localCheckpoint(eager=True)
     )
     tot = c.groupBy("src").agg(F.sum("cnt").cast("long").alias("tot"))
     return c.join(F.broadcast(tot), "src").select(
@@ -230,7 +235,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)").alias("price"),
         F.round(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("w"),
     )
-    g = li.groupBy("flag", "price").agg(F.sum("w").cast("decimal(28,2)").alias("w"))
+    g = (
+        li.groupBy("flag", "price")
+        .agg(F.sum("w").cast("decimal(28,2)").alias("w"))
+        # feeds the prefix-sum helper AND the per-flag totals; pin so the
+        # fact scan + shuffle run once
+        .localCheckpoint(eager=True)
+    )
     c = distributed_keyed_running_sum(g, ["flag"], [F.col("price")], "w", out="cum")
     tt = g.groupBy("flag").agg(F.sum("w").cast("decimal(28,2)").alias("tot"))
     return (

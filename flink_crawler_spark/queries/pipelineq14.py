@@ -71,6 +71,9 @@ def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        # feeds the order count, both supports, and both self-join sides;
+        # pin so the distinct shuffle runs once, not four times
+        .localCheckpoint(eager=True)
     )
     nn = op.agg(F.countDistinct("o").cast("long").alias("n"))
     sup = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("s"))
@@ -240,7 +243,9 @@ def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
         .cast("decimal(38,12)")
         .alias("q_g"),
-    )
+        # 5 rows feeding the totals AND the SSB/SSW terms; pin so the
+        # events scan + group shuffle run once
+    ).localCheckpoint(eager=True)
     tot = grp.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -357,7 +362,9 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("rev").cast("double") - F.round(F.col("s7").cast("double") / 7, 6), 6
         ).alias("detr"),
-    )
+        # day-level table feeding the seasonal means AND the final join;
+        # pin so the fact rollup + trend window run once
+    ).localCheckpoint(eager=True)
     se = dt.groupBy((F.col("dayn") % 7).alias("phase")).agg(
         F.round(
             F.sum(F.col("detr").cast("decimal(28,6)")).cast("double")

@@ -232,6 +232,9 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ms").alias("s_ms"))
+        # per-user table feeding the purchase join AND the duration
+        # projection; pin so the signup scan + shuffle run once
+        .localCheckpoint(eager=True)
     )
     p = (
         s.join(ev, "user_id")
@@ -443,6 +446,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,2)")
             .alias("rev")
         )
+        # day-level rollup feeding both pair-join sides, the intercept
+        # median, and the day count; pin so the fact scan runs once
+        .localCheckpoint(eager=True)
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("b.dayn") > F.col("a.dayn")).select(
