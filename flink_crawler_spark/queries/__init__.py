@@ -48,6 +48,7 @@ from . import pipelineq12  # noqa: E402,F401
 from . import pipelineq13  # noqa: E402,F401
 from . import pipelineq14  # noqa: E402,F401
 from . import pipelineq15  # noqa: E402,F401
+from . import pipelineq16  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -78,7 +79,9 @@ PRIORITY_WINDOW = [
     # weighted_median_price, session_max_concurrency), and wave 15
     # (association_rules_pairs, rrf_rank_fusion, anova_f_event_values,
     # seasonal_decompose_weekly), and wave 16 (poisson_bootstrap_ci,
-    # kaplan_meier_conversion, woe_iv_price_bins, theil_sen_trend)
+    # kaplan_meier_conversion, woe_iv_price_bins, theil_sen_trend),
+    # and wave 17 (ols_price_on_qty_discount, chi_square_priority_status,
+    # psi_price_drift, ks_two_sample_price)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
