@@ -51,6 +51,7 @@ from . import pipelineq15  # noqa: E402,F401
 from . import pipelineq16  # noqa: E402,F401
 from . import pipelineq17  # noqa: E402,F401
 from . import pipelineq18  # noqa: E402,F401
+from . import pipelineq19  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -86,7 +87,9 @@ PRIORITY_WINDOW = [
     # psi_price_drift, ks_two_sample_price), and wave 18
     # (softdedup_loss_weights, hard_negative_mining, benford_price_digits,
     # acf_daily_revenue), and wave 19 (naive_bayes_lang_classify,
-    # info_gain_feature_rank, ewma_smoothed_revenue, dbscan_core_points)
+    # info_gain_feature_rank, ewma_smoothed_revenue, dbscan_core_points),
+    # and wave 20 (embedding_dim_stats, margin_mnn_pairs, hill_tail_index,
+    # gumbel_topk_sample)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
