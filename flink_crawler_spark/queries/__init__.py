@@ -55,6 +55,7 @@ from . import pipelineq19  # noqa: E402,F401
 from . import pipelineq20  # noqa: E402,F401
 from . import pipelineq21  # noqa: E402,F401
 from . import pipelineq22  # noqa: E402,F401
+from . import pipelineq23  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -97,7 +98,9 @@ PRIORITY_WINDOW = [
     # and wave 22 (cdc_changelog_apply, ipw_treatment_effect,
     # brier_calibration_bins, auc_urgent_by_price), and wave 23
     # (matryoshka_truncation_recall, near_dup_threshold_sweep,
-    # welch_t_test_price, filter_kappa_agreement)
+    # welch_t_test_price, filter_kappa_agreement), and wave 24
+    # (ndcg_same_label_eval, mann_kendall_trend, lift_gains_deciles,
+    # source_diversity_indices)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
