@@ -414,9 +414,9 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v", F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
         .withColumn("__k", F.lit(0))
     )
-    cum = distributed_keyed_running_sum(
-        contrib, ["__k"], ["xc"], "v", out="s"
-    ).localCheckpoint(eager=True)
+    # cum is consumed by exactly one aggregate — no checkpoint needed,
+    # and keeping the plan visible pins the keyed-window shape in tests
+    cum = distributed_keyed_running_sum(contrib, ["__k"], ["xc"], "v", out="s")
     mx = cum.agg(
         F.max(F.struct(F.abs("s").alias("a"), (-F.col("xc")).alias("nx"))).alias("m")
     ).select(

@@ -258,11 +258,13 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS xc")
         .orderBy(F.desc("xc"))
         .limit(HILL_K + 1)
-        .localCheckpoint(eager=True)
     )
-    thr = topv.agg(F.min("xc").alias("xk1"))
+    # the threshold is a window min over the (k+1)-row survivor set —
+    # bounded by construction, so the whole estimator is ONE pass after
+    # the distributed top-k (no checkpoint, no second consumption)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     lnsum = (
-        topv.crossJoin(F.broadcast(thr))
+        topv.withColumn("xk1", F.min("xc").over(wall))
         .where(F.col("xc") > F.col("xk1"))
         .agg(
             F.sum(
@@ -274,17 +276,15 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("s"),
             F.count(F.lit(1)).cast("long").alias("m"),
+            F.min("xk1").alias("xk1"),
         )
     )
-    return (
-        lnsum.crossJoin(F.broadcast(thr))
-        .selectExpr(
-            f"CAST({HILL_K} AS BIGINT) AS k",
-            "xk1 AS threshold_cents",
-            "m AS n_exceed",
-            "round(m / s, 6) AS hill_alpha",
-            "round(s / m, 9) AS mean_log_excess",
-        )
+    return lnsum.selectExpr(
+        f"CAST({HILL_K} AS BIGINT) AS k",
+        "xk1 AS threshold_cents",
+        "m AS n_exceed",
+        "round(m / s, 6) AS hill_alpha",
+        "round(s / m, 9) AS mean_log_excess",
     )
 
 
@@ -347,11 +347,7 @@ def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # top-k FIRST (TakeOrderedAndProject — distributed), then rank the
     # k survivors; never a global row_number window over the corpus
-    top = (
-        g.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
-        .limit(GUMBEL_K)
-        .localCheckpoint(eager=True)
-    )
+    top = g.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(GUMBEL_K)
     w = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
         "doc_id", "n_chars", "gumbel_key", "rnk"
