@@ -56,6 +56,7 @@ from . import pipelineq20  # noqa: E402,F401
 from . import pipelineq21  # noqa: E402,F401
 from . import pipelineq22  # noqa: E402,F401
 from . import pipelineq23  # noqa: E402,F401
+from . import pipelineq24  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -100,7 +101,8 @@ PRIORITY_WINDOW = [
     # (matryoshka_truncation_recall, near_dup_threshold_sweep,
     # welch_t_test_price, filter_kappa_agreement), and wave 24
     # (ndcg_same_label_eval, mann_kendall_trend, lift_gains_deciles,
-    # source_diversity_indices)
+    # source_diversity_indices), and wave 25 (minhash_estimate_calibration,
+    # winsorized_mean_price, rolling_quantile_band_alarms)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)

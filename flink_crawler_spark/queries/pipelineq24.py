@@ -1,0 +1,278 @@
+"""Wave 25: sketch calibration, robust means, banded anomaly alarms.
+
+  * minhash_estimate_calibration — MinHash Jaccard estimate vs the
+    exact shingle Jaccard on the LSH candidate pairs: the sketch-QA
+    read that says how much to trust the 8-hash signature.
+  * winsorized_mean_price — mean after clamping to the exact
+    interpolated P5/P95 (the robust-mean alternative to trimming).
+  * rolling_quantile_band_alarms — daily revenue vs its trailing
+    28-day P10/P90 band: the rolling-quantile anomaly monitor.
+
+All exact-value DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
+from .base import register, t
+from .dedupq import BANDS, DUCK_SHINGLES, DUCK_TOKS, NUM_HASHES, _buckets_sql, _sigs_sql
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_calibration
+# ---------------------------------------------------------------------------
+
+_MH_MATCH = " + ".join(
+    f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(NUM_HASHES)
+)
+
+
+@register(
+    "minhash_estimate_calibration",
+    oracle=f"""
+WITH {_sigs_sql().strip()},
+buckets AS (
+{_buckets_sql()}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents) x),
+cal AS (
+  SELECT p.id_a, p.id_b,
+         CAST({_MH_MATCH} AS BIGINT) AS n_match,
+         round(CAST({_MH_MATCH} AS DOUBLE) / {NUM_HASHES}, 6) AS jaccard_est,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           AS jaccard_exact
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+  JOIN shs a ON a.doc_id = p.id_a
+  JOIN shs b ON b.doc_id = p.id_b
+),
+mae AS (
+  SELECT round(CAST(sum(CAST(round(abs(jaccard_est - jaccard_exact), 9)
+                    AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS mae
+  FROM cal
+)
+SELECT cal.id_a, cal.id_b, cal.n_match, cal.jaccard_est, cal.jaccard_exact,
+       round(abs(cal.jaccard_est - cal.jaccard_exact), 6) AS abs_err,
+       mae.mae
+FROM cal CROSS JOIN mae
+""",
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QA for the dedup chain: on every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching hashes / K) against the EXACT
+    shingle Jaccard, with the global mean absolute error — the
+    calibration read that says whether K=8 hashes is enough before the
+    verify stage's threshold is trusted (pairs with near_dup_threshold
+    _sweep, which tunes the threshold given exact values). Reuses the
+    verified signature -> band -> bucket-join chain unchanged, so the
+    candidate set is identical to production; the estimate is an exact
+    integer ratio and the error aggregate is a rounded-once DECIMAL
+    sum."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3).localCheckpoint(
+        eager=True
+    )
+    pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_HASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{k}").alias(f"b{k}") for k in range(NUM_HASHES)]
+    )
+    match = " + ".join(
+        f"(CASE WHEN a{k} = b{k} THEN 1 ELSE 0 END)" for k in range(NUM_HASHES)
+    )
+    est = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"CAST({match} AS BIGINT) AS n_match",
+            f"round(CAST({match} AS DOUBLE) / {NUM_HASHES}, 6) AS jaccard_est",
+        )
+    )
+    exact = ngram_jaccard(docs, pairs, shingle_n=3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact")
+    )
+    cal = est.join(exact, ["id_a", "id_b"]).localCheckpoint(eager=True)
+    mae = cal.agg(
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(round(abs(jaccard_est - jaccard_exact), 9) AS DECIMAL(38,9))"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mae")
+    )
+    return cal.crossJoin(F.broadcast(mae)).selectExpr(
+        "id_a",
+        "id_b",
+        "n_match",
+        "jaccard_est",
+        "jaccard_exact",
+        "round(abs(jaccard_est - jaccard_exact), 6) AS abs_err",
+        "mae",
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean_price
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "winsorized_mean_price",
+    oracle=f"""
+WITH x AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc FROM lineitem),
+q AS (
+  SELECT quantile_cont(xc, {WINSOR_LO}) AS lo, quantile_cont(xc, {WINSOR_HI}) AS hi
+  FROM x
+),
+w AS (
+  SELECT CAST(round(greatest(q.lo, least(q.hi, CAST(x.xc AS DOUBLE))) / 100, 6)
+              AS DECIMAL(38,6)) AS cl
+  FROM x CROSS JOIN q
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round((SELECT lo FROM q) / 100, 6) AS p05,
+       round((SELECT hi FROM q) / 100, 6) AS p95,
+       round(CAST(sum(cl) AS DOUBLE) / count(*), 6) AS winsorized_mean
+FROM w
+""",
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of the lineitem price (clamp at the exact
+    interpolated P5/P95, then average) — the robust location estimate
+    that keeps every row's vote but caps outlier leverage (the
+    complement of trimmed_mean_price_udaf, which drops the tails
+    instead). Percentiles are exact interpolated quantiles on the
+    integer cent domain (engine-identical, as the repo's percentile
+    family already pins); clamped values are rounded once and
+    DECIMAL-summed. Two passes over one column: the quantile aggregate
+    (broadcast back as two scalars) and the clamped sum."""
+    x = t(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS xc"
+    )
+    q = x.agg(
+        F.expr(f"percentile(xc, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(xc, {WINSOR_HI})").alias("hi"),
+    )
+    w = x.crossJoin(F.broadcast(q)).selectExpr(
+        "CAST(round(greatest(lo, least(hi, CAST(xc AS DOUBLE))) / 100, 6)"
+        " AS DECIMAL(38,6)) AS cl",
+        "lo",
+        "hi",
+    )
+    return w.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("cl").cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+    ).selectExpr(
+        "n",
+        "round(lo / 100, 6) AS p05",
+        "round(hi / 100, 6) AS p95",
+        "winsorized_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_quantile_band_alarms
+# ---------------------------------------------------------------------------
+
+BAND_WINDOW = 28
+BAND_LO = 0.10
+BAND_HI = 0.90
+
+
+@register(
+    "rolling_quantile_band_alarms",
+    oracle=f"""
+WITH d AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+         CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders GROUP BY 1
+),
+bands AS (
+  SELECT a.day_idx, min(a.rev) AS rev,
+         CAST(count(*) AS BIGINT) AS n_window,
+         quantile_cont(CAST(b.rev AS DOUBLE), {BAND_LO}) AS p_lo,
+         quantile_cont(CAST(b.rev AS DOUBLE), {BAND_HI}) AS p_hi
+  FROM d a JOIN d b
+    ON b.day_idx < a.day_idx AND b.day_idx >= a.day_idx - {BAND_WINDOW}
+  GROUP BY a.day_idx
+)
+SELECT day_idx, CAST(rev AS DOUBLE) AS revenue, n_window,
+       round(p_lo, 6) AS band_lo, round(p_hi, 6) AS band_hi,
+       CASE WHEN CAST(rev AS DOUBLE) < p_lo THEN -1
+            WHEN CAST(rev AS DOUBLE) > p_hi THEN 1 ELSE 0 END AS alarm
+FROM bands
+""",
+)
+def rolling_quantile_band_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-quantile anomaly monitor: each day's revenue against the
+    P10/P90 band of its TRAILING 28 days (exclusive) — the
+    non-parametric alarm that, unlike z-scores, survives heavy tails
+    and level shifts (pairs with event_cusum_alarms' parametric
+    changepoint view). The banded self-join lives on the
+    calendar-bounded day table (|days| x 28 rows), quantiles are exact
+    interpolated values over each 28-value window, and the alarm
+    compares against the unrounded band exactly as the oracle does.
+    The day rollup is the only data-sized step."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_idx")
+        )
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = d.selectExpr("day_idx", "rev")
+    b = d.selectExpr("day_idx AS day_b", "CAST(rev AS DOUBLE) AS rev_b")
+    bands = (
+        a.join(
+            b,
+            (F.col("day_b") < F.col("day_idx"))
+            & (F.col("day_b") >= F.col("day_idx") - BAND_WINDOW),
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.min("rev").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_window"),
+            F.expr(f"percentile(rev_b, {BAND_LO})").alias("p_lo"),
+            F.expr(f"percentile(rev_b, {BAND_HI})").alias("p_hi"),
+        )
+    )
+    return bands.selectExpr(
+        "day_idx",
+        "CAST(rev AS DOUBLE) AS revenue",
+        "n_window",
+        "round(p_lo, 6) AS band_lo",
+        "round(p_hi, 6) AS band_hi",
+        "CASE WHEN CAST(rev AS DOUBLE) < p_lo THEN -1"
+        " WHEN CAST(rev AS DOUBLE) > p_hi THEN 1 ELSE 0 END AS alarm",
+    )

@@ -35,11 +35,14 @@ VOCAB = (
 BASE_DOCS = 5_000  # sf0.1 row counts
 BASE_VECS = 2_000
 BASE_LINEITEM = 600_000
+BASE_ORDERS = 150_000
 
 
 def gen_dir(spark, root: str, mult: int) -> str:
     out = os.path.join(root, f"x{mult}")
-    if os.path.exists(os.path.join(out, "_DONE")):
+    # _DONE2: schema v2 adds orders + lineitem price/discount columns
+    # for the wave 17-24 statistics families
+    if os.path.exists(os.path.join(out, "_DONE2")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -117,9 +120,43 @@ def gen_dir(spark, root: str, mult: int) -> str:
             F.lit("1992-01-01").cast("date"), (F.abs(F.hash("id", F.lit(7))) % 2500)
         ).alias("l_shipdate"),
         ((F.abs(F.hash("id", F.lit(8))) % 50) + 1).cast("double").alias("l_quantity"),
+        (((F.abs(F.hash("id", F.lit(9))) % 900_000) + 100) / F.lit(100.0)).alias(
+            "l_extendedprice"
+        ),
+        ((F.abs(F.hash("id", F.lit(10))) % 11) / F.lit(100.0)).alias("l_discount"),
     )
     li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
-    open(os.path.join(out, "_DONE"), "w").write("ok")
+
+    # orders: the columns the statistics families read (status, price,
+    # date, priority) with the driver testdata's calendar span
+    n_ord = BASE_ORDERS * mult
+    o = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        F.element_at(
+            F.array(F.lit("P"), F.lit("O"), F.lit("F")),
+            (F.abs(F.hash("id", F.lit(11))) % 3) + 1,
+        ).alias("o_orderstatus"),
+        (((F.abs(F.hash("id", F.lit(12))) % 9_000_000) + 10_000) / F.lit(100.0)).alias(
+            "o_totalprice"
+        ),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"), F.abs(F.hash("id", F.lit(13))) % 2400
+        )
+        .cast("timestamp")
+        .alias("o_orderdate"),
+        F.element_at(
+            F.array(
+                F.lit("1-URGENT"),
+                F.lit("2-HIGH"),
+                F.lit("3-MEDIUM"),
+                F.lit("4-NOT SPECIFIED"),
+                F.lit("5-LOW"),
+            ),
+            (F.abs(F.hash("id", F.lit(14))) % 5) + 1,
+        ).alias("o_orderpriority"),
+    )
+    o.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    open(os.path.join(out, "_DONE2"), "w").write("ok")
     return out
 
 
@@ -147,6 +184,22 @@ FAMILIES = [
     ("pps-prefix", "systematic_pps_sample", None),
     ("dist-rank", "length_bucket_packing", None),
     ("facility-greedy", "facility_location_select", None),
+    # r5 waves 17-24: value-domain prefix-sum statistics (KS/AUC ride
+    # distributed_keyed_running_sum), shingle-keyed corpus weights,
+    # NB training aggregates, the distributed-rank gains table — all
+    # expected ~linear. The exact pair paths (threshold sweep's
+    # shared-shingle join on the adversarial 31-token vocabulary,
+    # margin-MNN's labeled all-pairs fallback) are expected
+    # superlinear and run capped, like ppjoin — LSH/ANN buckets are
+    # their documented scale path.
+    ("ks-prefix", "ks_two_sample_price", None),
+    ("auc-prefix", "auc_urgent_by_price", None),
+    ("softdedup", "softdedup_loss_weights", None),
+    ("novelty", "ngram_novelty_score", None),
+    ("nb-train", "naive_bayes_lang_classify", None),
+    ("lift-rank", "lift_gains_deciles", None),
+    ("sweep-exact", "near_dup_threshold_sweep", 2),
+    ("mnn-exact", "margin_mnn_pairs", 2),
 ]
 
 
