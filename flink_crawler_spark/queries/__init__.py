@@ -57,6 +57,7 @@ from . import pipelineq21  # noqa: E402,F401
 from . import pipelineq22  # noqa: E402,F401
 from . import pipelineq23  # noqa: E402,F401
 from . import pipelineq24  # noqa: E402,F401
+from . import pipelineq25  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -102,7 +103,9 @@ PRIORITY_WINDOW = [
     # welch_t_test_price, filter_kappa_agreement), and wave 24
     # (ndcg_same_label_eval, mann_kendall_trend, lift_gains_deciles,
     # source_diversity_indices), and wave 25 (minhash_estimate_calibration,
-    # winsorized_mean_price, rolling_quantile_band_alarms)
+    # winsorized_mean_price, rolling_quantile_band_alarms), and wave 26
+    # (query_likelihood_retrieval, graph_jaccard_link_prediction,
+    # simpson_paradox_check)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
