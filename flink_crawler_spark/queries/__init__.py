@@ -58,6 +58,7 @@ from . import pipelineq22  # noqa: E402,F401
 from . import pipelineq23  # noqa: E402,F401
 from . import pipelineq24  # noqa: E402,F401
 from . import pipelineq25  # noqa: E402,F401
+from . import pipelineq26  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -105,7 +106,8 @@ PRIORITY_WINDOW = [
     # source_diversity_indices), and wave 25 (minhash_estimate_calibration,
     # winsorized_mean_price, rolling_quantile_band_alarms), and wave 26
     # (query_likelihood_retrieval, graph_jaccard_link_prediction,
-    # simpson_paradox_check)
+    # simpson_paradox_check), and wave 27 (zipf_fit_slope,
+    # user_burstiness_index, fano_factor_daily)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)

@@ -1,0 +1,251 @@
+"""Wave 27: power-law fitting and temporal-dynamics statistics.
+
+  * zipf_fit_slope — log-log OLS fit of the word rank-frequency curve
+    (the Zipf exponent): composes the distributed rank with the
+    closed-form regression.
+  * user_burstiness_index — Goh-Barabasi burstiness B of per-user
+    inter-event times (the temporal-dynamics read behind politeness
+    and rate modeling).
+  * fano_factor_daily — Fano factor (variance/mean of daily counts)
+    per event type: over/under-dispersion vs a Poisson arrival model.
+
+All exact-value DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import EV_MS, register, t
+
+# ---------------------------------------------------------------------------
+# zipf_fit_slope
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "zipf_fit_slope",
+    oracle=f"""
+WITH tk AS (SELECT unnest({_DUCK_TOKS}) AS w FROM documents),
+c AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY w),
+r AS (
+  SELECT w, f,
+         CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS BIGINT) AS rnk
+  FROM c
+),
+m AS (
+  SELECT CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS log_intercept
+FROM m
+""",
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus word-frequency distribution: OLS of
+    ln(frequency) on ln(rank) over the ranked vocabulary — the
+    one-number heavy-tail summary that pairs with word_rank_curve (the
+    raw curve) and hill_tail_index (the price-domain tail). The rank
+    lives on the VOCABULARY table (bounded far below corpus size; at
+    web scale the two-phase distributed rank the repo already uses),
+    the regression is the closed-form moment solve with rounded-once
+    DECIMAL co-moments, and the slope for natural text should sit near
+    -1 (here the 31-token synthetic vocabulary is near-uniform, so the
+    fitted slope reads the flatness instead — the query is the
+    instrument, not the corpus)."""
+    tk = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("w")
+    )
+    from ..operators.partitioning import distributed_row_number
+
+    c = tk.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    # rank over the VOCABULARY via the two-phase distributed row_number —
+    # a web-scale vocab is 10^7+ tokens, never a single-task sort
+    r = distributed_row_number(
+        c.withColumn("neg_f", -F.col("f")), ["neg_f", "w"], out="rnk"
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").cast("double").alias("n"),
+        F.sum(F.expr("CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.expr("CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.expr(
+                "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)"
+                " AS DECIMAL(38,12))"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.expr(
+                "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)"
+                " AS DECIMAL(38,12))"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS vocab",
+        f"round({slope}, 6) AS zipf_slope",
+        f"round((sy - {slope} * sx) / n, 6) AS log_intercept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_burstiness_index
+# ---------------------------------------------------------------------------
+
+BURST_MIN_EVENTS = 5
+
+
+@register(
+    "user_burstiness_index",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events
+),
+gaps AS (
+  SELECT user_id,
+         ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+  FROM ev
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sgg
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= {BURST_MIN_EVENTS}
+)
+SELECT user_id, n_gaps,
+       round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
+       round(sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
+                  - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps),
+                  0.0)), 6) AS std_gap_ms,
+       round((sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
+                   - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+              - CAST(sg AS DOUBLE) / n_gaps)
+             / (sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
+                   - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+              + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+FROM s
+""",
+)
+def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu) / (sigma + mu) of each
+    user's inter-event times — the temporal-dynamics read that
+    separates Poisson-like visitors (B ~ (sigma-mu)/(sigma+mu) near
+    -1/3 for near-regular, 0 for Poisson, ->1 for bursty) and feeds
+    politeness/rate models (the reference's per-domain timers assume a
+    rate; this measures whether that assumption holds). Inter-arrival
+    gaps come from a KEYED lag window (fully parallel on the user
+    key); moments are exact integer/decimal sums per user, so sigma,
+    mu, and B are engine-identical. Users with < 5 gaps are dropped in
+    both engines."""
+    ev = t(spark, sf_dir, "events").selectExpr("user_id", f"{EV_MS} AS ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gaps = ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w))
+    s = (
+        gaps.where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(
+                F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sgg"),
+        )
+        .where(F.col("n_gaps") >= BURST_MIN_EVENTS)
+    )
+    mu = "CAST(sg AS DOUBLE) / n_gaps"
+    sd = f"sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps - ({mu}) * ({mu}), 0.0))"
+    return s.selectExpr(
+        "user_id",
+        "n_gaps",
+        f"round({mu}, 6) AS mean_gap_ms",
+        f"round({sd}, 6) AS std_gap_ms",
+        f"round(({sd} - {mu}) / ({sd} + {mu}), 6) AS burstiness",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fano_factor_daily
+# ---------------------------------------------------------------------------
+
+@register(
+    "fano_factor_daily",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day_idx
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n_days, sc AS n_events,
+       round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+       round((CAST(scc AS DOUBLE) / n_days
+              - (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days))
+             / (CAST(sc AS DOUBLE) / n_days), 6) AS fano_factor
+FROM s
+""",
+)
+def fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of daily counts) per event
+    type — the dispersion test against a Poisson arrival model (F = 1
+    pure Poisson, > 1 overdispersed/bursty, < 1 regularized): the
+    aggregate-level companion of user_burstiness_index, and the
+    capacity-planning read for rate gauges. One (type, day) count
+    aggregate (calendar-bounded output), INTEGER-exact count moments,
+    one final exact-ratio division per type."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    mu = "CAST(sc AS DOUBLE) / n_days"
+    return s.selectExpr(
+        "event_type",
+        "n_days",
+        "sc AS n_events",
+        f"round({mu}, 6) AS mean_daily",
+        f"round((CAST(scc AS DOUBLE) / n_days - ({mu}) * ({mu})) / ({mu}), 6)"
+        " AS fano_factor",
+    )
