@@ -59,6 +59,7 @@ from . import pipelineq23  # noqa: E402,F401
 from . import pipelineq24  # noqa: E402,F401
 from . import pipelineq25  # noqa: E402,F401
 from . import pipelineq26  # noqa: E402,F401
+from . import pipelineq27  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -107,7 +108,8 @@ PRIORITY_WINDOW = [
     # winsorized_mean_price, rolling_quantile_band_alarms), and wave 26
     # (query_likelihood_retrieval, graph_jaccard_link_prediction,
     # simpson_paradox_check), and wave 27 (zipf_fit_slope,
-    # user_burstiness_index, fano_factor_daily)
+    # user_burstiness_index, fano_factor_daily), and wave 28
+    # (coverage_budget_curve, entropy_rate_markov, dedup_survivor_quality)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
