@@ -137,8 +137,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         F.col("label").alias("a_label"),
     )
+    # repartition the corpus side first — a small parquet scan is ONE
+    # split, which would serialize the anchor x corpus cosine chain
+    # through a single BroadcastNestedLoopJoin task
     pairs = (
-        e.crossJoin(F.broadcast(anch))
+        e.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .crossJoin(F.broadcast(anch))
         .where(F.col("label") != F.col("a_label"))
         .select(
             "a_id",

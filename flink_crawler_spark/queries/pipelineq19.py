@@ -169,8 +169,13 @@ def margin_mnn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = e.where(F.col("label") >= 5).selectExpr(
         "vec_id AS y_id", "embedding AS ey", f"{_norm_sql('embedding', 0)} AS ny"
     )
+    # repartition the left side BEFORE the broadcast cross join: a
+    # small parquet side arrives as ONE input split, which would leave
+    # the BroadcastNestedLoopJoin — and the 1M x 64-term cosine chain —
+    # on a single task (measured 30 s -> ~1 s at sf0.1 with 32 slots)
     p = (
-        x.crossJoin(F.broadcast(y))
+        x.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .crossJoin(F.broadcast(y))
         .selectExpr(
             "x_id",
             "y_id",

@@ -96,8 +96,11 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     full rankings computed per bucket."""
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.expr(_MRL_SPARK)).selectExpr("vec_id AS q_id", "embedding AS qe")
+    # repartition the corpus side first (single-split parquet would pin
+    # the double-dot chain to one BroadcastNestedLoopJoin task)
     p = (
-        e.crossJoin(F.broadcast(q))
+        e.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .selectExpr(
             "q_id",
