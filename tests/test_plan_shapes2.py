@@ -101,3 +101,45 @@ def test_target_encoding_broadcasts_category_stats(spark, sf_dir):
     plan = _plan(target_encoding_loo(spark, sf_dir))
     assert "BroadcastExchange" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_zipf_rank_window_is_partitioned(spark, sf_dir):
+    """The vocabulary rank must be the two-phase distributed row_number
+    (a web-scale vocab is 10^7+ tokens)."""
+    from flink_crawler_spark.queries.pipelineq26 import zipf_fit_slope
+
+    plan = _plan(zipf_fit_slope(spark, sf_dir))
+    wins = _window_lines(plan)
+    assert wins, "expected the distributed rank window"
+    for line in wins:
+        assert "__pid" in line, line
+
+
+def test_conformal_rank_window_is_partitioned(spark, sf_dir):
+    """The calibration order statistic must come from the distributed
+    rank, never a global ordered window over the residuals."""
+    from flink_crawler_spark.queries.pipelineq28 import (
+        conformal_prediction_interval,
+    )
+
+    plan = _plan(conformal_prediction_interval(spark, sf_dir))
+    for line in _window_lines(plan):
+        assert "__pid" in line, line
+
+
+def test_coverage_curve_rank_window_is_partitioned(spark, sf_dir):
+    from flink_crawler_spark.queries.pipelineq27 import coverage_budget_curve
+
+    plan = _plan(coverage_budget_curve(spark, sf_dir))
+    for line in _window_lines(plan):
+        assert "__pid" in line, line
+
+
+def test_query_likelihood_is_top_k(spark, sf_dir):
+    """The retrieval cut must be TakeOrderedAndProject, and the model
+    statistics must broadcast onto the doc scan."""
+    from flink_crawler_spark.queries.pipelineq25 import query_likelihood_retrieval
+
+    plan = _plan(query_likelihood_retrieval(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
