@@ -62,6 +62,7 @@ from . import pipelineq26  # noqa: E402,F401
 from . import pipelineq27  # noqa: E402,F401
 from . import pipelineq28  # noqa: E402,F401
 from . import pipelineq29  # noqa: E402,F401
+from . import pipelineq30  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -114,7 +115,8 @@ PRIORITY_WINDOW = [
     # (coverage_budget_curve, entropy_rate_markov, dedup_survivor_quality),
     # and wave 29 (conformal_prediction_interval, cuped_variance_reduction,
     # mcnemar_gate_test), and wave 30 (shapley_two_feature,
-    # worst_group_metric)
+    # worst_group_metric), and wave 31 (ab_srm_check,
+    # session_gap_sensitivity)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
