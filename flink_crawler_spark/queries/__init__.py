@@ -64,6 +64,7 @@ from . import pipelineq28  # noqa: E402,F401
 from . import pipelineq29  # noqa: E402,F401
 from . import pipelineq30  # noqa: E402,F401
 from . import pipelineq31  # noqa: E402,F401
+from . import pipelineq32  # noqa: E402,F401
 
 
 # The driver's CORRECTNESS check covers the first 50 queries in the order
@@ -118,7 +119,8 @@ PRIORITY_WINDOW = [
     # mcnemar_gate_test), and wave 30 (shapley_two_feature,
     # worst_group_metric), and wave 31 (ab_srm_check,
     # session_gap_sensitivity), and wave 32 (purchase_attribution_models,
-    # dau_mau_stickiness)
+    # dau_mau_stickiness), and wave 33 (slo_latency_report,
+    # error_budget_burn)
     # — all green on the stricter local gate at sf0.001 AND sf0.01.
     # --- §2 crawl core (never driver-seen) ---
     "frontier_refetch_due",       # continuous re-crawl admission (new r4)
