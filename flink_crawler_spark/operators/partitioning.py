@@ -36,6 +36,21 @@ def rebalance(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions)
 
 
+def _resolve_nparts(spark, nparts: int | None) -> int:
+    """Explicit ``nparts`` wins (including 0 → treated as unset was a
+    bug: 0 is rejected, None means unset); otherwise the session's
+    shuffle-partition setting, falling back to ``defaultParallelism``
+    when the conf value is non-numeric (e.g. ``auto``)."""
+    if nparts is not None:
+        if nparts <= 0:
+            raise ValueError(f"nparts must be positive, got {nparts}")
+        return nparts
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def distributed_row_number(
     df: DataFrame, order_cols, *, out: str = "rank", nparts: int | None = None
 ) -> DataFrame:
@@ -60,7 +75,7 @@ def distributed_row_number(
     spark = df.sparkSession
     from pyspark.sql import Window
 
-    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _resolve_nparts(spark, nparts)
     ranged = (
         df.repartitionByRange(nparts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -81,6 +96,25 @@ def distributed_row_number(
         .withColumn(out, F.col("__rank_base") + F.row_number().over(w))
         .drop("__pid", "__rank_base")
     )
+
+
+def _materialize_keys(df: DataFrame, key_cols):
+    """Project expression keys into real columns. The keyed-rank helpers
+    groupBy/join on the key NAMES after a repartitionByRange; a Column
+    expression that is not a plain column of ``df`` (e.g. ``F.lower(c)``)
+    would derive a name that does not exist on the ranged frame. Returns
+    ``(df, key_names, added)`` where ``added`` lists helper columns the
+    caller must drop from its result."""
+    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    names, added = [], []
+    for i, k in enumerate(keys):
+        name = df.select(k).columns[0]
+        if name not in df.columns:
+            name = f"__key{i}"
+            df = df.withColumn(name, k)
+            added.append(name)
+        names.append(name)
+    return df, names, added
 
 
 def distributed_keyed_row_number(
@@ -105,11 +139,10 @@ def distributed_keyed_row_number(
     spark = df.sparkSession
     from pyspark.sql import Window
 
-    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
-    key_names = [df.select(k).columns[0] for k in keys]
-    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df, key_names, added = _materialize_keys(df, key_cols)
+    nparts = _resolve_nparts(spark, nparts)
     ranged = (
-        df.repartitionByRange(nparts, *keys, *order_cols)
+        df.repartitionByRange(nparts, *key_names, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -130,7 +163,7 @@ def distributed_keyed_row_number(
         .withColumn(
             out, F.coalesce(F.col("__rank_base"), F.lit(0)) + F.row_number().over(w)
         )
-        .drop("__pid", "__rank_base")
+        .drop("__pid", "__rank_base", *added)
     )
 
 
@@ -157,11 +190,10 @@ def distributed_keyed_running_sum(
     spark = df.sparkSession
     from pyspark.sql import Window
 
-    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
-    key_names = [df.select(k).columns[0] for k in keys]
-    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df, key_names, added = _materialize_keys(df, key_cols)
+    nparts = _resolve_nparts(spark, nparts)
     ranged = (
-        df.repartitionByRange(nparts, *keys, *order_cols)
+        df.repartitionByRange(nparts, *key_names, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -188,7 +220,7 @@ def distributed_keyed_running_sum(
             F.sum(value_col).over(w)
             + F.coalesce(F.col("__carry"), F.lit(0).cast(ranged.schema[value_col].dataType)),
         )
-        .drop("__pid", "__carry")
+        .drop("__pid", "__carry", *added)
     )
 
 
@@ -214,7 +246,7 @@ def distributed_running_max(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     spark = df.sparkSession
-    nparts = nparts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _resolve_nparts(spark, nparts)
     ranged = (
         df.repartitionByRange(nparts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

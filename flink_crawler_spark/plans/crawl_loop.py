@@ -721,6 +721,11 @@ def _crawl_body(
                 frontier.unpersist()
                 results.unpersist()
                 parsed_slim.unpersist()
+                # The aborted tick's dataflow was already built and its
+                # (empty) trace frames recorded — drop them so trace
+                # consumers see exactly res.ticks ticks, as the
+                # per-tick-agg design produced.
+                del trace_frames[tick_mark:]
                 tick -= 1
                 break
 

@@ -26,38 +26,54 @@ SLO_P95_MAX = 95.0  # treat value as a latency; SLO: p95 <= this
 @register(
     "slo_latency_report",
     oracle=f"""
-WITH v AS (SELECT event_type, CAST(round(value, 6) AS DOUBLE) AS x FROM events)
+WITH v AS (SELECT event_type, CAST(round(value, 6) AS DOUBLE) AS x FROM events),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+)
 SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(quantile_cont(x, 0.50), 6) AS p50,
-       round(quantile_cont(x, 0.95), 6) AS p95,
-       round(quantile_cont(x, 0.99), 6) AS p99,
-       CASE WHEN quantile_cont(x, 0.95) > {SLO_P95_MAX} THEN 1 ELSE 0 END
-         AS slo_breach
-FROM v GROUP BY event_type
+       CAST(max(n) AS BIGINT) AS n_events,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN x END) AS p50,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN x END) AS p95,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN x END) AS p99,
+       CASE WHEN max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                          THEN x END) > {SLO_P95_MAX} THEN 1 ELSE 0 END AS slo_breach
+FROM r GROUP BY event_type
 """,
 )
 def slo_latency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The latency-SLO dashboard tile: p50/p95/p99 of the event value
     per event type, with the p95-threshold breach flag — the
     observability read a crawler's fetch-latency and an API's response
-    time both feed. Exact interpolated per-group quantiles (one grouped
-    aggregate; at 100 TB the per-group exact path is this repo's
-    two-phase rank, the streaming path its KLL sketch); values are
-    rounded ONCE on entry so both engines interpolate the identical
-    doubles, and the breach flag compares the UNROUNDED quantile
-    identically in both."""
+    time both feed. EXACT order statistics (the k = ceil(p*n)-th
+    smallest element), not interpolated quantiles: an interpolated p95
+    is a float blend of two neighbors whose last ulp can differ across
+    engines, while the k-th element is one concrete input value —
+    bit-identical everywhere (r5 ADVICE). The per-group rank rides the
+    two-phase distributed keyed rank, so no event type — however
+    dominant — serializes through one window task; the breach flag
+    compares the exact element, so no float rate decides the page."""
+    from ..operators.partitioning import distributed_keyed_row_number
+
     v = t(spark, sf_dir, "events").selectExpr(
         "event_type", "CAST(round(value, 6) AS DOUBLE) AS x"
     )
-    return v.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.expr("percentile(x, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(x, 0.95)"), 6).alias("p95"),
-        F.round(F.expr("percentile(x, 0.99)"), 6).alias("p99"),
-        F.expr(
-            f"CASE WHEN percentile(x, 0.95) > {SLO_P95_MAX} THEN 1 ELSE 0 END"
-        ).alias("slo_breach"),
+    counts = v.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = distributed_keyed_row_number(v, ["event_type"], ["x"], out="rn").join(
+        F.broadcast(counts), "event_type"
+    )
+    kth = lambda p: F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")).cast("long"))  # noqa: E731
+    picked = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max(F.when(F.col("rn") == kth(0.50), F.col("x"))).alias("p50"),
+        F.max(F.when(F.col("rn") == kth(0.95), F.col("x"))).alias("p95"),
+        F.max(F.when(F.col("rn") == kth(0.99), F.col("x"))).alias("p99"),
+    )
+    return picked.withColumn(
+        "slo_breach",
+        F.when(F.col("p95") > F.lit(SLO_P95_MAX), F.lit(1)).otherwise(F.lit(0)),
     )
 
 

@@ -63,8 +63,8 @@ def main():
     writes: list[float] = []
     orig_save = st.save_bucketed_state
 
-    def spy_save(state, tbl, *, buckets=64):
-        orig_save(state, tbl, buckets=buckets)
+    def spy_save(state, tbl, **kw):
+        orig_save(state, tbl, **kw)
         if "__delta_t" in tbl:
             writes.append(time.time())
 
