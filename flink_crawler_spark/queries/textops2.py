@@ -182,17 +182,18 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     freq = freq.localCheckpoint(eager=True)  # feeds total + top-k
-    tot = freq.agg(F.sum("n")).collect()[0][0]
+    tot = freq.agg(F.sum("n").alias("__tot"))
     top = freq.orderBy(F.desc("n"), F.asc("w")).limit(VOCAB_CURVE_K)
     from pyspark.sql.window import Window
 
     w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
     w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        top.withColumn("rnk", F.row_number().over(w_rank))
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w_rank))
         .withColumn(
             "coverage",
-            F.round(F.sum("n").over(w_cum).cast("double") / F.lit(float(tot)), 6),
+            F.round(F.sum("n").over(w_cum).cast("double") / F.col("__tot"), 6),
         )
         .select("rnk", "w", "n", "coverage")
         .orderBy("rnk")

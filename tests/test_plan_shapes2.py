@@ -135,6 +135,20 @@ def test_coverage_curve_rank_window_is_partitioned(spark, sf_dir):
         assert "__pid" in line, line
 
 
+def test_coverage_curve_single_pass_no_pcts_expansion(spark, sf_dir):
+    """r5 verdict fix: the curve is ONE conditional-sum aggregate over
+    the shingle-min table — the only nested-loop join left is the 1-row
+    scalar N frame, not a pcts-frame row expansion, and the budget
+    points appear as stacked literals, never as a joined table."""
+    from flink_crawler_spark.queries.pipelineq27 import coverage_budget_curve
+
+    plan = _plan(coverage_budget_curve(spark, sf_dir))
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1, plan
+    assert "LocalTableScan" not in plan, plan  # no pcts literal frame
+    assert "stack(4" in plan.lower() or "Generate" in plan, plan
+
+
 def test_query_likelihood_is_top_k(spark, sf_dir):
     """The retrieval cut must be TakeOrderedAndProject, and the model
     statistics must broadcast onto the doc scan."""
