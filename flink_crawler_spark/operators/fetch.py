@@ -154,12 +154,55 @@ def fetch_status_updates(results: DataFrame, *, error_retry_ms: int = 86_400_000
 # ----------------------------------------------------------------------
 
 
+def urllib_fetcher(
+    timeout_s: float = 10.0, agent: str = "flink-crawler"
+) -> Callable[[str], tuple[int, bytes, str, str | None]]:
+    """Production fetcher slot for ``http_fetch``: a plain-socket
+    stdlib GET that does NOT follow redirects — ``http_fetch`` owns the
+    redirect chase (and its TOO_MANY_REDIRECTS cap), mirroring how the
+    reference wires crawler-commons' SimpleHttpFetcher through
+    ``fetcher/SimpleHttpFetcherBuilder.java:14-21`` with redirect
+    handling in the fetcher loop. Returns
+    ``(status_code, body, content_type, absolute_location_or_None)``;
+    socket timeouts/connection errors raise and map to
+    ERROR_IOEXCEPTION in ``http_fetch`` (the
+    ``utils/ExceptionUtils.java`` IOException bucket)."""
+
+    def fetch(url: str) -> tuple[int, bytes, str, str | None]:
+        import urllib.error
+        import urllib.request
+        from urllib.parse import urljoin
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        req = urllib.request.Request(url, headers={"User-Agent": agent})
+        try:
+            with opener.open(req, timeout=timeout_s) as resp:
+                ctype = resp.headers.get("Content-Type", "") or ""
+                return resp.status, resp.read(), ctype, None
+        except urllib.error.HTTPError as e:
+            loc = e.headers.get("Location") if e.headers else None
+            ctype = (e.headers.get("Content-Type", "") if e.headers else "") or ""
+            body = b""
+            try:
+                body = e.read()
+            except Exception:
+                pass
+            return e.code, body, ctype, urljoin(url, loc) if loc else None
+
+    return fetch
+
+
 def http_fetch(
     frontier: DataFrame,
     *,
     fetcher: Callable[[str], tuple[int, bytes, str]],
     now_ms: int,
     max_content_size: int = 1 << 20,
+    min_interval_ms: int = 0,
 ) -> DataFrame:
     """Distributed HTTP fetch: one pld-group per task, sequential within.
 
@@ -174,6 +217,14 @@ def http_fetch(
     followed up to ``max_redirects`` (SimpleHttpFetcher behavior); deep
     chains map to HTTP_TOO_MANY_REDIRECTS
     (utils/ExceptionUtils.java:246-330 status mapping).
+
+    ``min_interval_ms`` > 0 enforces wall-clock politeness INSIDE the
+    task: consecutive requests to the same pld sleep out the remainder
+    of the interval (crawler-commons SimpleHttpFetcher's
+    min-response-rate/crawl-delay spacing). Because the repartition
+    confines each pld to exactly one task, the per-task clock IS the
+    global per-domain clock — no cross-executor coordination needed,
+    the same argument the reference's keyBy(pld) politeness makes.
     """
     cols = ["url", "pld", "score", "fetch_time"]
     max_redirects = 5
@@ -200,10 +251,18 @@ def http_fetch(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
 
+        last_at: dict[str, float] = {}
         for pdf in batches:
             pdf = pdf.sort_values(["pld", "fetch_time"])
             out = []
             for row in pdf.itertuples(index=False):
+                if min_interval_ms > 0:
+                    prev = last_at.get(row.pld)
+                    if prev is not None:
+                        wait = prev + min_interval_ms / 1000.0 - time.time()
+                        if wait > 0:
+                            time.sleep(wait)
+                    last_at[row.pld] = time.time()
                 try:
                     status, content, ctype, fetched_url = fetch_one(row.url)
                 except Exception:

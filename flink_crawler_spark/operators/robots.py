@@ -249,7 +249,10 @@ def refresh_robots_cache(
             out = []
             for host_root in pdf["host_root"]:
                 try:
-                    code, body, _ = fetcher(host_root + "/robots.txt")
+                    # (code, body, ctype) or http_fetch's 4-tuple with a
+                    # trailing redirect Location — both fetcher shapes work
+                    res = fetcher(host_root + "/robots.txt")
+                    code, body = res[0], res[1]
                 except Exception:
                     code, body = 500, b""
                 if code == 200:
