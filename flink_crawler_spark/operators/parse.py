@@ -495,14 +495,69 @@ def parse_pages_html(
 PARSE_TIMEOUT_S = 30.0  # SimplePageParser DEFAULT_MAX_PARSE_DURATION analogue
 
 
+def _pdf_unescape(b: bytes) -> bytes:
+    """PDF literal-string unescape: \\n \\r \\t \\b \\f \\( \\) \\\\ and
+    1-3 digit octal codes (ISO 32000-1 §7.3.4.2)."""
+    simple = {
+        0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+        0x66: b"\f", 0x28: b"(", 0x29: b")", 0x5C: b"\\",
+    }
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C and i + 1 < n:
+            nxt = b[i + 1]
+            if nxt in simple:
+                out += simple[nxt]
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # up to 3 octal digits
+                j = i + 1
+                oct_digits = []
+                while j < n and len(oct_digits) < 3 and 0x30 <= b[j] <= 0x37:
+                    oct_digits.append(b[j])
+                    j += 1
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (0x0A, 0x0D):  # line continuation: swallow EOL
+                i += 2
+                if nxt == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+                continue
+            out.append(nxt)  # unknown escape: the char itself
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+# a PDF "show text" operand: (literal with escapes) or <hex string>
+_PDF_STR_RE = rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>"
+
+
 def _extract_pdf_text(data: bytes) -> str:
-    """Minimal PDF text extraction: stream objects (raw or FlateDecode
-    via zlib) -> BT..ET text blocks -> (..) Tj / [..] TJ show operators.
-    Handles the simple text-PDF shape; image-only or exotic encodings
-    yield ''. A Tika/pdfminer-grade extractor slots in here unchanged —
-    the dispatch/watchdog plumbing is what the engine defines."""
+    """Minimal PDF text extraction: every stream object (raw or
+    FlateDecode via zlib — a page's MULTIPLE content streams all
+    contribute, in file order) -> BT..ET text blocks -> Tj / ' / " /
+    TJ-array show operators, with literal strings (escape + octal
+    sequences) AND <hex> strings decoded. Handles the common text-PDF
+    encodings; image-only pages or exotic CMaps yield ''. A
+    Tika/pdfminer-grade extractor slots in here unchanged — the
+    dispatch/watchdog plumbing is what the engine defines
+    (parser/SimplePageParser.java:180-205)."""
     import re as _re
     import zlib
+
+    def _operand(m: "_re.Match") -> bytes:
+        if m.group(1) is not None:
+            return _pdf_unescape(m.group(1))
+        hexs = _re.sub(rb"\s", b"", m.group(2))
+        if len(hexs) % 2:
+            hexs += b"0"  # odd-length hex: implicit trailing 0 (spec)
+        return bytes.fromhex(hexs.decode("ascii"))
 
     chunks = []
     for m in _re.finditer(rb"stream\r?\n(.*?)endstream", data, _re.DOTALL):
@@ -513,12 +568,90 @@ def _extract_pdf_text(data: bytes) -> str:
             pass
         for bt in _re.finditer(rb"BT(.*?)ET", raw, _re.DOTALL):
             block = bt.group(1)
-            for tj in _re.finditer(rb"\((.*?)(?<!\\)\)\s*Tj", block, _re.DOTALL):
-                chunks.append(tj.group(1))
+            # single-string shows: Tj and the ' / " line variants
+            for tj in _re.finditer(
+                rb"(?:" + _PDF_STR_RE + rb")\s*(?:Tj|'|\")", block, _re.DOTALL
+            ):
+                chunks.append(_operand(tj))
+            # TJ arrays: every string element, kerning numbers ignored
             for tja in _re.finditer(rb"\[(.*?)\]\s*TJ", block, _re.DOTALL):
-                chunks.extend(_re.findall(rb"\((.*?)(?<!\\)\)", tja.group(1)))
+                for sm in _re.finditer(_PDF_STR_RE, tja.group(1), _re.DOTALL):
+                    chunks.append(_operand(sm))
     text = b" ".join(chunks).decode("latin-1", "replace")
-    return " ".join(text.replace(r"\(", "(").replace(r"\)", ")").split())
+    return " ".join(text.split())
+
+
+def _strip_tags(txt: str) -> str:
+    import re as _re
+
+    return " ".join(_re.sub(TAG_RE, " ", txt).split())
+
+
+def _parse_feed_rss(txt: str) -> tuple[str, str, list[str]]:
+    """RSS 2.0: channel title; item titles + descriptions as text;
+    item links as outlinks (Tika's FeedParser read, minus syndication
+    metadata)."""
+    import re as _re
+
+    items = _re.findall(r"<item[\s>].*?</item>", txt, _re.DOTALL | _re.IGNORECASE)
+    head = _re.split(r"<item[\s>]", txt, maxsplit=1, flags=_re.IGNORECASE)[0]
+    tm = _re.search(r"<title>(.*?)</title>", head, _re.DOTALL | _re.IGNORECASE)
+    title = _strip_tags(tm.group(1)) if tm else ""
+    texts, links = [], []
+    for it in items:
+        for tag in ("title", "description"):
+            m = _re.search(rf"<{tag}>(.*?)</{tag}>", it, _re.DOTALL | _re.IGNORECASE)
+            if m:
+                texts.append(_strip_tags(m.group(1)))
+        lm = _re.search(r"<link>(.*?)</link>", it, _re.DOTALL | _re.IGNORECASE)
+        if lm:
+            links.append(lm.group(1).strip())
+    return title, " ".join(t for t in texts if t), links
+
+
+def _parse_feed_atom(txt: str) -> tuple[str, str, list[str]]:
+    """Atom: feed title; entry titles + summaries/content as text;
+    entry link hrefs as outlinks."""
+    import re as _re
+
+    entries = _re.findall(r"<entry[\s>].*?</entry>", txt, _re.DOTALL | _re.IGNORECASE)
+    head = _re.split(r"<entry[\s>]", txt, maxsplit=1, flags=_re.IGNORECASE)[0]
+    tm = _re.search(r"<title[^>]*>(.*?)</title>", head, _re.DOTALL | _re.IGNORECASE)
+    title = _strip_tags(tm.group(1)) if tm else ""
+    texts, links = [], []
+    for en in entries:
+        for tag in ("title", "summary", "content"):
+            m = _re.search(
+                rf"<{tag}[^>]*>(.*?)</{tag}>", en, _re.DOTALL | _re.IGNORECASE
+            )
+            if m:
+                texts.append(_strip_tags(m.group(1)))
+        for lm in _re.finditer(r"<link[^>]*\bhref=\"([^\"]+)\"", en, _re.IGNORECASE):
+            links.append(lm.group(1).strip())
+    return title, " ".join(t for t in texts if t), links
+
+
+def _parse_xml_doc(txt: str) -> tuple[str, str, list[str]]:
+    """XML dispatch with Tika-style root sniffing: rss/feed roots parse
+    as feeds, urlset/sitemapindex roots parse as sitemap pages (their
+    <loc> entries ARE the outlinks — ParseSiteMapFunction semantics
+    applied to a page-fetched sitemap), anything else strips tags."""
+    import re as _re
+
+    # first element tag; <?xml ...?> and <!-- --> never match [A-Za-z]
+    root = _re.search(r"<\s*([A-Za-z][\w:-]*)", txt)
+    name = (root.group(1).lower() if root else "").split(":")[-1]
+    if name == "rss":
+        return _parse_feed_rss(txt)
+    if name == "feed":
+        return _parse_feed_atom(txt)
+    if name in ("urlset", "sitemapindex"):
+        locs = [
+            m.group(1).strip()
+            for m in _re.finditer(r"<loc>(.*?)</loc>", txt, _re.DOTALL | _re.IGNORECASE)
+        ]
+        return "", "", locs
+    return "", _strip_tags(txt), []
 
 
 def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: int):
@@ -534,11 +667,12 @@ def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: in
         return "", " ".join(decode_bytes(content, content_type).split()), []
     if ctype in ("application/pdf",):
         return "", _extract_pdf_text(content), []
+    if ctype in ("application/rss+xml",):
+        return _parse_feed_rss(decode_bytes(content, content_type))
+    if ctype in ("application/atom+xml",):
+        return _parse_feed_atom(decode_bytes(content, content_type))
     if ctype in ("text/xml", "application/xml"):
-        import re as _re
-
-        txt = decode_bytes(content, content_type)
-        return "", " ".join(_re.sub(TAG_RE, " ", txt).split()), []
+        return _parse_xml_doc(decode_bytes(content, content_type))
     raise _UnsupportedType(ctype)
 
 

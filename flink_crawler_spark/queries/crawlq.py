@@ -754,26 +754,49 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_multiformat",
     oracle="""
 WITH d AS (
-  SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS nt
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS nt
   FROM documents
 )
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+       CASE doc_id % 6 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+            WHEN 2 THEN 'application/rss+xml' WHEN 3 THEN 'application/atom+xml'
+            WHEN 4 THEN 'application/xml'
             ELSE 'application/octet-stream' END AS content_type,
-       CASE WHEN doc_id % 3 = 2 THEN 'SKIPPED_UNSUPPORTED_TYPE' ELSE 'PARSED' END
+       CASE WHEN doc_id % 6 = 5 THEN 'SKIPPED_UNSUPPORTED_TYPE' ELSE 'PARSED' END
          AS parse_status,
-       CASE WHEN doc_id % 3 = 0 THEN 'doc ' || CAST(doc_id AS VARCHAR) ELSE '' END AS title,
-       CASE doc_id % 3
+       CASE doc_id % 6
+            WHEN 0 THEN 'doc ' || id
+            WHEN 2 THEN 'feed ' || id
+            WHEN 3 THEN 'afeed ' || id
+            ELSE '' END AS title,
+       CASE doc_id % 6
             WHEN 0 THEN nt || ' more'
             WHEN 1 THEN nt
+            WHEN 2 THEN 'item ' || id || 'a ' || nt || ' item ' || id || 'b'
+            WHEN 3 THEN 'e ' || id || ' ' || nt
             ELSE '' END AS parsed_text,
-       CASE WHEN doc_id % 3 = 0
-            THEN 'http://out.example.com/' || CAST(doc_id AS VARCHAR)
+       CASE doc_id % 6
+            WHEN 0 THEN 'http://out.example.com/' || id
+            WHEN 2 THEN 'http://feed.example.com/' || id
+                        || '/1|http://feed.example.com/' || id || '/2'
+            WHEN 3 THEN 'http://feed.example.com/' || id || '/a'
+            WHEN 4 THEN 'http://site.example.com/' || id
+                        || '/1|http://site.example.com/' || id || '/2'
             ELSE '' END AS outlinks_joined
 FROM d
 """,
 )
 def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 full Tika-breadth parity (SimplePageParser.java:180-205):
+    every document rendered as one of SIX wire formats by doc_id % 6 —
+    HTML, plain text, RSS 2.0, Atom, XML sitemap (served as
+    application/xml to exercise the root-sniffing auto-detect), and an
+    unsupported binary — and pushed through the REAL dispatcher
+    (mapInPandas + per-doc watchdog). The oracle recomputes
+    title/text/outlinks with string ops; the PDF and timeout branches
+    are pinned by tests/test_multiformat_parse.py (binary fixtures are
+    not SQL-expressible)."""
     from ..operators.parse import parse_pages_multiformat
 
     docs = t(spark, sf_dir, "documents").select(
@@ -781,23 +804,69 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("nt"),
     )
     did = F.col("doc_id")
+    sid = did.cast("string")
     html = F.concat(
         F.lit("<html><head><title>doc "),
-        did.cast("string"),
+        sid,
         F.lit("</title></head><body>"),
         F.col("nt"),
         F.lit(' <a href="http://out.example.com/'),
-        did.cast("string"),
+        sid,
         F.lit('">more</a></body></html>'),
     )
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>feed '),
+        sid,
+        F.lit("</title><item><title>item "),
+        sid,
+        F.lit("a</title><link>http://feed.example.com/"),
+        sid,
+        F.lit("/1</link><description>"),
+        F.col("nt"),
+        F.lit("</description></item><item><title>item "),
+        sid,
+        F.lit("b</title><link>http://feed.example.com/"),
+        sid,
+        F.lit("/2</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>afeed "),
+        sid,
+        F.lit("</title><entry><title>e "),
+        sid,
+        F.lit('</title><link href="http://feed.example.com/'),
+        sid,
+        F.lit('/a"/><summary>'),
+        F.col("nt"),
+        F.lit("</summary></entry></feed>"),
+    )
+    smap = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>http://site.example.com/"),
+        sid,
+        F.lit("/1</loc></url><url><loc>http://site.example.com/"),
+        sid,
+        F.lit("/2</loc></url></urlset>"),
+    )
     ctype = (
-        F.when(did % 3 == 0, "text/html")
-        .when(did % 3 == 1, "text/plain")
+        F.when(did % 6 == 0, "text/html")
+        .when(did % 6 == 1, "text/plain")
+        .when(did % 6 == 2, "application/rss+xml")
+        .when(did % 6 == 3, "application/atom+xml")
+        .when(did % 6 == 4, "application/xml")
         .otherwise("application/octet-stream")
     )
-    body = F.when(did % 3 == 0, html).otherwise(F.col("nt"))
+    body = (
+        F.when(did % 6 == 0, html)
+        .when(did % 6 == 2, rss)
+        .when(did % 6 == 3, atom)
+        .when(did % 6 == 4, smap)
+        .otherwise(F.col("nt"))
+    )
     fetch_rows = docs.select(
-        F.concat(F.lit("http://docs.example.com/"), did.cast("string")).alias("url"),
+        F.concat(F.lit("http://docs.example.com/"), sid).alias("url"),
         F.lit("docs.example.com").alias("pld"),
         F.lit("FETCHED").alias("status"),
         F.lit(0).cast("long").alias("status_time"),
@@ -812,8 +881,11 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture (the join would be a pointless extra shuffle at scale)
     pid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
     ptype = (
-        F.when(pid % 3 == 0, "text/html")
-        .when(pid % 3 == 1, "text/plain")
+        F.when(pid % 6 == 0, "text/html")
+        .when(pid % 6 == 1, "text/plain")
+        .when(pid % 6 == 2, "application/rss+xml")
+        .when(pid % 6 == 3, "application/atom+xml")
+        .when(pid % 6 == 4, "application/xml")
         .otherwise("application/octet-stream")
     )
     # The driver's canonicalizer sorts every output column with pandas,

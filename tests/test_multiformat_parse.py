@@ -114,3 +114,81 @@ def test_pdf_extractor_escapes_and_tj_arrays():
     stream = b"BT [(one) -250 (two)] TJ ET"
     data = b"stream\n" + stream + b"\nendstream"
     assert _extract_pdf_text(data) == "one two"
+
+
+def test_pdf_hex_strings_and_octal_escapes():
+    # <hex> Tj and hex inside TJ arrays (ISO 32000-1 §7.3.4.3)
+    data = b"stream\nBT <48656C6C6F> Tj [(a) -20 <776F726C64>] TJ ET\nendstream"
+    assert _extract_pdf_text(data) == "Hello a world"
+    # odd-length hex gets an implicit trailing 0 nibble
+    data = b"stream\nBT <4> Tj ET\nendstream"
+    assert _extract_pdf_text(data) == "@"
+    # octal escapes + named escapes in literal strings
+    data = rb"stream" + b"\nBT (\\101\\102 \\tC) Tj ET\nendstream"
+    assert _extract_pdf_text(data) == "AB C"
+
+
+def test_pdf_multiple_content_streams_per_page():
+    s1 = b"BT (first) Tj ET"
+    s2 = zlib.compress(b"BT (second part) Tj ET")
+    data = (
+        b"stream\n" + s1 + b"\nendstream\n"
+        b"2 0 obj << /Filter /FlateDecode >>\nstream\n" + s2 + b"\nendstream"
+    )
+    assert _extract_pdf_text(data) == "first second part"
+
+
+def test_pdf_quote_show_operators():
+    data = b"stream\nBT (one) ' (two) \" ET\nendstream"
+    assert _extract_pdf_text(data) == "one two"
+
+
+RSS = b"""<?xml version="1.0"?><rss version="2.0"><channel>
+<title>My Feed</title><link>http://ex.com/</link>
+<item><title>First post</title><link>http://ex.com/1</link>
+<description>Body <b>one</b></description></item>
+<item><title>Second</title><link>http://ex.com/2</link></item>
+</channel></rss>"""
+
+ATOM = b"""<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Atom Feed</title>
+<entry><title>E1</title><link href="http://ex.com/a"/>
+<summary>sum one</summary></entry>
+<entry><title>E2</title><link rel="alternate" href="http://ex.com/b"/></entry>
+</feed>"""
+
+SMAP = b"""<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>http://ex.com/p1</loc></url>
+<url><loc> http://ex.com/p2 </loc></url>
+</urlset>"""
+
+
+def test_rss_atom_sitemap_parse(spark):
+    rows = _fetch_rows(
+        spark,
+        [
+            ("r", RSS, "application/rss+xml"),
+            ("a", ATOM, "application/atom+xml"),
+            # served under the GENERIC xml type: root sniffing dispatches
+            ("r2", RSS, "text/xml"),
+            ("a2", ATOM, "application/xml"),
+            ("s", SMAP, "application/xml"),
+            ("x", b"<note><to>you</to><body>hi there</body></note>", "text/xml"),
+        ],
+    )
+    out = {r["url"].rsplit("/", 1)[1]: r.asDict() for r in parse_pages_multiformat(rows).collect()}
+    for k in ("r", "r2"):
+        assert out[k]["parse_status"] == "PARSED"
+        assert out[k]["title"] == "My Feed"
+        assert out[k]["parsed_text"] == "First post Body one Second"
+        assert out[k]["outlinks"] == ["http://ex.com/1", "http://ex.com/2"]
+    for k in ("a", "a2"):
+        assert out[k]["title"] == "Atom Feed"
+        assert out[k]["parsed_text"] == "E1 sum one E2"
+        assert out[k]["outlinks"] == ["http://ex.com/a", "http://ex.com/b"]
+    assert out["s"]["title"] == ""
+    assert out["s"]["parsed_text"] == ""
+    assert out["s"]["outlinks"] == ["http://ex.com/p1", "http://ex.com/p2"]
+    # generic xml without a known root still strips tags
+    assert out["x"]["parsed_text"] == "you hi there"
+    assert out["x"]["outlinks"] == []
