@@ -90,13 +90,72 @@ LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
         "den", "te ", " te", "ij ", "ord", "nde", " ge", "gen", "cht", " da",
         "at ", "ke ", "eer", "ien", "rde",
     ),
+    # --- r6: widened toward the full Tika LanguageIdentifier set
+    # (parser/TikaCallable.java:241-269) — the profile is DATA shared by
+    # both engines, so widening it cannot drift the oracle. ---
+    "sv": (
+        "en ", "et ", "ar ", "för", "ör ", " fö", "att", " at", "tt ", "och",
+        " oc", "ch ", "det", " de", "som", " so", "om ", "är ", " är", "han",
+        " ti", "ill", "ing", "ng ", "den", "nde", "av ", " av", "ter", "ade",
+        "der", "på ", " på", "ska", "lig",
+    ),
+    "da": (
+        "er ", " de", "det", "en ", "der", "de ", " og", "og ", "at ", " at",
+        "for", " fo", "til", " ti", "il ", "ede", "nde", "ere", "ing", "ng ",
+        " er", "den", "rne", "ar ", " si", "ig ", "ke ", "med", " me", "kke",
+        "lig", "ler", "end", "ter", "af ",
+    ),
+    "no": (
+        "er ", "en ", "et ", " de", "det", "og ", " og", "til", " ti", "som",
+        " so", "om ", "for", " fo", " er", "den", "ing", "ng ", "ene", "ter",
+        "av ", " av", "ikk", "kke", "ar ", "lig", "ver", "med", " me", "ner",
+        "ret", "lle", "te ", " ik", "sjo",
+    ),
+    "fi": (
+        "en ", "in ", "an ", "on ", " on", "ist", "sta", "ta ", "ssa", "sa ",
+        "aan", "än ", "lla", "la ", "ksi", "si ", "tä ", "ja ", " ja", "itt",
+        "tte", "ett", "sen", "nen", "ine", "kin", "ien", "vat", "at ", "stä",
+        "isi", "ell", "iin", "ain", "utt",
+    ),
+    "hu": (
+        "az ", " az", "ek ", "ett", "tt ", "és ", " és", "egy", " eg", "gy ",
+        "nek", "ogy", "hog", " ho", "ség", "ere", "nak", "ban", "an ", "ben",
+        "ele", "tel", "ala", "meg", " me", "tet", "szt", " sz", "ás ", "ást",
+        "ott", "ság", "val", "atá", "ész",
+    ),
+    "pl": (
+        "ie ", "nie", " ni", "na ", " na", "ch ", "ego", "go ", " po", "prz",
+        "rze", "ze ", "ych", "ia ", "się", "ię ", " si", "ści", "ci ", "do ",
+        " do", "ost", "wie", " wi", "ani", "ej ", "ów ", " je", "jes", "est",
+        " za", "owa", "ać ", "ym ", "dzi",
+    ),
+    "et": (
+        "se ", "st ", "on ", " on", "ise", "ud ", "ja ", " ja", "le ", "ast",
+        "da ", "est", "mis", " mi", "sel", "ele", "lt ", "ks ", "ga ", "ta ",
+        "tus", "use", "ad ", "nud", "ine", "ei ", " ei", "ik ", "ess", "ste",
+        "eks", "ndu", "ava", "inn", "alu",
+    ),
+    "is": (
+        "að ", " að", "um ", "ið ", "ur ", "inn", "nn ", "og ", " og", "er ",
+        " er", "ar ", "na ", "in ", "ver", "ekk", "kki", "ki ", " ek", "sem",
+        " se", "em ", "við", " vi", "af ", "ði ", "eir", "il ", "ns ", "ess",
+        "tta", "ta ", "ra ", "ir ", "st ",
+    ),
 }
 
-# higher = wins ties; en first mirrors the stopword detector's tie-break
+# higher = wins ties; en first mirrors the stopword detector's tie-break.
+# Close cousins (da/no/sv) break ties in this fixed order — deterministic
+# by construction in both engines.
 LANG_PRIORITY: dict[str, int] = {
     lang: prio
     for prio, lang in enumerate(
-        reversed(["en", "de", "es", "fr", "pt", "it", "nl"]), start=1
+        reversed(
+            [
+                "en", "de", "es", "fr", "pt", "it", "nl",
+                "sv", "da", "no", "fi", "pl", "hu", "et", "is",
+            ]
+        ),
+        start=1,
     )
 }
 

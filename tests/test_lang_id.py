@@ -44,3 +44,43 @@ def test_detect_lang_farsi_vs_arabic_specific_letters(spark):
     )
     got = {r["doc_id"]: r["detected_lang"] for r in detect_lang(docs).collect()}
     assert got == {1: "fa", 2: "ar"}
+
+
+# r6: widened Latin-script profile table toward the Tika
+# LanguageIdentifier set (parser/TikaCallable.java:241-269)
+WIDE_SAMPLES = [
+    (21, "det snabba bruna räven hoppar över den lata hunden och är på väg till skogen", "sv"),
+    (22, "den hurtige brune ræv springer over den dovne hund og er på vej til skoven med", "da"),
+    (23, "den raske brune reven hopper over den late hunden og er på vei til skogen ikke av", "no"),
+    (24, "nopea ruskea kettu hyppää laiskan koiran yli ja on matkalla metsään jossa se asuu", "fi"),
+    (25, "a gyors barna róka átugrik a lusta kutya felett és egy erdőbe megy hogy ott éljen", "hu"),
+    (26, "szybki brązowy lis przeskakuje nad leniwym psem i jest w drodze do lasu gdzie się", "pl"),
+    (27, "kiire pruun rebane hüppab üle laisa koera ja on teel metsa kus ta elab ning ei ole", "et"),
+    (28, "fljóti brúni refurinn hoppar yfir lata hundinn og er á leið í skóginn sem ekki við", "is"),
+    (29, "o raposo castanho rápido salta sobre o cão preguiçoso que está na floresta", "pt"),
+    (30, "la volpe marrone veloce salta sopra il cane pigro che sta nella foresta", "it"),
+    (31, "de snelle bruine vos springt over de luie hond en het is een bos van aar", "nl"),
+]
+
+
+def test_detect_lang_widened_profile_set(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in WIDE_SAMPLES], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_lang(docs).collect()}
+    want = {i: e for i, _, e in WIDE_SAMPLES}
+    assert got == want
+
+
+def test_profile_table_well_formed():
+    from flink_crawler_spark.functions.lang import (
+        LANG_PRIORITY,
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    assert len(LANG_TRIGRAM_PROFILES) >= 12
+    for lang, grams in LANG_TRIGRAM_PROFILES.items():
+        assert lang in LANG_PRIORITY
+        assert len(grams) == len(set(grams)), lang
+        assert all(len(g) == 3 for g in grams), lang
+        assert all("'" not in g for g in grams), lang  # SQL-literal safe
