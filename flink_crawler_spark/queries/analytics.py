@@ -91,14 +91,27 @@ GROUP BY decile
 """,
 )
 def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile decile assignment (deterministic: total order with key
-    tie-break) folded to per-decile stats. The global window sorts once;
-    at 100 TB the same statistic comes from approx quantile boundaries +
-    a range join — this is the exact baseline."""
-    cu = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    """EXACT ntile decile assignment without a global window: the
+    two-phase distributed rank gives each row its global position, and
+    the SQL-standard ntile bucket is pure arithmetic on (rank, n) —
+    the first n%10 buckets take ceil(n/10) rows, the rest floor(n/10)
+    (identical to DuckDB/Spark ntile(10) with this total order). No
+    row ever passes through a single-partition sort (r6 window lint);
+    n joins in as a 1-row broadcast scalar."""
+    from ..operators.partitioning import distributed_row_number
+
+    cu = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    r = distributed_row_number(cu, ["c_acctbal", "c_custkey"], out="rn")
+    nn = cu.agg(F.count(F.lit(1)).alias("__n"))
+    decile = F.expr(
+        "CASE WHEN rn <= (__n % 10) * (__n div 10 + 1)"
+        " THEN (rn - 1) div (__n div 10 + 1) + 1"
+        " ELSE (__n % 10) + (rn - (__n % 10) * (__n div 10 + 1) - 1)"
+        "      div (__n div 10) + 1 END"
+    )
     return (
-        cu.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        r.crossJoin(F.broadcast(nn))
+        .select("c_acctbal", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -200,11 +200,14 @@ def frontier_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     merged = merge_crawl_state(crawl_obs(spark, sf_dir))
     dscores = merged.groupBy("pld").agg(F.greatest(F.avg("score"), F.lit(0.01)).alias("dscore"))
-    total = Window.partitionBy()
-    quotas = dscores.select(
+    # global score mass as a 1-row broadcast scalar, NOT an
+    # empty-partition window (which would pull every PLD row through
+    # one task at web scale — r6 window lint)
+    tot = dscores.agg(F.sum("dscore").alias("__tot"))
+    quotas = dscores.crossJoin(F.broadcast(tot)).select(
         "pld",
         F.greatest(
-            F.lit(1), F.round(F.lit(1000) * F.col("dscore") / F.sum("dscore").over(total)).cast("long")
+            F.lit(1), F.round(F.lit(1000) * F.col("dscore") / F.col("__tot")).cast("long")
         ).alias("quota"),
     )
     eligible = (

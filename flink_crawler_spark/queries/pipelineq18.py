@@ -276,7 +276,11 @@ def info_gain_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "info_gain", F.round(F.col("h_y") - F.col("h_cond"), 9)
     )
     w = Window.orderBy(F.desc("info_gain"), F.asc("feature"))
-    return joined.select(
+    # limit == len(_FEATURES) is a no-op on the data (the frame has
+    # exactly one row per candidate feature) — it exists to make the
+    # bound STRUCTURAL so the partition-less rank window below it is
+    # provably constant-size (r6 window lint)
+    return joined.limit(len(_FEATURES)).select(
         "feature",
         "n_values",
         "info_gain",

@@ -36,13 +36,15 @@ BASE_DOCS = 5_000  # sf0.1 row counts
 BASE_VECS = 2_000
 BASE_LINEITEM = 600_000
 BASE_ORDERS = 150_000
+BASE_EVENTS = 100_000  # sf0.1 events rows
+BASE_USERS = 1_500
 
 
 def gen_dir(spark, root: str, mult: int) -> str:
     out = os.path.join(root, f"x{mult}")
-    # _DONE2: schema v2 adds orders + lineitem price/discount columns
-    # for the wave 17-24 statistics families
-    if os.path.exists(os.path.join(out, "_DONE2")):
+    # _DONE3: schema v3 adds the events table (+ lineitem.l_orderkey)
+    # for the wave 25-33 families
+    if os.path.exists(os.path.join(out, "_DONE3")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -110,6 +112,7 @@ def gen_dir(spark, root: str, mult: int) -> str:
     # lineitem: only the columns the crawl-family queries read
     n_li = BASE_LINEITEM * mult
     li = spark.range(n_li).select(
+        (F.abs(F.hash("id", F.lit(3))) % (BASE_ORDERS * mult)).alias("l_orderkey"),
         (F.abs(F.hash("id", F.lit(4))) % 10_000).alias("l_suppkey"),
         (F.abs(F.hash("id", F.lit(5))) % 200_000).alias("l_partkey"),
         F.element_at(
@@ -156,7 +159,29 @@ def gen_dir(spark, root: str, mult: int) -> str:
         ).alias("o_orderpriority"),
     )
     o.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
-    open(os.path.join(out, "_DONE2"), "w").write("ok")
+
+    # events: the wave 25-33 families read (ts, user_id, event_type,
+    # value); driver-testdata shape — 30 days of Jan 2024, 5 types,
+    # users scale with rows (sf0.1: 100k rows / 1500 users)
+    n_ev = BASE_EVENTS * mult
+    ev = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + F.abs(F.hash("id", F.lit(21))) % (30 * 86_400)
+        ).alias("ts"),
+        (F.abs(F.hash("id", F.lit(22))) % (BASE_USERS * mult)).alias("user_id"),
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"), F.lit("signup"),
+                F.lit("purchase"), F.lit("error"),
+            ),
+            (F.abs(F.hash("id", F.lit(23))) % 5) + 1,
+        ).alias("event_type"),
+        ((F.abs(F.hash("id", F.lit(24))) % 100_000) / F.lit(1000.0)).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    open(os.path.join(out, "_DONE3"), "w").write("ok")
     return out
 
 
@@ -200,14 +225,48 @@ FAMILIES = [
     ("lift-rank", "lift_gains_deciles", None),
     ("sweep-exact", "near_dup_threshold_sweep", 2),
     ("mnn-exact", "margin_mnn_pairs", 2),
+    # r6 (verdict task 6): EVERY wave 25-33 query gets a measured
+    # exponent — distributed-rank order statistics (winsorize /
+    # conformal / SLO percentiles), event-time session & attribution
+    # windows, day-grain prefix sums, Markov / neighbor-set joins,
+    # constant-size moment aggregates (SRM, Shapley, McNemar, CUPED,
+    # Simpson) — all expected ~linear (scan-dominated for the
+    # constant-state aggregates); coverage-curve measured after the r6
+    # single-pass-aggregate fix.
+    ("minhash-calib", "minhash_estimate_calibration", None),
+    ("winsorize-rank", "winsorized_mean_price", None),
+    ("roll-band", "rolling_quantile_band_alarms", None),
+    ("ql-lm", "query_likelihood_retrieval", None),
+    ("link-pred", "graph_jaccard_link_prediction", None),
+    ("simpson", "simpson_paradox_check", None),
+    ("zipf", "zipf_fit_slope", None),
+    ("burstiness", "user_burstiness_index", None),
+    ("fano", "fano_factor_daily", None),
+    ("coverage-curve", "coverage_budget_curve", None),
+    ("markov-rate", "entropy_rate_markov", None),
+    ("survivor", "dedup_survivor_quality", None),
+    ("conformal-rank", "conformal_prediction_interval", None),
+    ("cuped", "cuped_variance_reduction", None),
+    ("mcnemar", "mcnemar_gate_test", None),
+    ("shapley", "shapley_two_feature", None),
+    ("worst-group", "worst_group_metric", None),
+    ("srm-gate", "ab_srm_check", None),
+    ("gap-sens", "session_gap_sensitivity", None),
+    ("attribution", "purchase_attribution_models", None),
+    ("stickiness", "dau_mau_stickiness", None),
+    ("slo-rank", "slo_latency_report", None),
+    ("burn-prefix", "error_budget_burn", None),
 ]
 
 
 def main():
     sizes = [1, 5, 10]
+    only: list[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--sizes"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",")
 
     from flink_crawler_spark.queries import REGISTRY
     from flink_crawler_spark.session import get_spark
@@ -224,8 +283,11 @@ def main():
     need = sorted({m for m in sizes} | {1, 2})
     dirs.update({m: gen_dir(spark, root, m) for m in need if m not in dirs})
 
+    families = [
+        f for f in FAMILIES if only is None or f[0] in only or f[1] in only
+    ]
     results: dict[str, dict[int, float]] = {}
-    for fam, qname, cap in FAMILIES:
+    for fam, qname, cap in families:
         fn = REGISTRY[qname].fn
         fam_sizes = [m for m in sizes if cap is None or m <= cap] or [1, 2]
         if cap is not None and len(fam_sizes) < 2:
@@ -250,7 +312,7 @@ def main():
         + "".join(f"x{m:<7}" for m in all_sizes)
         + "exponent"
     )
-    for fam, qname, _cap in FAMILIES:
+    for fam, qname, _cap in families:
         ts = results[fam]
         ms = sorted(ts)
         xs = [math.log(m) for m in ms]
