@@ -203,6 +203,7 @@ def http_fetch(
     now_ms: int,
     max_content_size: int = 1 << 20,
     min_interval_ms: int = 0,
+    min_response_rate: int = 0,
 ) -> DataFrame:
     """Distributed HTTP fetch: one pld-group per task, sequential within.
 
@@ -225,6 +226,12 @@ def http_fetch(
     confines each pld to exactly one task, the per-task clock IS the
     global per-domain clock — no cross-executor coordination needed,
     the same argument the reference's keyBy(pld) politeness makes.
+
+    ``min_response_rate`` > 0 (bytes/sec) aborts fetches that measured
+    slower: status ABORTED_SLOW_RESPONSE, content dropped — the
+    crawler-commons minResponseRate policy the reference configures via
+    ``fetcher/BaseHttpFetcherBuilder.java:30,66,128`` and maps through
+    ``utils/ExceptionUtils.java:68-69``.
     """
     cols = ["url", "pld", "score", "fetch_time"]
     max_redirects = 5
@@ -263,10 +270,19 @@ def http_fetch(
                         if wait > 0:
                             time.sleep(wait)
                     last_at[row.pld] = time.time()
+                t0 = time.time()
                 try:
                     status, content, ctype, fetched_url = fetch_one(row.url)
                 except Exception:
                     status, content, ctype, fetched_url = "ERROR_IOEXCEPTION", None, None, row.url
+                elapsed = max(time.time() - t0, 1e-6)
+                rate = int(len(content) / elapsed) if content else 0
+                if (
+                    min_response_rate > 0
+                    and status == "FETCHED"
+                    and rate < min_response_rate
+                ):
+                    status, content = "ABORTED_SLOW_RESPONSE", None
                 out.append(
                     {
                         "url": row.url,
@@ -277,7 +293,7 @@ def http_fetch(
                         "headers": {"content-type": [ctype or ""]},
                         "content": content[:max_content_size] if content else None,
                         "content_type": ctype,
-                        "response_rate": 0,
+                        "response_rate": rate,
                         "next_fetch_time": int(row.fetch_time) + 86_400_000,
                     }
                 )

@@ -261,3 +261,25 @@ def test_live_crawl_matches_mock_crawl_state(spark, server):
     live_parsed = {tuple(r) for r in live.parsed.select(*cols).collect()}
     mock_parsed = {tuple(r) for r in mock.parsed.select(*cols).collect()}
     assert live_parsed == mock_parsed
+
+
+def test_live_fetch_min_response_rate_aborts_slow_fetch(spark, server):
+    """crawler-commons minResponseRate policy
+    (fetcher/BaseHttpFetcherBuilder.java:30,66,128; ExceptionUtils.java:
+    68-69): a fetch measured under the byte-rate floor aborts with
+    ABORTED_SLOW_RESPONSE and drops its content; a fast fetch on the
+    same run reports a real measured response_rate."""
+    fr = _frontier(spark, server.base, ["/slow", "/a.html"])
+    out = {
+        r["url"].rsplit("/", 1)[1] or "root": r.asDict()
+        for r in http_fetch(
+            fr,
+            fetcher=urllib_fetcher(),
+            now_ms=0,
+            min_response_rate=1000,  # /slow serves 4 bytes in ~1.5s => ~3 B/s
+        ).collect()
+    }
+    assert out["slow"]["status"] == "ABORTED_SLOW_RESPONSE"
+    assert out["slow"]["content"] is None
+    assert out["a.html"]["status"] == "FETCHED"
+    assert out["a.html"]["response_rate"] >= 1000
