@@ -46,6 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
              "(reference: CrawlTool -commoncrawl)",
     )
     p.add_argument(
+        "--http", action="store_true",
+        help="fetch over live HTTP (urllib; BaseHttpFetcherBuilder analogue) "
+             "instead of --pages / --commoncrawl",
+    )
+    p.add_argument(
+        "--minresponserate", type=int, default=0,
+        help="abort fetches measured under this bytes/sec "
+             "(crawler-commons minResponseRate; 0 = off)",
+    )
+    p.add_argument(
         "--cachedir", default=None,
         help="executor-local read-through segment cache for --commoncrawl "
              "(reference: -cachedir / SegmentCache)",
@@ -98,10 +108,20 @@ def main(argv: list[str] | None = None) -> int:
 
     seeds = seeds_from_text(spark, args.seedurls)
 
-    if (args.pages is None) == (args.commoncrawl is None):
-        raise SystemExit("exactly one of --pages / --commoncrawl is required")
+    n_modes = sum(x is not None and x is not False for x in (args.pages, args.commoncrawl, args.http or None))
+    if n_modes != 1:
+        raise SystemExit("exactly one of --pages / --commoncrawl / --http is required")
     pages = fetch_fn = None
-    if args.commoncrawl is not None:
+    if args.http:
+        from flink_crawler_spark.operators.fetch import live_http_fetch_fn
+
+        fetch_fn = live_http_fetch_fn(
+            timeout_s=args.timeout,
+            agent=args.agent,
+            max_content_size=args.maxcontentsize,
+            min_response_rate=args.minresponserate,
+        )
+    elif args.commoncrawl is not None:
         import os as _os
 
         from flink_crawler_spark.operators.commoncrawl import commoncrawl_fetch_fn

@@ -196,6 +196,34 @@ def urllib_fetcher(
     return fetch
 
 
+def live_http_fetch_fn(
+    *,
+    timeout_s: float = 100.0,
+    agent: str = "flink-crawler",
+    max_content_size: int = 1 << 20,
+    min_interval_ms: int = 0,
+    min_response_rate: int = 0,
+):
+    """BaseHttpFetcherBuilder analogue
+    (``fetcher/BaseHttpFetcherBuilder.java``, ``SimpleHttpFetcherBuilder
+    .java:14-21``): bundle the live-HTTP policy knobs into a
+    ``fetch_fn(to_fetch, now_ms=...)`` the crawl loop (and the CLI's
+    ``--http`` mode) plugs straight into the fetcher seam."""
+    fetcher = urllib_fetcher(timeout_s, agent)
+
+    def fetch_fn(to_fetch: DataFrame, *, now_ms: int) -> DataFrame:
+        return http_fetch(
+            to_fetch,
+            fetcher=fetcher,
+            now_ms=now_ms,
+            max_content_size=max_content_size,
+            min_interval_ms=min_interval_ms,
+            min_response_rate=min_response_rate,
+        )
+
+    return fetch_fn
+
+
 def http_fetch(
     frontier: DataFrame,
     *,

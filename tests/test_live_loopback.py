@@ -283,3 +283,26 @@ def test_live_fetch_min_response_rate_aborts_slow_fetch(spark, server):
     assert out["slow"]["content"] is None
     assert out["a.html"]["status"] == "FETCHED"
     assert out["a.html"]["response_rate"] >= 1000
+
+
+def test_cli_http_mode_live_crawl(spark, server, tmp_path):
+    """CrawlTool parity for the live deployment: --http end-to-end
+    through the argparse main() — seeds file in, real sockets in the
+    fetch stage, state table out."""
+    from flink_crawler_spark import cli
+
+    base = server.base
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(f"# live seeds\n{base}/\n")
+    out = str(tmp_path / "state_http")
+    rc = cli.main([
+        "--seedurls", str(seeds),
+        "--http",
+        "--maxticks", "5",
+        "--stateout", out,
+    ])
+    assert rc == 0
+    st = {r["url"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert st[base + "/"] == "FETCHED"
+    assert st[base + "/a.html"] == "FETCHED"
+    assert st[base + "/missing.html"] == "HTTP_NOT_FOUND"
