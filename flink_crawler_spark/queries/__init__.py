@@ -88,6 +88,42 @@ PRIORITY_WINDOW = [
     # redirect_chain_resolve, and the heaviest wave-9..33 pipeline +
     # statistics queries.  All 50 green on the stricter local gate at
     # sf0.01 before this rotation (tools/verify_local.py).
+    #
+    # r7 backlog (71 oracled, never driver-seen after this window —
+    # rotate 50 of these next round, the rest + the 6 rows-only ANN/
+    # sketch queries in r8): doc_entropy_score, ccnet_bigram_nll,
+    # filter_agreement_matrix, word_rank_curve, embedding_outlier_prune,
+    # cross_source_contamination, tokenizer_fertility_by_lang,
+    # random_projection_embed, near_dup_cluster_histogram,
+    # excerpt_containment_pairs, shard_balance_report, rfm_user_segments,
+    # pareto_skyline_orders, event_cusum_alarms, zorder_layout_stats,
+    # event_markov_transitions, weighted_median_price,
+    # session_max_concurrency, association_rules_pairs,
+    # anova_f_event_values, seasonal_decompose_weekly,
+    # kaplan_meier_conversion, woe_iv_price_bins,
+    # ols_price_on_qty_discount, chi_square_priority_status,
+    # psi_price_drift, benford_price_digits, acf_daily_revenue,
+    # naive_bayes_lang_classify, info_gain_feature_rank,
+    # ewma_smoothed_revenue, embedding_dim_stats, hill_tail_index,
+    # gumbel_topk_sample, target_encoding_loo, dp_laplace_counts,
+    # ngram_novelty_score, class_balanced_downsample,
+    # cdc_changelog_apply, ipw_treatment_effect, brier_calibration_bins,
+    # auc_urgent_by_price, matryoshka_truncation_recall,
+    # near_dup_threshold_sweep, welch_t_test_price,
+    # filter_kappa_agreement, ndcg_same_label_eval, mann_kendall_trend,
+    # lift_gains_deciles, source_diversity_indices,
+    # minhash_estimate_calibration, winsorized_mean_price,
+    # rolling_quantile_band_alarms, query_likelihood_retrieval,
+    # simpson_paradox_check, zipf_fit_slope, user_burstiness_index,
+    # fano_factor_daily, entropy_rate_markov, dedup_survivor_quality,
+    # conformal_prediction_interval, cuped_variance_reduction,
+    # mcnemar_gate_test, shapley_two_feature, worst_group_metric,
+    # ab_srm_check, session_gap_sensitivity,
+    # purchase_attribution_models, dau_mau_stickiness,
+    # slo_latency_report, error_budget_burn.
+    # Rows-only (⊘ by design): ann_topk_lsh, ann_topk_ivf,
+    # embedding_near_dup_lsh, ann_recall_report, hll_distinct_users,
+    # approx_percentile_prices.
     # --- SQL breadth / analytics backlog (never driver-seen) ---
     "hierarchical_time_rollup",
     "corpus_token_stats",
