@@ -92,3 +92,68 @@ def test_distributed_row_number_matches_global_rank(spark):
         for r in distributed_row_number(tiny, order, out="rank").collect()
     }
     assert got2 == {"b": 1, "c": 2, "a": 3}
+
+
+def test_keyed_rank_accepts_expression_keys(spark):
+    """r5 ADVICE: a Column-expression key (not a plain column) used to
+    derive a name that did not exist on the ranged frame; expression
+    keys are now materialized, ranked, and the helper column dropped."""
+    from pyspark.sql import Window
+
+    from flink_crawler_spark.operators.partitioning import (
+        distributed_keyed_row_number,
+        distributed_keyed_running_sum,
+    )
+
+    rows = [(f"D{i % 3}", i, float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, ord int, v double")
+
+    got = distributed_keyed_row_number(
+        df, [F.lower(F.col("grp"))], ["ord"], out="rn", nparts=4
+    )
+    assert set(got.columns) == {"grp", "ord", "v", "rn"}
+    w = Window.partitionBy(F.lower("grp")).orderBy("ord")
+    want = df.select("grp", "ord", F.row_number().over(w).alias("rn"))
+    assert (
+        got.select("grp", "ord", "rn").subtract(want).count() == 0
+        and want.subtract(got.select("grp", "ord", "rn")).count() == 0
+    )
+
+    got2 = distributed_keyed_running_sum(
+        df, [F.lower(F.col("grp"))], ["ord"], "v", out="rs", nparts=4
+    )
+    assert set(got2.columns) == {"grp", "ord", "v", "rs"}
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want2 = df.select("grp", "ord", F.sum("v").over(w2).alias("rs"))
+    assert (
+        got2.select("grp", "ord", "rs").subtract(want2).count() == 0
+        and want2.subtract(got2.select("grp", "ord", "rs")).count() == 0
+    )
+
+
+def test_resolve_nparts_rejects_zero_and_falls_back(spark):
+    import pytest as _pytest
+
+    from flink_crawler_spark.operators.partitioning import _resolve_nparts
+
+    with _pytest.raises(ValueError):
+        _resolve_nparts(spark, 0)
+    assert _resolve_nparts(spark, 7) == 7
+    assert _resolve_nparts(spark, None) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    # Spark 4 rejects a non-numeric conf value at set() time, so the
+    # 'auto'-style platforms are simulated with a stub session
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 13
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert _resolve_nparts(_Stub(), None) == 13
