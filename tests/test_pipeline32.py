@@ -4,6 +4,7 @@ accounting."""
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import numpy as np
@@ -25,12 +26,20 @@ def test_slo_report_vs_numpy(spark, sf_dir):
         per[e["event_type"]].append(round(e["value"], 6))
     assert set(out) == set(per)
     for et, xs in per.items():
-        a = np.array(xs)
+        xs = sorted(xs)
+        n = len(xs)
         r = out[et]
-        assert r["n_events"] == len(xs)
+        assert r["n_events"] == n
+        # r6: EXACT order statistics (k = ceil(p*n)-th smallest), not an
+        # interpolated quantile — one concrete input value, bit-identical
+        # across engines (numpy equivalent: method='inverted_cdf')
         for col, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
-            assert abs(r[col] - float(np.quantile(a, q))) < 1e-6
-        assert r["slo_breach"] == (1 if float(np.quantile(a, 0.95)) > SLO_P95_MAX else 0)
+            k = max(1, math.ceil(q * n))
+            assert r[col] == xs[k - 1], (et, col)
+            assert abs(
+                r[col] - float(np.quantile(np.array(xs), q, method="inverted_cdf"))
+            ) < 1e-12
+        assert r["slo_breach"] == (1 if r["p95"] > SLO_P95_MAX else 0)
         assert r["p50"] <= r["p95"] <= r["p99"]
 
 
