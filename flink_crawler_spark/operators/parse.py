@@ -631,6 +631,64 @@ def _parse_feed_atom(txt: str) -> tuple[str, str, list[str]]:
     return title, " ".join(t for t in texts if t), links
 
 
+def _parse_markdown_doc(txt: str) -> tuple[str, str, list[str]]:
+    """Markdown: first heading as title, inline [text](url) link targets
+    as outlinks, syntax stripped to plain text (the Tika text-flavor
+    read of a README-style page)."""
+    import re as _re
+
+    tm = _re.search(r"^\s{0,3}#{1,6}\s+(.+)$", txt, _re.MULTILINE)
+    title = tm.group(1).strip() if tm else ""
+    links = [
+        m.group(2).strip()
+        for m in _re.finditer(r"\[([^\]]*)\]\(([^)\s]+)[^)]*\)", txt)
+    ]
+    body = txt
+    body = _re.sub(r"```.*?```", " ", body, flags=_re.DOTALL)  # fenced code
+    body = _re.sub(r"\[([^\]]*)\]\([^)]*\)", r"\1", body)  # keep anchor text
+    body = _re.sub(r"^\s{0,3}#{1,6}\s+", "", body, flags=_re.MULTILINE)
+    body = _re.sub(r"[*_`>|#]+", " ", body)
+    return title, " ".join(body.split()), links
+
+
+def _parse_csv_doc(txt: str) -> tuple[str, str, list[str]]:
+    """CSV/TSV: header row as title, cells flattened to whitespace-
+    normalized text (Tika's tabular-text rendering)."""
+    import csv as _csv
+    import io as _io
+
+    rows = list(_csv.reader(_io.StringIO(txt)))
+    if not rows:
+        return "", "", []
+    title = " ".join(c.strip() for c in rows[0] if c.strip())
+    cells = [c.strip() for row in rows[1:] for c in row if c.strip()]
+    return title, " ".join(" ".join(cells).split()), []
+
+
+def _parse_json_doc(txt: str) -> tuple[str, str, list[str]]:
+    """JSON: every string leaf joined in document order as the text
+    (Tika's JSON text rendering); http(s) string leaves double as
+    outlinks."""
+    import json as _json
+
+    strings: list[str] = []
+
+    def walk(v):
+        if isinstance(v, str):
+            strings.append(v)
+        elif isinstance(v, dict):
+            for val in v.values():
+                walk(val)
+        elif isinstance(v, list):
+            for val in v:
+                walk(val)
+
+    walk(_json.loads(txt))
+    links = [s for s in strings if s.startswith(("http://", "https://"))]
+    text = " ".join(" ".join(s for s in strings if s not in links).split())
+    return "", text, links
+
+
 def _parse_xml_doc(txt: str) -> tuple[str, str, list[str]]:
     """XML dispatch with Tika-style root sniffing: rss/feed roots parse
     as feeds, urlset/sitemapindex roots parse as sitemap pages (their
@@ -673,6 +731,12 @@ def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: in
         return _parse_feed_atom(decode_bytes(content, content_type))
     if ctype in ("text/xml", "application/xml"):
         return _parse_xml_doc(decode_bytes(content, content_type))
+    if ctype in ("text/markdown", "text/x-markdown"):
+        return _parse_markdown_doc(decode_bytes(content, content_type))
+    if ctype in ("text/csv", "text/tab-separated-values"):
+        return _parse_csv_doc(decode_bytes(content, content_type))
+    if ctype in ("application/json", "application/ld+json"):
+        return _parse_json_doc(decode_bytes(content, content_type))
     raise _UnsupportedType(ctype)
 
 

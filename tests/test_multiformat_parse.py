@@ -192,3 +192,49 @@ def test_rss_atom_sitemap_parse(spark):
     # generic xml without a known root still strips tags
     assert out["x"]["parsed_text"] == "you hi there"
     assert out["x"]["outlinks"] == []
+
+
+MD = b"""# My Project
+
+Some *bold* intro with a [docs link](http://ex.com/docs) and
+a [repo](http://ex.com/repo "title") reference.
+
+```
+code block gone
+```
+
+## Section
+- item one
+"""
+
+
+def test_markdown_csv_json_parse(spark):
+    rows = _fetch_rows(
+        spark,
+        [
+            ("m", MD, "text/markdown"),
+            ("c", b"name,qty\nwidget,3\ngadget,5\n", "text/csv"),
+            (
+                "j",
+                b'{"title": "hello", "tags": ["a", "b"], '
+                b'"url": "http://ex.com/j", "n": 7}',
+                "application/json",
+            ),
+        ],
+    )
+    out = {r["url"].rsplit("/", 1)[1]: r.asDict() for r in parse_pages_multiformat(rows).collect()}
+    m = out["m"]
+    assert m["parse_status"] == "PARSED"
+    assert m["title"] == "My Project"
+    assert m["outlinks"] == ["http://ex.com/docs", "http://ex.com/repo"]
+    assert "code block gone" not in m["parsed_text"]
+    assert "docs link" in m["parsed_text"] and "bold" in m["parsed_text"]
+    c = out["c"]
+    assert c["title"] == "name qty"
+    assert c["parsed_text"] == "widget 3 gadget 5"
+    j = out["j"]
+    assert j["parsed_text"] == "hello a b"
+    assert j["outlinks"] == ["http://ex.com/j"]
+    # malformed JSON -> parse error status, not a crash
+    bad = _fetch_rows(spark, [("b", b"{nope", "application/json")])
+    assert parse_pages_multiformat(bad).collect()[0]["parse_status"] == "ERROR_PARSING_ERROR"
