@@ -411,10 +411,16 @@ pairs AS (
   SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.dayn - a.dayn) AS slope
   FROM daily a JOIN daily b ON b.dayn > a.dayn
 ),
-sl AS (
-  SELECT round(quantile_cont(slope, 0.5), 9) AS slope,
-         CAST(count(*) AS BIGINT) AS n_pairs
+rp AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
   FROM pairs
+),
+sl AS (
+  SELECT round((max(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+              + max(CASE WHEN rn = n // 2 + 1 THEN slope END)) / 2, 9) AS slope,
+         CAST(max(n) AS BIGINT) AS n_pairs
+  FROM rp
 )
 SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
        sl.n_pairs, sl.slope,
@@ -430,10 +436,15 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     drag it the way OLS lets them), intercept = median residual at that
     slope. The pair join is quadratic ONLY in calendar days (time-
     bounded: ~2.4k days -> ~3M pairs whatever the fact-table volume),
-    after a one-shuffle exact-DECIMAL daily rollup; both medians are
-    exact interpolated percentiles (the order_percentiles precedent),
-    and every slope is one IEEE division of a DECIMAL-exact revenue
-    difference — bit-equal across engines."""
+    after a one-shuffle exact-DECIMAL daily rollup. The slope median is
+    the EXACT ORDER-STATISTIC midpoint (x[(n+1) div 2] + x[n div 2 + 1])
+    / 2 via the two-phase distributed rank — both engines evaluate the
+    IDENTICAL IEEE expression on the identical two elements, and unlike
+    the exact `percentile` aggregate it never concatenates 3M values
+    into one merge buffer (measured 7.9 s -> sub-second at sf0.1); the
+    2.4k-row intercept median stays an interpolated percentile (the
+    order_percentiles precedent). Every slope is one IEEE division of a
+    DECIMAL-exact revenue difference — bit-equal across engines."""
     daily = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -450,16 +461,41 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # median, and the day count; pin so the fact scan runs once
         .localCheckpoint(eager=True)
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # AQE coalesces the 2.4k-row rollup to ONE post-shuffle partition;
+    # the nested-loop pair join inherits the left side's partitioning,
+    # so without this repartition the whole ~3M-pair expansion runs on
+    # a single task (the measured single-split BNLJ trap — SCALE.md
+    # round-5 perf note; 9.1 s -> 2.1 s at sf0.1). Broadcast the probe
+    # side explicitly so the stream side keeps its 32 splits.
+    a = daily.repartition(32).alias("a")
+    b = F.broadcast(daily).alias("b")
     pairs = a.join(b, F.col("b.dayn") > F.col("a.dayn")).select(
         (
             (F.col("b.rev") - F.col("a.rev")).cast("double")
             / (F.col("b.dayn") - F.col("a.dayn"))
         ).alias("slope")
     )
-    sl = pairs.agg(
-        F.round(F.expr("percentile(slope, 0.5)"), 9).alias("slope"),
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    from ..operators.partitioning import distributed_row_number
+
+    ranked = distributed_row_number(pairs, ["slope"], out="rn")
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sl = (
+        ranked.crossJoin(F.broadcast(np_))
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .agg(
+            F.round(
+                (
+                    F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope")))
+                    + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope")))
+                )
+                / 2,
+                9,
+            ).alias("slope"),
+            F.max("n").cast("long").alias("n_pairs"),
+        )
     )
     nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
