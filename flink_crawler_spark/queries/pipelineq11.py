@@ -175,9 +175,14 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         j, cid = jc
         picked_ids.add(cid)
         chosen.append((cid, g))
+        # no per-round re-pin: the update is <=K nested greatest() over
+        # the ONE checkpointed sims frame — recomputing that lineage in
+        # the next round's aggregate costs microseconds on the tiny
+        # (n_vecs x K-array) frame, while an eager localCheckpoint costs
+        # a whole scheduled job per round (measured: ~0.4 s x K rounds)
         cur = cur.withColumn(
             "cur", F.greatest(F.col("cur"), F.element_at("s", j + 1))
-        ).localCheckpoint(eager=True)
+        )
 
     out, cov = [], decimal.Decimal(0)
     for i, (cid, g) in enumerate(chosen, start=1):
