@@ -120,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             agent=args.agent,
             max_content_size=args.maxcontentsize,
             min_response_rate=args.minresponserate,
+            fetchers_per_task=args.fetcherspertask,
         )
     elif args.commoncrawl is not None:
         import os as _os

@@ -203,6 +203,7 @@ def live_http_fetch_fn(
     max_content_size: int = 1 << 20,
     min_interval_ms: int = 0,
     min_response_rate: int = 0,
+    fetchers_per_task: int = 10,
 ):
     """BaseHttpFetcherBuilder analogue
     (``fetcher/BaseHttpFetcherBuilder.java``, ``SimpleHttpFetcherBuilder
@@ -219,6 +220,7 @@ def live_http_fetch_fn(
             max_content_size=max_content_size,
             min_interval_ms=min_interval_ms,
             min_response_rate=min_response_rate,
+            fetchers_per_task=fetchers_per_task,
         )
 
     return fetch_fn
@@ -232,6 +234,7 @@ def http_fetch(
     max_content_size: int = 1 << 20,
     min_interval_ms: int = 0,
     min_response_rate: int = 0,
+    fetchers_per_task: int = 1,
 ) -> DataFrame:
     """Distributed HTTP fetch: one pld-group per task, sequential within.
 
@@ -260,6 +263,14 @@ def http_fetch(
     crawler-commons minResponseRate policy the reference configures via
     ``fetcher/BaseHttpFetcherBuilder.java:30,66,128`` and maps through
     ``utils/ExceptionUtils.java:68-69``.
+
+    ``fetchers_per_task`` > 1 fetches up to that many DOMAINS
+    concurrently per task via a thread pool — always sequential (and
+    interval-spaced) WITHIN a domain, so politeness is untouched while
+    cross-domain latency overlaps. This is the reference's
+    ``-fetcherspertask`` / maxSimultaneousRequests connection pool
+    (``fetcher/SimpleHttpFetcherBuilder.java:14-21``,
+    ``CrawlToolOptions`` -fetcherspertask).
     """
     cols = ["url", "pld", "score", "fetch_time"]
     max_redirects = 5
@@ -285,46 +296,67 @@ def http_fetch(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
+        from concurrent.futures import ThreadPoolExecutor
 
+        # pld -> last request start; each pld lives in exactly one
+        # group worker, so no lock is needed even under the pool
         last_at: dict[str, float] = {}
+
+        def fetch_row(row) -> dict:
+            if min_interval_ms > 0:
+                prev = last_at.get(row.pld)
+                if prev is not None:
+                    wait = prev + min_interval_ms / 1000.0 - time.time()
+                    if wait > 0:
+                        time.sleep(wait)
+                last_at[row.pld] = time.time()
+            t0 = time.time()
+            try:
+                status, content, ctype, fetched_url = fetch_one(row.url)
+            except Exception:
+                status, content, ctype, fetched_url = "ERROR_IOEXCEPTION", None, None, row.url
+            elapsed = max(time.time() - t0, 1e-6)
+            rate = int(len(content) / elapsed) if content else 0
+            if (
+                min_response_rate > 0
+                and status == "FETCHED"
+                and rate < min_response_rate
+            ):
+                status, content = "ABORTED_SLOW_RESPONSE", None
+            return {
+                "url": row.url,
+                "pld": row.pld,
+                "status": status,
+                "status_time": int(time.time() * 1000),
+                "fetched_url": fetched_url,
+                "headers": {"content-type": [ctype or ""]},
+                "content": content[:max_content_size] if content else None,
+                "content_type": ctype,
+                "response_rate": rate,
+                "next_fetch_time": int(row.fetch_time) + 86_400_000,
+            }
+
+        pool = (
+            ThreadPoolExecutor(max_workers=fetchers_per_task)
+            if fetchers_per_task > 1
+            else None
+        )
         for pdf in batches:
             pdf = pdf.sort_values(["pld", "fetch_time"])
-            out = []
-            for row in pdf.itertuples(index=False):
-                if min_interval_ms > 0:
-                    prev = last_at.get(row.pld)
-                    if prev is not None:
-                        wait = prev + min_interval_ms / 1000.0 - time.time()
-                        if wait > 0:
-                            time.sleep(wait)
-                    last_at[row.pld] = time.time()
-                t0 = time.time()
-                try:
-                    status, content, ctype, fetched_url = fetch_one(row.url)
-                except Exception:
-                    status, content, ctype, fetched_url = "ERROR_IOEXCEPTION", None, None, row.url
-                elapsed = max(time.time() - t0, 1e-6)
-                rate = int(len(content) / elapsed) if content else 0
-                if (
-                    min_response_rate > 0
-                    and status == "FETCHED"
-                    and rate < min_response_rate
-                ):
-                    status, content = "ABORTED_SLOW_RESPONSE", None
-                out.append(
-                    {
-                        "url": row.url,
-                        "pld": row.pld,
-                        "status": status,
-                        "status_time": int(time.time() * 1000),
-                        "fetched_url": fetched_url,
-                        "headers": {"content-type": [ctype or ""]},
-                        "content": content[:max_content_size] if content else None,
-                        "content_type": ctype,
-                        "response_rate": rate,
-                        "next_fetch_time": int(row.fetch_time) + 86_400_000,
-                    }
-                )
+            if pool is None:
+                out = [fetch_row(r) for r in pdf.itertuples(index=False)]
+            else:
+                # one worker job per DOMAIN group: sequential within the
+                # domain (politeness), overlapped across domains
+                groups = [
+                    list(g.itertuples(index=False))
+                    for _, g in pdf.groupby("pld", sort=False)
+                ]
+
+                def drain(rows: list) -> list[dict]:
+                    return [fetch_row(r) for r in rows]
+
+                out = [d for res in pool.map(drain, groups) for d in res]
             yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields])
 
     return (

@@ -313,3 +313,46 @@ def test_cli_http_mode_live_crawl(spark, server, tmp_path):
     assert st[base + "/"] == "FETCHED"
     assert st[base + "/a.html"] == "FETCHED"
     assert st[base + "/missing.html"] == "HTTP_NOT_FOUND"
+
+
+def test_live_fetch_concurrent_domains_sequential_within(spark, server):
+    """-fetcherspertask parity (SimpleHttpFetcherBuilder's connection
+    pool): with 3 domain groups and a 600 ms per-domain interval, a
+    3-worker pool overlaps the domains (server-observed span well under
+    the sequential 3 x 600 ms floor) while spacing WITHIN each domain
+    still holds."""
+    del server.hits[:]
+    base = server.base
+    rows = [
+        (base + p, pld, 1.0, 1_700_000_000_000)
+        for pld, paths in {
+            "d1.example": ["/a.html?d=1", "/b.html?d=1"],
+            "d2.example": ["/a.html?d=2", "/b.html?d=2"],
+            "d3.example": ["/a.html?d=3", "/b.html?d=3"],
+        }.items()
+        for p in paths
+    ]
+    fr = spark.createDataFrame(
+        rows, "url string, pld string, score double, fetch_time long"
+    )
+    out = http_fetch(
+        fr,
+        fetcher=urllib_fetcher(),
+        now_ms=0,
+        min_interval_ms=600,
+        fetchers_per_task=3,
+    ).collect()
+    assert len(out) == 6
+    # group hits by the ?d= marker (one per fake domain)
+    per = {}
+    for path, ts in server.hits:
+        per.setdefault(path.split("d=")[-1], []).append(ts)
+    assert len(per) == 3
+    for d, times in per.items():
+        times.sort()
+        assert len(times) == 2
+        assert times[1] - times[0] >= 0.5, (d, times)  # within-domain spacing
+    all_ts = sorted(ts for _, ts in server.hits)
+    # sequential draining would need >= 3 x 600 ms; overlap cuts it
+    assert all_ts[-1] - all_ts[0] < 1.5, all_ts[-1] - all_ts[0]
+    del server.hits[:]
