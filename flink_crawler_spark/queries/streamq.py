@@ -33,17 +33,47 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_parts(spark, n: int = 4):
+    """Scope the stateful-stream shuffle/state partition count to ONE
+    streaming run. Every micro-batch provisions one state store per
+    shuffle partition per stateful operator, and on a bounded local
+    replay that provisioning IS the floor (measured: the stream-stream
+    join runs 19.9 s at 32 state partitions vs 7.8 s at 4, identical
+    results). These queries start from fresh temp checkpoints, so the
+    scoped conf fully determines the run's state layout; a real
+    deployment sizes this to its cluster (state partitioning is pinned
+    at the FIRST checkpoint and kept for the query's life either way).
+    """
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+def _sq_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
 def _run_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
     spark = agg.sparkSession
     name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -139,14 +169,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -267,14 +298,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark_ = joined.sparkSession
     name = "ssj_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table(name).select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -350,14 +382,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     name = "ssjl_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("c_user") != -1)
@@ -461,14 +494,15 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_swa_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name)
     # drop the sentinel's far-future window
     cutoff = F.lit(mx[0]).cast("timestamp_ltz")
@@ -502,14 +536,15 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type")
     )
     name = "stream_ddww_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -533,14 +568,15 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir)
     agg = stream.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_e"))
     name = "stream_upd_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sink = spark.table(name)
     # last update per (event_type, user_id): counts are monotone -> max
     final = sink.groupBy("event_type", "user_id").agg(F.max("n_e").alias("n_e"))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count_expr
 from .base import register
+from .streamq import _sq_spark, _stream_parts
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,14 +53,15 @@ def stream_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup = stream.dropDuplicates(["source", "digest"])
     name = "stream_docdedup_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("source")
@@ -102,12 +104,13 @@ def stream_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
     name = "stream_qgate_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parts(_sq_spark()):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
