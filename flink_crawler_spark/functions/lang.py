@@ -30,14 +30,35 @@ SCRIPT_RULES: tuple[tuple[str, str, str, float], ...] = (
     ("ja", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}", 0.05),
     ("zh", r"\p{IsHan}", r"\p{Han}", 0.50),
     ("ko", r"\p{IsHangul}", r"\p{Hangul}", 0.50),
-    ("ru", r"\p{IsCyrillic}", r"\p{Cyrillic}", 0.50),
+    # r7: Cyrillic/Greek/Thai are ROUTING classes, not final labels —
+    # Tika's LanguageIdentifier discriminates WITHIN Cyrillic (ru vs uk
+    # vs bg), so these route to the trigram profile match below with the
+    # script recorded; a no-profile-hit doc falls back to the class's
+    # dominant language (SCRIPT_CLASS_DEFAULT).
+    ("__cyrl__", r"\p{IsCyrillic}", r"\p{Cyrillic}", 0.50),
     ("he", r"\p{IsHebrew}", r"\p{Hebrew}", 0.50),
-    ("th", r"\p{IsThai}", r"\p{Thai}", 0.50),
+    ("__thai__", r"\p{IsThai}", r"\p{Thai}", 0.50),
     ("hi", r"\p{IsDevanagari}", r"\p{Devanagari}", 0.50),
-    ("el", r"\p{IsGreek}", r"\p{Greek}", 0.50),
+    ("__grek__", r"\p{IsGreek}", r"\p{Greek}", 0.50),
     # Arabic script splits fa/ar on Persian-specific letters below
     ("__arab__", r"\p{IsArabic}", r"\p{Arabic}", 0.50),
 )
+
+# routing sentinel -> script class; absent-label (Latin) docs are class
+# 'latin'. Each class scores only against its own profile languages.
+SCRIPT_CLASS_OF_RULE: dict[str, str] = {
+    "__cyrl__": "cyrl",
+    "__grek__": "grek",
+    "__thai__": "thai",
+}
+
+# trigram-path fallback when no profile gram hits
+SCRIPT_CLASS_DEFAULT: dict[str, str] = {
+    "latin": "und",
+    "cyrl": "ru",
+    "grek": "el",
+    "thai": "th",
+}
 
 # Persian-specific letters: پ چ ژ گ ک ی (U+067E 0686 0698 06AF 06A9 06CC)
 FA_CHARS = "پچژگکی"
@@ -141,6 +162,46 @@ LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
         " se", "em ", "við", " vi", "af ", "ði ", "eir", "il ", "ns ", "ess",
         "tta", "ta ", "ra ", "ir ", "st ",
     ),
+    # --- r7: within-script non-Latin profiles (round-6 verdict task 2;
+    # Tika LanguageIdentifier set, parser/TikaCallable.java:241-269).
+    # Cyrillic discriminates ru/uk/bg; Greek and Thai are each their
+    # class's only profile language, scored the same way for uniformity.
+    # Shared DATA between both engines — widening cannot drift. ---
+    "ru": (
+        " и ", " не", "не ", " на", "на ", "ого", "го ", "ени", "ние", "ия ",
+        "ть ", "ать", " пр", "при", "ост", "ста", "ой ", "ых ", "ово", " по",
+        "по ", " ко", "что", " чт", "то ", "ет ", "ли ", " ра", " за", "ми ",
+        "ает", "ств", "тся", "ель", " со",
+    ),
+    "uk": (
+        " і ", " та", "та ", "ння", "анн", "енн", "ня ", "ого", "ому", "ть ",
+        "ів ", "від", " ві", "аці", "ції", "ій ", " що", "що ", "ися", "тьс",
+        "ься", " ук", "укр", "кра", "раї", "аїн", "їнс", "ють", "уть", "ати",
+        " зд", "ими", "ні ", "и в", "ує ",
+    ),
+    "bg": (
+        "ът ", "ата", "та ", "ият", "ят ", "то ", "ите", "те ", " се", "се ",
+        " да", "да ", "ва ", "ани", "пре", "ри ", "ни ", "но ", "ира", " бъ",
+        "бъл", "ълг", "лга", "гар", "ари", "я н", "ане", "ени", " въ", "въз",
+        "ния", " ка", "кат", "ато", "ето",
+    ),
+    "el": (
+        " κα", "και", "αι ", " το", "το ", "του", "ου ", " τη", "την", "ην ",
+        "της", "ης ", "να ", " να", "τα ", "ων ", "των", " πα", "ετα", "ται",
+        "ικό", "ική", "ός ", "ος ", "ση ", "εις", "σε ", " σε", " απ", "από",
+        "πό ", " με", "με ", "ία ", "ει ",
+    ),
+    "th": (
+        "การ", "ที่", "ของ", "และ", "ประ", "เป็", "ป็น", "ไทย", "ควา", "วาม",
+        "ให้", "ได้", "มาก", "าร ", "รับ", "ัน ", "จาก", "ว่า", "ไม่", "ทำง",
+        "งาน", "คน ", "ยู่", "อยู", "ต้อ", "้อง", "เรา", "ือง", "รือ", "หรื",
+        "ิ่ง", "สิ่", "ื่อ", "เมื", "มื่",
+    ),
+}
+
+# lang -> script class for the profile join (absent => 'latin')
+LANG_SCRIPT: dict[str, str] = {
+    "ru": "cyrl", "uk": "cyrl", "bg": "cyrl", "el": "grek", "th": "thai",
 }
 
 # higher = wins ties; en first mirrors the stopword detector's tie-break.
@@ -153,6 +214,7 @@ LANG_PRIORITY: dict[str, int] = {
             [
                 "en", "de", "es", "fr", "pt", "it", "nl",
                 "sv", "da", "no", "fi", "pl", "hu", "et", "is",
+                "ru", "uk", "bg", "el", "th",
             ]
         ),
         start=1,
@@ -160,10 +222,10 @@ LANG_PRIORITY: dict[str, int] = {
 }
 
 
-def profile_rows() -> list[tuple[str, str, float, int]]:
-    """(lang, gram, weight, priority) — the one shared profile table."""
+def profile_rows() -> list[tuple[str, str, float, int, str]]:
+    """(lang, gram, weight, priority, script) — the one shared profile table."""
     return [
-        (lang, gram, 1.0, LANG_PRIORITY[lang])
+        (lang, gram, 1.0, LANG_PRIORITY[lang], LANG_SCRIPT.get(lang, "latin"))
         for lang, grams in LANG_TRIGRAM_PROFILES.items()
         for gram in grams
     ]
@@ -172,9 +234,10 @@ def profile_rows() -> list[tuple[str, str, float, int]]:
 def profile_values_sql() -> str:
     """DuckDB VALUES body for the same profile table."""
     rows = ", ".join(
-        f"('{lang}', '{gram}', {w}, {p})" for lang, gram, w, p in profile_rows()
+        f"('{lang}', '{gram}', {w}, {p}, '{s}')"
+        for lang, gram, w, p, s in profile_rows()
     )
-    return f"(VALUES {rows}) p(lang, gram, w, prio)"
+    return f"(VALUES {rows}) p(lang, gram, w, prio, script)"
 
 
 # ---------------------------------------------------------------------------
@@ -241,22 +304,35 @@ def detect_lang(
 ) -> DataFrame:
     """(id_col, detected_lang) for every input row.
 
-    Scale shape: the profile is a ~250-row broadcast table; the explode is
-    3 grams/char on Latin-script docs only; the (id, lang) partial sums
+    Scale shape: the profile is a ~700-row broadcast table; the explode is
+    3 grams/char on profile-script docs only; the (id, lang) partial sums
     combine map-side; argmax is one max(struct). Nothing leaves the JVM.
+
+    r7: Cyrillic/Greek/Thai docs route through the SAME trigram join as
+    Latin ones, restricted to their script's profile languages (ru/uk/bg
+    within Cyrillic — the within-script discrimination Tika's profile set
+    provides); a doc with no profile hit falls back to its class default.
     """
     spark = docs.sparkSession
     profile = spark.createDataFrame(
-        profile_rows(), "lang string, gram string, w double, prio int"
+        profile_rows(), "lang string, gram string, w double, prio int, script string"
     )
 
     base = docs.select(
         F.col(id_col), norm_expr(F.col(text_col)).alias("__norm")
     ).withColumn("__script", script_label_expr(F.col("__norm")))
 
-    latin = base.filter(F.col("__script").isNull())
-    grams = latin.select(
+    # script class for the trigram path: NULL label => latin; routing
+    # sentinels => their class; direct labels (ja/zh/.../und) => NULL
+    cls = F.when(F.col("__script").isNull(), F.lit("latin"))
+    for sentinel, cname in SCRIPT_CLASS_OF_RULE.items():
+        cls = cls.when(F.col("__script") == sentinel, F.lit(cname))
+    base = base.withColumn("__scls", cls)
+
+    routed = base.filter(F.col("__scls").isNotNull())
+    grams = routed.select(
         F.col(id_col),
+        F.col("__scls"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.length("__norm") - 2, F.lit(1))),
@@ -265,7 +341,10 @@ def detect_lang(
         ).alias("gram"),
     )
     scored = (
-        grams.join(F.broadcast(profile), "gram")
+        grams.join(
+            F.broadcast(profile),
+            (grams.gram == profile.gram) & (grams.__scls == profile.script),
+        )
         .groupBy(id_col, "lang", "prio")
         .agg(F.sum("w").alias("s"))
     )
@@ -274,13 +353,16 @@ def detect_lang(
         .agg(F.max(F.struct(F.col("s"), F.col("prio"), F.col("lang"))).alias("m"))
         .select(F.col(id_col), F.col("m.lang").alias("__trigram_lang"))
     )
+    default = F.create_map(
+        *[F.lit(x) for kv in SCRIPT_CLASS_DEFAULT.items() for x in kv]
+    )[F.col("__scls")]
     return (
         base.join(best, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("__script"), F.col("__trigram_lang"), F.lit("und")).alias(
-                "detected_lang"
-            ),
+            F.when(F.col("__scls").isNull(), F.col("__script"))
+            .otherwise(F.coalesce(F.col("__trigram_lang"), default))
+            .alias("detected_lang"),
         )
     )
 
@@ -290,23 +372,36 @@ def detect_lang_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`detect_lang` (same profile, same cascade)."""
     norm = NORM_SQL.format(col=text_col)
+    cls_whens = "\n             ".join(
+        f"WHEN script_lang = '{sent}' THEN '{cname}'"
+        for sent, cname in SCRIPT_CLASS_OF_RULE.items()
+    )
+    dflt_whens = "\n             ".join(
+        f"WHEN s.scls = '{cname}' THEN '{dflt}'"
+        for cname, dflt in SCRIPT_CLASS_DEFAULT.items()
+    )
     return f"""
 normed AS (
   SELECT {id_col}, {norm} AS nrm FROM {table}
 ),
 scripted AS (
-  SELECT {id_col}, nrm,
-         {script_label_sql('nrm')} AS script_lang
-  FROM normed
+  SELECT {id_col}, nrm, script_lang,
+         CASE WHEN script_lang IS NULL THEN 'latin'
+             {cls_whens}
+             ELSE NULL END AS scls
+  FROM (SELECT {id_col}, nrm,
+               {script_label_sql('nrm')} AS script_lang
+        FROM normed)
 ),
 grams AS (
-  SELECT {id_col}, unnest(list_transform(generate_series(1, greatest(length(nrm) - 2, 1)),
-                                         i -> substr(nrm, i, 3))) AS gram
-  FROM scripted WHERE script_lang IS NULL
+  SELECT {id_col}, scls,
+         unnest(list_transform(generate_series(1, greatest(length(nrm) - 2, 1)),
+                               i -> substr(nrm, i, 3))) AS gram
+  FROM scripted WHERE scls IS NOT NULL
 ),
 scored AS (
   SELECT g.{id_col}, p.lang, p.prio, sum(p.w) AS s
-  FROM grams g JOIN {profile_values_sql()} ON g.gram = p.gram
+  FROM grams g JOIN {profile_values_sql()} ON g.gram = p.gram AND g.scls = p.script
   GROUP BY 1, 2, 3
 ),
 best AS (
@@ -316,7 +411,10 @@ best AS (
 ),
 detected AS (
   SELECT s.{id_col},
-         coalesce(s.script_lang, b.lang, 'und') AS detected_lang
+         CASE WHEN s.scls IS NULL THEN s.script_lang
+              ELSE coalesce(b.lang,
+                            CASE {dflt_whens} END)
+         END AS detected_lang
   FROM scripted s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING ({id_col})
 )
 """

@@ -155,7 +155,9 @@ def fetch_status_updates(results: DataFrame, *, error_retry_ms: int = 86_400_000
 
 
 def urllib_fetcher(
-    timeout_s: float = 10.0, agent: str = "flink-crawler"
+    timeout_s: float = 10.0,
+    agent: str = "flink-crawler",
+    max_content_size: int | None = None,
 ) -> Callable[[str], tuple[int, bytes, str, str | None]]:
     """Production fetcher slot for ``http_fetch``: a plain-socket
     stdlib GET that does NOT follow redirects — ``http_fetch`` owns the
@@ -166,7 +168,26 @@ def urllib_fetcher(
     ``(status_code, body, content_type, absolute_location_or_None)``;
     socket timeouts/connection errors raise and map to
     ERROR_IOEXCEPTION in ``http_fetch`` (the
-    ``utils/ExceptionUtils.java`` IOException bucket)."""
+    ``utils/ExceptionUtils.java`` IOException bucket).
+
+    ``max_content_size`` caps the body DURING the read (64 KiB chunks,
+    stop after cap+1 bytes) the way crawler-commons'
+    setDefaultMaxContentSize truncates in-flight — a multi-GB live
+    response never lands whole in executor memory; the one sentinel
+    byte past the cap lets ``http_fetch`` detect truncation."""
+
+    def _read_capped(resp) -> bytes:
+        if max_content_size is None:
+            return resp.read()
+        budget = max_content_size + 1  # sentinel byte marks truncation
+        chunks: list[bytes] = []
+        while budget > 0:
+            chunk = resp.read(min(budget, 1 << 16))
+            if not chunk:
+                break
+            chunks.append(chunk)
+            budget -= len(chunk)
+        return b"".join(chunks)
 
     def fetch(url: str) -> tuple[int, bytes, str, str | None]:
         import urllib.error
@@ -182,7 +203,7 @@ def urllib_fetcher(
         try:
             with opener.open(req, timeout=timeout_s) as resp:
                 ctype = resp.headers.get("Content-Type", "") or ""
-                return resp.status, resp.read(), ctype, None
+                return resp.status, _read_capped(resp), ctype, None
         except urllib.error.HTTPError as e:
             loc = e.headers.get("Location") if e.headers else None
             ctype = (e.headers.get("Content-Type", "") if e.headers else "") or ""
@@ -210,7 +231,7 @@ def live_http_fetch_fn(
     .java:14-21``): bundle the live-HTTP policy knobs into a
     ``fetch_fn(to_fetch, now_ms=...)`` the crawl loop (and the CLI's
     ``--http`` mode) plugs straight into the fetcher seam."""
-    fetcher = urllib_fetcher(timeout_s, agent)
+    fetcher = urllib_fetcher(timeout_s, agent, max_content_size=max_content_size)
 
     def fetch_fn(to_fetch: DataFrame, *, now_ms: int) -> DataFrame:
         return http_fetch(
@@ -317,19 +338,29 @@ def http_fetch(
                 status, content, ctype, fetched_url = "ERROR_IOEXCEPTION", None, None, row.url
             elapsed = max(time.time() - t0, 1e-6)
             rate = int(len(content) / elapsed) if content else 0
+            # crawler-commons aborts only a measured-SLOW transfer; a
+            # legitimate zero-byte 200 body transfers nothing measurable
+            # and must not be classified ABORTED_SLOW_RESPONSE.
             if (
                 min_response_rate > 0
                 and status == "FETCHED"
+                and content
                 and rate < min_response_rate
             ):
                 status, content = "ABORTED_SLOW_RESPONSE", None
+            headers = {"content-type": [ctype or ""]}
+            if content is not None and len(content) > max_content_size:
+                # capped mid-read by the fetcher (sentinel byte past the
+                # cap) or post-sliced below: record the truncation the
+                # way FetchedResult carries it.
+                headers["x-truncated"] = ["length"]
             return {
                 "url": row.url,
                 "pld": row.pld,
                 "status": status,
                 "status_time": int(time.time() * 1000),
                 "fetched_url": fetched_url,
-                "headers": {"content-type": [ctype or ""]},
+                "headers": headers,
                 "content": content[:max_content_size] if content else None,
                 "content_type": ctype,
                 "response_rate": rate,
@@ -341,23 +372,29 @@ def http_fetch(
             if fetchers_per_task > 1
             else None
         )
-        for pdf in batches:
-            pdf = pdf.sort_values(["pld", "fetch_time"])
-            if pool is None:
-                out = [fetch_row(r) for r in pdf.itertuples(index=False)]
-            else:
-                # one worker job per DOMAIN group: sequential within the
-                # domain (politeness), overlapped across domains
-                groups = [
-                    list(g.itertuples(index=False))
-                    for _, g in pdf.groupby("pld", sort=False)
-                ]
+        try:
+            for pdf in batches:
+                pdf = pdf.sort_values(["pld", "fetch_time"])
+                if pool is None:
+                    out = [fetch_row(r) for r in pdf.itertuples(index=False)]
+                else:
+                    # one worker job per DOMAIN group: sequential within the
+                    # domain (politeness), overlapped across domains
+                    groups = [
+                        list(g.itertuples(index=False))
+                        for _, g in pdf.groupby("pld", sort=False)
+                    ]
 
-                def drain(rows: list) -> list[dict]:
-                    return [fetch_row(r) for r in rows]
+                    def drain(rows: list) -> list[dict]:
+                        return [fetch_row(r) for r in rows]
 
-                out = [d for res in pool.map(drain, groups) for d in res]
-            yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields])
+                    out = [d for res in pool.map(drain, groups) for d in res]
+                yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT_SCHEMA.fields])
+        finally:
+            # reused long-lived Python workers would otherwise keep up to
+            # fetchers_per_task idle threads alive until GC
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     return (
         frontier.select(*cols)

@@ -104,15 +104,21 @@ def _materialize_keys(df: DataFrame, key_cols):
     expression that is not a plain column of ``df`` (e.g. ``F.lower(c)``)
     would derive a name that does not exist on the ranged frame. Returns
     ``(df, key_names, added)`` where ``added`` lists helper columns the
-    caller must drop from its result."""
-    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    caller must drop from its result.
+
+    Only a bare string key rides the fast path. Any Column expression is
+    materialized into a fresh ``__key{i}`` column — even one whose derived
+    name already exists on ``df`` (``F.lower("grp").alias("grp")`` would
+    otherwise silently rank by the RAW ``grp`` column instead of the
+    expression)."""
     names, added = [], []
-    for i, k in enumerate(keys):
-        name = df.select(k).columns[0]
-        if name not in df.columns:
-            name = f"__key{i}"
-            df = df.withColumn(name, k)
-            added.append(name)
+    for i, k in enumerate(key_cols):
+        if isinstance(k, str) and k in df.columns:
+            names.append(k)
+            continue
+        name = f"__key{i}"
+        df = df.withColumn(name, F.col(k) if isinstance(k, str) else k)
+        added.append(name)
         names.append(name)
     return df, names, added
 

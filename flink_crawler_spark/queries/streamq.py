@@ -23,7 +23,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# parent session -> dedicated stream-replay clone (keyed by the parent
+# object itself so the parent stays alive as long as its clone does)
+_STREAM_SESSIONS: dict[SparkSession, SparkSession] = {}
+
+
+def _stream_session(spark: SparkSession, n: int = 4) -> SparkSession:
+    """Dedicated cloned session (same SparkContext, own SQL conf) for the
+    bounded stream replays, with the shuffle/state partition count pinned
+    to ``n``. Every micro-batch provisions one state store per shuffle
+    partition per stateful operator, and on a bounded local replay that
+    provisioning IS the floor (measured: the stream-stream join runs
+    19.9 s at 32 state partitions vs 7.8 s at 4, identical results).
+
+    A clone instead of a scoped ``spark.conf.set``: mutating the caller's
+    session — even save/restore — silently re-plans any batch query built
+    concurrently on it with 4 shuffle partitions, and two interleaved
+    scopes restore the wrong saved value. Per-session conf is the
+    isolation Spark actually provides, so use it. Streams, their static
+    join sides, and their memory-sink tables must all live on this one
+    session (cross-session plan mixing is an error in Spark), which is
+    why the helpers below build everything through it. A real deployment
+    sizes this to its cluster — state partitioning is pinned at the
+    FIRST checkpoint and kept for the query's life either way."""
+    clone = _STREAM_SESSIONS.get(spark)
+    if clone is None:
+        clone = spark.newSession()
+        # newSession() starts from the shared SparkConf; carry over the
+        # runtime SQL confs the oracles' semantics depend on
+        for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled"):
+            try:
+                clone.conf.set(k, spark.conf.get(k))
+            except Exception:
+                pass
+        clone.conf.set("spark.sql.shuffle.partitions", str(n))
+        _STREAM_SESSIONS[spark] = clone
+    return clone
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # FileStreamSource wants a directory — expose the table file through one
@@ -33,47 +72,19 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
 
 
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def _stream_parts(spark, n: int = 4):
-    """Scope the stateful-stream shuffle/state partition count to ONE
-    streaming run. Every micro-batch provisions one state store per
-    shuffle partition per stateful operator, and on a bounded local
-    replay that provisioning IS the floor (measured: the stream-stream
-    join runs 19.9 s at 32 state partitions vs 7.8 s at 4, identical
-    results). These queries start from fresh temp checkpoints, so the
-    scoped conf fully determines the run's state layout; a real
-    deployment sizes this to its cluster (state partitioning is pinned
-    at the FIRST checkpoint and kept for the query's life either way).
-    """
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-
-def _sq_spark():
-    from pyspark.sql import SparkSession
-
-    return SparkSession.getActiveSession()
-
-
-def _run_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
+def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
+    # agg was built on the stream-replay session; the memory sink registers
+    # its table there too, so read it back through the same session
     spark = agg.sparkSession
     name = prefix + uuid.uuid4().hex[:8]
-    with _stream_parts(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -136,7 +147,9 @@ def stream_url_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs_dir = tempfile.mkdtemp(prefix="fcs_obs_")
     crawl_obs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(obs_dir)
-    sink = run_obs_stream_to_state(spark, obs_dir, "urldb_" + uuid.uuid4().hex[:8])
+    sink = run_obs_stream_to_state(
+        _stream_session(spark), obs_dir, "urldb_" + uuid.uuid4().hex[:8]
+    )
     # update-mode sink may hold one emission per (url, batch); keep the
     # final merge per url (argmax on the merge-progress ordering)
     final = (
@@ -168,17 +181,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = stream.withWatermark("ts_t", "24 hours").dropDuplicates(
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            dedup.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(dedup, "stream_dedup_", mode="append")
 
 
 @register(
@@ -296,18 +299,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_time") < F.col("c_time") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    spark_ = joined.sparkSession
-    name = "ssj_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark_.table(name).select(
+    return _run_to_memory(joined, "ssj_", mode="append").select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
@@ -346,6 +338,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are coalesced to -1 on both engines so the value hash is
     null-free.
     """
+    sspark = _stream_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="fcs_ssj_left_")
@@ -362,7 +355,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def side(event_type: str, pre: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(stream_dir)
+        s = sspark.readStream.schema(schema).parquet(stream_dir)
         return (
             s.filter(F.col("event_type") == event_type)
             .select(
@@ -381,18 +374,8 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_time") < F.col("c_time") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
-    name = "ssjl_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        _run_to_memory(joined, "ssjl_", mode="append")
         .filter(F.col("c_user") != -1)
         .select(
             F.col("c_user").alias("user_id"),
@@ -425,9 +408,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next batch for free. Converges exactly to the batch join
     (oracle)."""
     stream = _event_stream(spark, sf_dir)
-    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_mktsegment"
-    )
+    # static side MUST come from the stream-replay session — Spark rejects
+    # joins that mix plans from two sessions
+    cu = stream.sparkSession.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).select("c_custkey", "c_mktsegment")
     joined = stream.join(F.broadcast(cu), stream.user_id == cu.c_custkey)
     # streaming allows ONE aggregation per query: do the stateful
     # (segment, user) level in the stream; the per-segment rollup —
@@ -481,7 +466,7 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir
     )
     stream = (
-        spark.readStream.schema(schema)
+        _stream_session(spark).readStream.schema(schema)
         .parquet(stream_dir)
         .withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
     )
@@ -493,17 +478,7 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
         )
     )
-    name = "stream_swa_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = spark.table(name)
+    out = _run_to_memory(agg, "stream_swa_", mode="append")
     # drop the sentinel's far-future window
     cutoff = F.lit(mx[0]).cast("timestamp_ltz")
     return out.filter(F.col("window.start") <= cutoff).select(
@@ -535,17 +510,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = "stream_ddww_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            dedup.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(dedup, "stream_ddww_", mode="append")
 
 
 @register(
@@ -567,17 +532,7 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, as in stream_static_join."""
     stream = _event_stream(spark, sf_dir)
     agg = stream.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_e"))
-    name = "stream_upd_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    sink = spark.table(name)
+    sink = _run_to_memory(agg, "stream_upd_", mode="update")
     # last update per (event_type, user_id): counts are monotone -> max
     final = sink.groupBy("event_type", "user_id").agg(F.max("n_e").alias("n_e"))
     return final.groupBy("event_type").agg(

@@ -18,10 +18,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count_expr
 from .base import register
-from .streamq import _sq_spark, _stream_parts
+from .streamq import _run_to_memory, _stream_session
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _stream_session(spark)
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="fcs_docstream_")
@@ -52,18 +53,8 @@ def stream_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest")
     )
     dedup = stream.dropDuplicates(["source", "digest"])
-    name = "stream_docdedup_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            dedup.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        _run_to_memory(dedup, "stream_docdedup_", mode="append")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_unique_docs"))
     )
@@ -103,14 +94,4 @@ def stream_quality_gate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_kept"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
-    name = "stream_qgate_" + uuid.uuid4().hex[:8]
-    with _stream_parts(_sq_spark()):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(agg, "stream_qgate_", mode="complete")

@@ -84,3 +84,46 @@ def test_profile_table_well_formed():
         assert len(grams) == len(set(grams)), lang
         assert all(len(g) == 3 for g in grams), lang
         assert all("'" not in g for g in grams), lang  # SQL-literal safe
+
+
+# r7: within-script non-Latin profiles (round-6 verdict task 2) — the
+# Tika LanguageIdentifier set discriminates WITHIN Cyrillic (ru/uk/bg);
+# Greek and Thai route through the same profile join.
+NONLATIN_SAMPLES = [
+    (41, "Это русский текст для проверки определения языка", "ru"),
+    (42, "це текст українською мовою від україни та її визначення що має працювати", "uk"),
+    (43, "това е български текст за проверка на езика който се ползва от българия", "bg"),
+    (44, "αυτό είναι ένα ελληνικό κείμενο για τον έλεγχο της γλώσσας και των συστημάτων", "el"),
+    (45, "การทดสอบภาษาไทยของระบบและความถูกต้อง", "th"),
+    # Cyrillic text hitting no profile gram must fall back to the class
+    # default (ru), never 'und' or a Latin label
+    (46, "ъь ъь ъь", "ru"),
+]
+
+
+def test_detect_lang_within_script_discrimination(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in NONLATIN_SAMPLES], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_lang(docs).collect()}
+    want = {i: e for i, _, e in NONLATIN_SAMPLES}
+    assert got == want
+
+
+def test_detect_lang_oracle_twin_nonlatin(duck=None):
+    """The DuckDB twin must agree with Spark on the non-Latin samples —
+    the shared-data guarantee the oracled doc_lang_id query relies on."""
+    import duckdb
+
+    from flink_crawler_spark.functions.lang import detect_lang_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t, _ in NONLATIN_SAMPLES)
+        + ") v(doc_id, text)"
+    )
+    sql = f"WITH {detect_lang_oracle_sql(table='documents').strip()} SELECT * FROM detected"
+    got = dict(con.execute(sql).fetchall())
+    want = {i: e for i, _, e in NONLATIN_SAMPLES}
+    assert got == want

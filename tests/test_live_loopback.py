@@ -94,6 +94,10 @@ def server():
             if self.path == "/slow":
                 time.sleep(1.5)
                 return self._send(200, b"slow")
+            if self.path == "/big":
+                return self._send(200, b"x" * (256 * 1024), "application/octet-stream")
+            if self.path == "/empty":
+                return self._send(200, b"")
             page = site.pages.get(self.path)
             if page is None:
                 return self._send(404, b"nope")
@@ -356,3 +360,40 @@ def test_live_fetch_concurrent_domains_sequential_within(spark, server):
     # sequential draining would need >= 3 x 600 ms; overlap cuts it
     assert all_ts[-1] - all_ts[0] < 1.5, all_ts[-1] - all_ts[0]
     del server.hits[:]
+
+
+def test_live_fetch_capped_read_truncates_big_body(spark, server):
+    """r6 ADVICE (medium): the body must be capped DURING the transfer
+    (crawler-commons setDefaultMaxContentSize), not post-hoc — the raw
+    fetcher may return at most cap+1 bytes (the truncation sentinel) and
+    http_fetch slices to the cap and flags the truncation."""
+    cap = 1024
+    raw = urllib_fetcher(max_content_size=cap)(server.base + "/big")
+    assert raw[0] == 200
+    assert len(raw[1]) == cap + 1  # capped mid-read, sentinel byte kept
+
+    fr = _frontier(spark, server.base, ["/big", "/a.html"])
+    out = {
+        r["url"]: r.asDict()
+        for r in http_fetch(
+            fr, fetcher=urllib_fetcher(max_content_size=cap),
+            now_ms=0, max_content_size=cap,
+        ).collect()
+    }
+    big = out[server.base + "/big"]
+    assert big["status"] == "FETCHED"
+    assert len(big["content"]) == cap
+    assert big["headers"]["x-truncated"] == ["length"]
+    small = out[server.base + "/a.html"]
+    assert "x-truncated" not in small["headers"]
+
+
+def test_live_fetch_empty_body_not_aborted_slow(spark, server):
+    """r6 ADVICE (low): a legitimate zero-byte 200 body measures no
+    transfer rate and must NOT be classified ABORTED_SLOW_RESPONSE."""
+    fr = _frontier(spark, server.base, ["/empty"])
+    (row,) = http_fetch(
+        fr, fetcher=urllib_fetcher(), now_ms=0, min_response_rate=1000
+    ).collect()
+    assert row["status"] == "FETCHED"
+    assert not row["content"]  # empty body surfaces as null content

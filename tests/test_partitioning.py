@@ -157,3 +157,31 @@ def test_resolve_nparts_rejects_zero_and_falls_back(spark):
         sparkContext = _SC()
 
     assert _resolve_nparts(_Stub(), None) == 13
+
+
+def test_keyed_rank_expression_key_aliased_to_existing_name(spark):
+    """r6 ADVICE: an expression key explicitly aliased to an EXISTING
+    column name (F.upper('grp').alias('grp')) used to be mistaken for a
+    plain column, silently ranking by the raw column. Expression keys
+    are now always materialized, whatever their derived name."""
+    from pyspark.sql import Window
+
+    from flink_crawler_spark.operators.partitioning import (
+        distributed_keyed_row_number,
+    )
+
+    # raw grp has 6 values (a0..b2); the expression key collapses case
+    # so ranking by the RAW column would produce different numbers
+    rows = [(("a" if i % 2 else "A") + str(i % 3), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, ord int")
+
+    got = distributed_keyed_row_number(
+        df, [F.lower(F.col("grp")).alias("grp")], ["ord"], out="rn", nparts=4
+    )
+    assert set(got.columns) == {"grp", "ord", "rn"}
+    w = Window.partitionBy(F.lower("grp")).orderBy("ord")
+    want = df.select("grp", "ord", F.row_number().over(w).alias("rn"))
+    assert (
+        got.subtract(want).count() == 0
+        and want.subtract(got).count() == 0
+    )
