@@ -351,6 +351,56 @@ def archive_fetch(
 # ---------------------------------------------------------------------------
 
 
+def http_range_reader(base_url: str, *, timeout_s: float = 10.0, cache_dir: str | None = None):
+    """Ranged-GET reader over HTTP(S) — the live stand-in for the S3
+    ``GetObjectRequest.setRange`` call the reference's CommonCrawlFetcher
+    issues (``CommonCrawlFetcherIT`` drives the same path against real
+    segment URLs). Resolves CDX filenames against ``base_url`` and sends
+    ``Range: bytes=offset..offset+length-1``; a 206 returns exactly the
+    member bytes, a 200 (server without Range support) is sliced locally
+    so the reader degrades rather than mis-reads.
+
+    ``cache_dir`` enables the SegmentCache analogue: the FIRST touch of a
+    segment downloads it whole to an executor-local file and every later
+    range (including the first) is served from disk — one transfer per
+    segment per worker, like ``cached_range_reader``."""
+    import os
+    import urllib.request
+
+    base = base_url.rstrip("/")
+
+    def read(filename: str, offset: int, length: int) -> bytes:
+        url = base + "/" + filename.lstrip("/")
+        if cache_dir is not None:
+            import hashlib
+            import shutil
+
+            os.makedirs(cache_dir, exist_ok=True)
+            digest = hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
+            cached = os.path.join(cache_dir, digest + "-" + os.path.basename(filename))
+            if not os.path.exists(cached):
+                tmp = cached + ".tmp-" + str(os.getpid())
+                with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(
+                    tmp, "wb"
+                ) as out:
+                    shutil.copyfileobj(resp, out)
+                os.replace(tmp, cached)
+            with open(cached, "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+        req = urllib.request.Request(
+            url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read(length if resp.status == 206 else None)
+            if resp.status == 206:
+                return body
+            # server ignored Range: got the whole object — slice locally
+            return body[offset : offset + length]
+
+    return read
+
+
 def cached_range_reader(archive_dir: str, cache_dir: str | None = None):
     """Range reader resolving CDX filenames against ``archive_dir``,
     with an optional read-through whole-segment disk cache — the

@@ -297,3 +297,109 @@ def test_archive_fetch_many_redirects_set_based(spark, tmp_path):
         assert r["status"] == "FETCHED"
         assert r["fetched_url"] == f"http://m.example.com/final-{i}"
         assert bytes(r["content"]) == f"<html>{i}</html>".encode()
+
+
+# ---------------------------------------------------------------------------
+# r7 (round-6 verdict task 6): the CDX byte-range path over REAL sockets —
+# the CommonCrawlFetcherIT analogue. A loopback HTTP server serves the WARC
+# segment with Range support; http_range_reader must produce byte-identical
+# results to the file-path reader, in both ranged and SegmentCache modes,
+# and degrade safely when the server ignores Range.
+# ---------------------------------------------------------------------------
+
+
+def _serve_dir(directory, *, honor_range=True):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            import os
+
+            path = os.path.join(directory, self.path.lstrip("/"))
+            if not os.path.isfile(path):
+                self.send_response(404)
+                self.end_headers()
+                return
+            data = open(path, "rb").read()
+            rng = self.headers.get("Range")
+            if honor_range and rng and rng.startswith("bytes="):
+                lo, hi = rng[len("bytes="):].split("-")
+                lo, hi = int(lo), int(hi)
+                chunk = data[lo : hi + 1]
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            else:
+                chunk = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, f"http://127.0.0.1:{httpd.server_port}"
+
+
+def test_http_range_reader_byte_identical_to_file_reader(spark, tmp_path):
+    import os
+
+    from flink_crawler_spark.operators.commoncrawl import (
+        archive_fetch,
+        http_range_reader,
+        local_range_reader,
+    )
+
+    pages = [
+        ("http://x.com/a", 200, {"Content-Type": "text/html"}, b"<html>alpha</html>"),
+        ("http://x.com/b", 200, {"Content-Type": "text/html"}, b"<html>beta</html>"),
+        ("http://x.com/r", 302, {"Location": "http://x.com/b"}, b""),
+    ]
+    path, rows = _build_archive(tmp_path, pages)
+    rel_rows = [(u, os.path.basename(f), o, l, m, s) for (u, f, o, l, m, s) in rows]
+    cdx = _cdx_df(spark, rel_rows)
+    frontier = spark.createDataFrame(
+        [("http://x.com/a",), ("http://x.com/r",), ("http://x.com/miss",)], ["url"]
+    )
+
+    def run(reader):
+        out = archive_fetch(
+            frontier, cdx, range_reader=reader, max_redirects=2, now_ms=1
+        ).collect()
+        return {
+            r["url"]: (r["status"], r["fetched_url"], bytes(r["content"]) if r["content"] else None)
+            for r in out
+        }
+
+    # local file baseline (filenames are relative — resolve against tmp_path)
+    def local(filename, offset, length):
+        return local_range_reader(os.path.join(str(tmp_path), filename), offset, length)
+
+    want = run(local)
+    assert want["http://x.com/a"][0] == "FETCHED"
+    assert want["http://x.com/r"] == ("FETCHED", "http://x.com/b", b"<html>beta</html>")
+    assert want["http://x.com/miss"][0] == "HTTP_NOT_FOUND"
+
+    httpd, base = _serve_dir(str(tmp_path))
+    try:
+        # ranged-GET mode: one HTTP request per member read
+        assert run(http_range_reader(base)) == want
+        # SegmentCache mode: whole-segment download, ranges served locally
+        cache = str(tmp_path / "httpcache")
+        assert run(http_range_reader(base, cache_dir=cache)) == want
+        entries = os.listdir(cache)
+        assert len(entries) == 1 and entries[0].endswith("-segment-00000.warc.gz")
+    finally:
+        httpd.shutdown()
+
+    # a server that ignores Range (plain 200): reader slices locally,
+    # results still byte-identical
+    httpd2, base2 = _serve_dir(str(tmp_path), honor_range=False)
+    try:
+        assert run(http_range_reader(base2)) == want
+    finally:
+        httpd2.shutdown()

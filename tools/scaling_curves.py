@@ -38,13 +38,15 @@ BASE_LINEITEM = 600_000
 BASE_ORDERS = 150_000
 BASE_EVENTS = 100_000  # sf0.1 events rows
 BASE_USERS = 1_500
+BASE_PART = 20_000
 
 
 def gen_dir(spark, root: str, mult: int) -> str:
     out = os.path.join(root, f"x{mult}")
-    # _DONE3: schema v3 adds the events table (+ lineitem.l_orderkey)
-    # for the wave 25-33 families
-    if os.path.exists(os.path.join(out, "_DONE3")):
+    # _DONE4: schema v4 adds the part table for the crawl-graph families
+    # (crawl_reachability / hits / sssp derive their link graph from
+    # p_partkey)
+    if os.path.exists(os.path.join(out, "_DONE4")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -135,6 +137,7 @@ def gen_dir(spark, root: str, mult: int) -> str:
     n_ord = BASE_ORDERS * mult
     o = spark.range(n_ord).select(
         F.col("id").alias("o_orderkey"),
+        (F.abs(F.hash("id", F.lit(15))) % (BASE_USERS * 10 * mult)).alias("o_custkey"),
         F.element_at(
             F.array(F.lit("P"), F.lit("O"), F.lit("F")),
             (F.abs(F.hash("id", F.lit(11))) % 3) + 1,
@@ -181,7 +184,25 @@ def gen_dir(spark, root: str, mult: int) -> str:
         F.lit('{"k":1}').alias("props"),
     )
     ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
-    open(os.path.join(out, "_DONE3"), "w").write("ok")
+
+    # part: the crawl-graph families derive their synthetic web graph
+    # from p_partkey alone; keep the driver schema for column parity
+    n_part = BASE_PART * mult
+    p = spark.range(n_part).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("part#"), F.col("id").cast("string")).alias("p_name"),
+        F.concat(F.lit("Brand#"), (F.abs(F.hash("id", F.lit(31))) % 5).cast("string")).alias("p_brand"),
+        F.element_at(
+            F.array(F.lit("STANDARD"), F.lit("SMALL"), F.lit("MEDIUM"), F.lit("LARGE")),
+            (F.abs(F.hash("id", F.lit(32))) % 4) + 1,
+        ).alias("p_type"),
+        ((F.abs(F.hash("id", F.lit(33))) % 50) + 1).cast("int").alias("p_size"),
+        (((F.abs(F.hash("id", F.lit(34))) % 200_000) + 90_000) / F.lit(100.0)).alias(
+            "p_retailprice"
+        ),
+    )
+    p.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    open(os.path.join(out, "_DONE4"), "w").write("ok")
     return out
 
 
@@ -256,6 +277,29 @@ FAMILIES = [
     ("stickiness", "dau_mau_stickiness", None),
     ("slo-rank", "slo_latency_report", None),
     ("burn-prefix", "error_budget_burn", None),
+    # r7 (round-6 verdict task 3): the bench's top-20 queries not yet
+    # covered by a family — validate every documented exponent at x5/x10
+    # before trusting it at 100 TB. Streaming families measure the
+    # whole replay (SS startup floor amortizes with size, so their
+    # fitted exponent UNDERSTATES the asymptote at small x; the x5→x10
+    # ratio is the number to read). ann_recall_report contains the
+    # guarded brute-force ground-truth pass — documented exact path,
+    # capped like ppjoin.
+    ("crawl-ticks", "crawl_reachability", None),
+    ("sssp", "sssp_bellman_ford", None),
+    ("hits", "hits_hub_authority", None),
+    ("ann-recall", "ann_recall_report", 2),
+    ("bucketed-state", "bucketed_state_merge", None),
+    ("ccnet-ppl", "ccnet_perplexity_buckets", None),
+    ("dedup-calib", "quality_dedup_calibration", None),
+    ("curation", "curation_funnel", None),
+    ("rrf", "rrf_rank_fusion", None),
+    ("cms", "cms_heavy_hitters", None),
+    ("warc-rt", "warc_sink_source_roundtrip", None),
+    ("w-median", "weighted_median_price", None),
+    ("stream-agg", "stream_window_counts_append", None),
+    ("stream-join", "stream_stream_left_join", None),
+    ("stream-urldb", "stream_url_db_merge", None),
 ]
 
 
@@ -315,6 +359,10 @@ def main():
     for fam, qname, _cap in families:
         ts = results[fam]
         ms = sorted(ts)
+        if len(ms) < 2:
+            row = "".join(f"{ts.get(m, '-'):<8}" for m in all_sizes)
+            print(f"{fam:<14}{qname:<24}{row}-")
+            continue
         xs = [math.log(m) for m in ms]
         ys = [math.log(max(ts[m], 1e-3)) for m in ms]
         mx = sum(xs) / len(xs)
