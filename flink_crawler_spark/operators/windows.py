@@ -159,3 +159,87 @@ def salted_count_distinct(
         .agg(F.count_distinct(F.col(value_col)).alias("__d"))
     )
     return partial.groupBy(group_col).agg(F.sum("__d").alias("n_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# r7: bounded-frame cumulative helpers — WindowExec-free prefix aggregates
+# ---------------------------------------------------------------------------
+
+def _lex_strictly_before(order: list[tuple[str, bool]]):
+    """Lexicographic '__r row sorts strictly before __l row' predicate for
+    an order spec [(col, ascending)] — the join condition that replaces an
+    unpartitioned Window's ordering."""
+    cond = F.lit(False)
+    eqs = F.lit(True)
+    for name, asc in order:
+        lc, rc = F.col(f"__l.{name}"), F.col(f"__r.{name}")
+        step = (rc < lc) if asc else (rc > lc)
+        cond = cond | (eqs & step)
+        eqs = eqs & (rc == lc)
+    return cond
+
+
+def bounded_row_number(df: DataFrame, order: list[tuple[str, bool]], *, out: str = "rn") -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` for a frame that is PROVABLY
+    tiny (grouped-by-day tables, top-k heads, vocabularies): a triangular
+    broadcast self-join counting strict predecessors instead of an
+    unpartitioned WindowExec.
+
+    Why not the window: a global ORDER BY window funnels the frame
+    through ONE task and logs the single-partition WARN on every run —
+    on frames bounded by construction the warning is pure noise that
+    buries real ones (round-6 verdict task 7), and the O(n²) join on a
+    ≤ a-few-hundred-row frame is cheaper than the window's sort +
+    all-to-one exchange. The order spec must be a TOTAL order (include a
+    unique tiebreaker), exactly like the window it replaces.
+    """
+    names = [n for n, _ in order]
+    left = df.alias("__l")
+    right = df.select(*names).alias("__r")
+    strict = _lex_strictly_before(order)
+    keep = [F.col(f"__l.{c}") for c in df.columns]
+    return (
+        left.join(F.broadcast(right), strict, "left")
+        .groupBy(*keep)
+        .agg((F.count(F.col(f"__r.{names[0]}")) + 1).cast("long").alias(out))
+    )
+
+
+def bounded_cumsum(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    sums: list[tuple[str, str, bool]],
+    *,
+    count_out: str | None = None,
+) -> DataFrame:
+    """Running sums over a provably tiny frame without a WindowExec:
+    ``sums`` is [(src_col, out_col, inclusive)] — inclusive=True is
+    ``ROWS UNBOUNDED PRECEDING..CURRENT ROW``, False stops at
+    ``1 PRECEDING``. ``count_out`` optionally adds the inclusive running
+    row count. One triangular broadcast self-join computes every
+    requested prefix aggregate at once; decimal/long sums are exact and
+    order-independent, so the values are bit-identical to the window's.
+    The order spec must be a total order (unique tiebreaker).
+    """
+    names = [n for n, _ in order]
+    src_cols = sorted({s for s, _, _ in sums})
+    left = df.alias("__l")
+    right = df.select(*names, *[c for c in src_cols if c not in names]).alias("__r")
+    strict = _lex_strictly_before(order)
+    eq = F.lit(True)
+    for n in names:
+        eq = eq & (F.col(f"__r.{n}") == F.col(f"__l.{n}"))
+    keep = [F.col(f"__l.{c}") for c in df.columns]
+    aggs = []
+    for src, out, inclusive in sums:
+        val = F.col(f"__r.{src}")
+        aggs.append(
+            F.sum(val if inclusive else F.when(strict, val)).alias(out)
+        )
+    if count_out is not None:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(count_out))
+    return (
+        left.join(F.broadcast(right), strict | eq, "inner")
+        .groupBy(*keep)
+        .agg(*aggs)
+    )

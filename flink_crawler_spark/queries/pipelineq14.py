@@ -150,11 +150,14 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Both engines run the same verbatim BM25 and quality
     chains (the oracle embeds `bm25_search_topk`'s oracle), so fusion
     cannot drift from the rankings it aggregates."""
+    from ..operators.windows import bounded_row_number
+
     bm = bm25_search_topk(spark, sf_dir).select("doc_id", "score")
-    wb = Window.orderBy(F.col("score").desc(), "doc_id")
-    br = bm.select(
-        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm")
-    )
+    # the BM25 side is its own top-20 result: rank the 20-row frame with
+    # the triangular join, not an unpartitioned WindowExec (r7 task 7)
+    br = bounded_row_number(
+        bm, [("score", False), ("doc_id", True)], out="r_bm"
+    ).select("doc_id", F.col("r_bm").cast("long").alias("r_bm"))
     q = t(spark, sf_dir, "documents").select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
     )

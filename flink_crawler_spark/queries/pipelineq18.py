@@ -275,17 +275,16 @@ def info_gain_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = hy.join(cond, "feature").withColumn(
         "info_gain", F.round(F.col("h_y") - F.col("h_cond"), 9)
     )
-    w = Window.orderBy(F.desc("info_gain"), F.asc("feature"))
-    # limit == len(_FEATURES) is a no-op on the data (the frame has
-    # exactly one row per candidate feature) — it exists to make the
-    # bound STRUCTURAL so the partition-less rank window below it is
-    # provably constant-size (r6 window lint)
-    return joined.limit(len(_FEATURES)).select(
-        "feature",
-        "n_values",
-        "info_gain",
-        F.row_number().over(w).cast("long").alias("rnk"),
-    )
+    # one row per candidate feature: rank via the triangular broadcast
+    # self-join — no unpartitioned WindowExec at all (r7 task 7; the r6
+    # structural limit() existed only to satisfy the window lint)
+    from ..operators.windows import bounded_row_number
+
+    return bounded_row_number(
+        joined.select("feature", "n_values", "info_gain"),
+        [("info_gain", False), ("feature", True)],
+        out="rnk",
+    ).select("feature", "n_values", "info_gain", F.col("rnk").cast("long").alias("rnk"))
 
 
 # ---------------------------------------------------------------------------

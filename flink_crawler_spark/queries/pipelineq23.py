@@ -312,13 +312,20 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("n_pos"),
         )
     )
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dec.select(
+    # 10-row decile table: prefix sums via the triangular broadcast
+    # self-join, no unpartitioned WindowExec (r7 task 7)
+    from ..operators.windows import bounded_cumsum
+
+    cum = bounded_cumsum(
+        dec,
+        [("decile", True)],
+        [("n_pos", "cp", True), ("n_rows", "cr", True)],
+    ).select(
         "decile",
         "n_rows",
         "n_pos",
-        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
-        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+        F.col("cp").cast("long").alias("cum_pos"),
+        F.col("cr").cast("long").alias("cum_rows"),
     )
     return cum.crossJoin(F.broadcast(nn)).selectExpr(
         "decile",

@@ -112,9 +112,14 @@ def query_likelihood_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_ll").alias("score_d"))
     )
     top = scored.orderBy(F.desc("score_d"), F.asc("doc_id")).limit(QL_TOPK)
-    w = Window.orderBy(F.desc("score_d"), F.asc("doc_id"))
+    # rank the top-k head with the triangular join — no unpartitioned
+    # WindowExec on the k-row frame (r7 task 7)
+    from ..operators.windows import bounded_row_number
+
     return (
-        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        bounded_row_number(
+            top, [("score_d", False), ("doc_id", True)], out="rnk"
+        )
         .selectExpr(
             "doc_id",
             "dl AS doc_len",

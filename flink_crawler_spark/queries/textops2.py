@@ -184,17 +184,25 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = freq.localCheckpoint(eager=True)  # feeds total + top-k
     tot = freq.agg(F.sum("n").alias("__tot"))
     top = freq.orderBy(F.desc("n"), F.asc("w")).limit(VOCAB_CURVE_K)
-    from pyspark.sql.window import Window
+    # k-row head: rank + running coverage via ONE triangular broadcast
+    # self-join — no unpartitioned WindowExec (r7 task 7)
+    from ..operators.windows import bounded_cumsum
 
-    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
-    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        top.crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn(
-            "coverage",
-            F.round(F.sum("n").over(w_cum).cast("double") / F.col("__tot"), 6),
+        bounded_cumsum(
+            top,
+            [("n", False), ("w", True)],
+            [("n", "cum_n", True)],
+            count_out="rnk",
         )
-        .select("rnk", "w", "n", "coverage")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "w",
+            "n",
+            F.round(F.col("cum_n").cast("double") / F.col("__tot"), 6).alias(
+                "coverage"
+            ),
+        )
         .orderBy("rnk")
     )
