@@ -89,6 +89,13 @@ class CrawlConfig:
     fetch_timeout_sec: float = 100.0  # -timeout (http mode)
     fetchers_per_task: int = 10  # -fetcherspertask (http-mode thread pool)
     parser: str = "regex"  # BasePageParser slot: "regex" (codegen) | "tree" (HTML parser)
+    # Shuffle/exchange partition count scoped to the loop (None = leave
+    # the session's). A bounded replay at default parallelism pays
+    # (cores x exchanges x ticks) of near-empty-task scheduling — the
+    # same floor the stream queries measured (SCALE.md r6 addendum);
+    # sizing this to the frontier batch cut crawl_reachability 15.1 ->
+    # 9.6 s at sf0.1. A production crawl sizes it to its cluster.
+    shuffle_partitions: int | None = None
     codegen: bool = False  # janino codegen inside the loop. Off by default:
     # per-tick literals (now_ms) are inlined into generated sources, so every
     # tick misses the codegen cache and pays a fresh compile — more than the
@@ -234,6 +241,11 @@ def crawl(
         # interpreted expression eval for the tick jobs (see CrawlConfig.codegen)
         loop_confs["spark.sql.codegen.wholeStage"] = "false"
         loop_confs["spark.sql.codegen.factoryMode"] = "NO_CODEGEN"
+    if cfg.shuffle_partitions is not None:
+        # scoped like the confs above: the crawl loop is a driver-side
+        # loop that owns the session for its (synchronous) duration,
+        # and the finally below restores the caller's value
+        loop_confs["spark.sql.shuffle.partitions"] = str(cfg.shuffle_partitions)
     saved = {}
     for k, v in loop_confs.items():
         try:

@@ -106,6 +106,7 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = render_pages(_web_graph(spark, sf_dir))
     seeds = spark.createDataFrame([("http://d1.ex1.com/p/1", 1.0)], ["url", "score"])
+    _, n = _edges(spark, sf_dir)
     cfg = CrawlConfig(
         max_ticks=CRAWL_TICKS,
         max_queue_size=None,  # unbounded: skips the single-partition top-k stage
@@ -113,6 +114,11 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         force_crawl_delay_ms=0,
         trace=False,
         collect_stats=False,
+        # size the loop's exchanges to the graph: ~25k URLs per shuffle
+        # partition, floor 4 — results are partition-independent (oracle
+        # pins them); the default-parallelism floor was 40% of this
+        # query's wall time at sf0.1 (SCALE.md r7)
+        shuffle_partitions=max(4, n // 25_000),
     )
     res = crawl(spark, seeds, pages=pages, config=cfg)
     return res.crawl_state.select("url", "status")
