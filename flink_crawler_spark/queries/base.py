@@ -58,3 +58,44 @@ def ts_millis(col):
 # with the UTC session these match duckdb's epoch_ms(ts) / epoch_ms(ts)//1000
 EV_MS = "unix_millis(cast(ts as timestamp_ltz))"   # epoch millis
 EV_SEC = "unix_seconds(cast(ts as timestamp_ltz))"  # epoch secs
+
+
+# ---------------------------------------------------------------------------
+# r7 (round-6 verdict task 5): the near-dup family's shared shingle base
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def shingle_tables(spark: SparkSession, sf_dir: str, n: int = 3):
+    """Corpus-wide word-``n``-gram shingle tables, computed ONCE per
+    (session, corpus) and memoized:
+
+      sets — ``(doc_id, sh: sorted distinct array<string>)``, eagerly
+             checkpointed (the r1 shingle-once refactor, generalized
+             across the whole family);
+      ex   — ``(doc_id, s)`` exploded view of ``sets``.
+
+    near_dup_threshold_sweep / softdedup_loss_weights /
+    ngram_novelty_score / coverage_budget_curve / the containment +
+    calibration verifies all start from this identical structure; a
+    production pipeline materializes it once per corpus snapshot instead
+    of re-shingling per consumer. The checkpoint is session-lived and
+    O(corpus shingles) — the same frame each query previously pinned
+    privately."""
+    from pyspark.sql import functions as F
+
+    key = (spark, sf_dir, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        from ..operators import ensure_parallelism
+        from ..operators.dedup import shingles_expr
+
+        docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+        sets = docs.select(
+            "doc_id", F.array_sort(shingles_expr(F.col("text"), n)).alias("sh")
+        ).localCheckpoint(eager=True)
+        ex = sets.select("doc_id", F.explode("sh").alias("s"))
+        hit = (sets, ex)
+        _SHINGLE_CACHE[key] = hit
+    return hit

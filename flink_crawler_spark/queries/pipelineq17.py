@@ -64,10 +64,9 @@ def softdedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the MinHash cost envelope, no pairwise anything; at 100 TB
     the shingle-count table is the only large intermediate and it
     shuffles once."""
-    docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_expr(F.col("text"), 3)).alias("s")
-    ).localCheckpoint(eager=True)
+    from .base import shingle_tables
+
+    _, sh = shingle_tables(spark, sf_dir, 3)
     c = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
     d = (
         sh.join(c, "s")

@@ -190,11 +190,16 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bloom_bucket_prefilter operator is the scale path)."""
     from ..operators.dedup import shingles_expr
 
-    tk = t(spark, sf_dir, "documents").select(
+    from .base import shingle_tables
+
+    _, ex = shingle_tables(spark, sf_dir, 3)
+    # the train gate is md5(doc_id)-derived — compute it ON the shared
+    # exploded table instead of re-shingling privately
+    tk = ex.select(
         "doc_id",
         F.expr(f"CASE WHEN {_NOV_TRAIN_SPARK} THEN 1 ELSE 0 END").alias("is_train"),
-        F.explode(shingles_expr(F.col("text"), 3)).alias("s"),
-    ).localCheckpoint(eager=True)
+        "s",
+    )
     train_set = tk.where(F.col("is_train") == 1).select("s").distinct()
     test_sh = tk.where(F.col("is_train") == 0).select("doc_id", "s")
     j = (

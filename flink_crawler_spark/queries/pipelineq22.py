@@ -186,11 +186,10 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the prefix/length filters of the ppjoin operator bound it,
     and the sweep itself adds zero shuffles (one conditional aggregate
     over the pair table)."""
-    tk = t(spark, sf_dir, "documents").select(
-        "doc_id", shingles_expr(F.col("text"), 3).alias("sh")
-    ).localCheckpoint(eager=True)
+    from .base import shingle_tables
+
+    tk, ex = shingle_tables(spark, sf_dir, 3)
     sz = tk.select("doc_id", F.size("sh").cast("long").alias("n"))
-    ex = tk.select("doc_id", F.explode("sh").alias("s"))
     ea = ex.selectExpr("doc_id AS id_a", "s")
     eb = ex.selectExpr("doc_id AS id_b", "s")
     shared = (

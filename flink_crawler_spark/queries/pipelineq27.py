@@ -99,7 +99,9 @@ def coverage_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("neg_q", -F.col("quality")), ["neg_q", "doc_id"], out="rnk"
     ).select("doc_id", F.col("rnk").cast("long").alias("rnk"))
     nn = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sh = docs.select("doc_id", F.explode(shingles_expr(F.col("text"), 3)).alias("s"))
+    from .base import shingle_tables
+
+    _, sh = shingle_tables(spark, sf_dir, 3)
     smin = (
         sh.join(r, "doc_id")
         .groupBy("s")

@@ -292,13 +292,11 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
-    # ensure_parallelism BEFORE the shingle projection: a single-file
-    # scan would otherwise compute every doc's shingle set in one task
-    # (measured 4x on the whole query at sf0.1 vs ngram_jaccard_pairs,
-    # which already spreads it)
-    sh = ensure_parallelism(docs).select(
-        "doc_id", F.array_sort(shingles_expr(F.col("text"), 3)).alias("sh")
-    ).localCheckpoint(eager=True)
+    # shared family shingle base (already ensure_parallelism'd and
+    # checkpointed once per session+corpus)
+    from .base import shingle_tables
+
+    sh, _ = shingle_tables(spark, sf_dir, 3)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return (
         pairs.join(
