@@ -170,6 +170,24 @@ nll AS (
 )"""
 
 
+_BIGRAM_NLL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def bigram_nll_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM scores (doc_id, n_bigrams, avg_nll), computed
+    once per (session, corpus) and memoized — ccnet_bigram_nll emits it
+    directly and ccnet_perplexity_buckets ranks it; a production CCNet
+    stage scores the corpus once and every downstream read reuses the
+    table (the r7 shared-builder pattern, like queries/base.py
+    shingle_tables)."""
+    key = (spark, sf_dir)
+    hit = _BIGRAM_NLL_CACHE.get(key)
+    if hit is None:
+        hit = doc_bigram_nll(t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+        _BIGRAM_NLL_CACHE[key] = hit
+    return hit
+
+
 def doc_bigram_nll(d: DataFrame) -> DataFrame:
     """Per-doc average NLL under an add-k corpus bigram LM
     (doc_id, n_bigrams, avg_nll) — the Spark twin of BIGRAM_NLL_CTES.
@@ -223,7 +241,7 @@ def ccnet_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs into head/middle/tail by KenLM perplexity; the bigram LM is
     the exactly-reproducible analogue, fit and applied in one job.
     See doc_bigram_nll for the 100 TB plan shape."""
-    return doc_bigram_nll(t(spark, sf_dir, "documents"))
+    return bigram_nll_table(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ from .dedupq import (
     _sigs_sql,
 )
 from .dedupq import DUCK_TOKS as DEDUP_TOKS  # dedup-chain token class
-from .pipelineq5 import BIGRAM_NLL_CTES, doc_bigram_nll
+from .pipelineq5 import BIGRAM_NLL_CTES, bigram_nll_table
 from .simq import DIM
 
 # ---------------------------------------------------------------------------
@@ -82,7 +82,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominant language (half the web) through one task. Per-language
     totals are a tiny broadcast (~hundreds of languages)."""
     d = t(spark, sf_dir, "documents")
-    j = doc_bigram_nll(d).join(d.select("doc_id", "lang"), "doc_id")
+    j = bigram_nll_table(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
     rk = distributed_keyed_row_number(
         j, ["lang"], [F.asc("avg_nll"), F.asc("doc_id")], out="rn"
     )
