@@ -587,6 +587,12 @@ def _strip_tags(txt: str) -> str:
     return " ".join(_re.sub(TAG_RE, " ", txt).split())
 
 
+def _unescape_xml(txt: str) -> str:
+    import html
+
+    return html.unescape(txt)
+
+
 def _parse_feed_rss(txt: str) -> tuple[str, str, list[str]]:
     """RSS 2.0: channel title; item titles + descriptions as text;
     item links as outlinks (Tika's FeedParser read, minus syndication
@@ -712,6 +718,75 @@ def _parse_xml_doc(txt: str) -> tuple[str, str, list[str]]:
     return "", _strip_tags(txt), []
 
 
+def _parse_docx_doc(content: bytes) -> tuple[str, str, list[str]]:
+    """OOXML WordprocessingML (.docx) text extraction — the Tika office
+    tier (``parser/SimplePageParser.java:180-205`` routes these through
+    AutoDetectParser). A docx is a zip: body text lives in
+    ``word/document.xml`` as ``<w:t>`` runs (``<w:p>`` paragraph
+    boundaries become whitespace), the title in ``docProps/core.xml``
+    ``<dc:title>``, and external hyperlinks in the relationship targets
+    of ``word/_rels/document.xml.rels`` (TargetMode="External" — the
+    document.xml anchor carries only the r:id). stdlib zipfile + the
+    repo's regex-XML idiom; any malformed container raises and maps to
+    ERROR_PARSING_ERROR in the watchdog."""
+    import io
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        doc = z.read("word/document.xml").decode("utf-8", "replace")
+        title = ""
+        if "docProps/core.xml" in z.namelist():
+            core = z.read("docProps/core.xml").decode("utf-8", "replace")
+            m = _re.search(r"<dc:title>(.*?)</dc:title>", core, _re.DOTALL)
+            title = _unescape_xml(m.group(1).strip()) if m else ""
+        links: list[str] = []
+        rels_name = "word/_rels/document.xml.rels"
+        if rels_name in z.namelist():
+            rels = z.read(rels_name).decode("utf-8", "replace")
+            # attribute order is not fixed: match Target=/TargetMode= in
+            # either order within one <Relationship .../> element
+            links = [
+                _unescape_xml(g or h)
+                for g, h in _re.findall(
+                    r'Target="([^"]+)"[^>]*TargetMode="External"|'
+                    r'TargetMode="External"[^>]*Target="([^"]+)"',
+                    rels,
+                )
+                if g or h
+            ]
+    # paragraphs -> whitespace, then concatenate the <w:t> runs
+    body = _re.sub(r"</w:p>", " ", doc)
+    runs = _re.findall(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", body, _re.DOTALL)
+    text = " ".join(" ".join(_unescape_xml(r) for r in runs).split())
+    return title, text, links
+
+
+def _parse_odt_doc(content: bytes) -> tuple[str, str, list[str]]:
+    """ODF text (.odt) extraction, the OpenDocument twin of
+    ``_parse_docx_doc``: body in ``content.xml`` (tag-stripped with
+    paragraph boundaries as whitespace), title in ``meta.xml``
+    ``<dc:title>``, hyperlinks as ``xlink:href`` attributes of
+    ``<text:a>`` anchors."""
+    import io
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        doc = z.read("content.xml").decode("utf-8", "replace")
+        title = ""
+        if "meta.xml" in z.namelist():
+            meta = z.read("meta.xml").decode("utf-8", "replace")
+            m = _re.search(r"<dc:title>(.*?)</dc:title>", meta, _re.DOTALL)
+            title = _unescape_xml(m.group(1).strip()) if m else ""
+    links = [
+        _unescape_xml(m.group(1))
+        for m in _re.finditer(r'<text:a\s[^>]*xlink:href="([^"]+)"', doc)
+    ]
+    text = " ".join(_strip_tags(_re.sub(r"</text:(p|h)>", " ", doc)).split())
+    return title, text, links
+
+
 def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: int):
     """(title, parsed_text, outlinks) for one document, by content type."""
     from ..functions.charset import decode_bytes
@@ -737,6 +812,12 @@ def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: in
         return _parse_csv_doc(decode_bytes(content, content_type))
     if ctype in ("application/json", "application/ld+json"):
         return _parse_json_doc(decode_bytes(content, content_type))
+    if ctype in (
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ):
+        return _parse_docx_doc(content)
+    if ctype in ("application/vnd.oasis.opendocument.text",):
+        return _parse_odt_doc(content)
     raise _UnsupportedType(ctype)
 
 

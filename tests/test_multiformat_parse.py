@@ -238,3 +238,101 @@ def test_markdown_csv_json_parse(spark):
     # malformed JSON -> parse error status, not a crash
     bad = _fetch_rows(spark, [("b", b"{nope", "application/json")])
     assert parse_pages_multiformat(bad).collect()[0]["parse_status"] == "ERROR_PARSING_ERROR"
+
+
+# ---------------------------------------------------------------------------
+# r7: binary office formats (OOXML docx / ODF odt) — the Tika office tier
+# the r6 verdict flagged as absent (SimplePageParser routes these through
+# AutoDetectParser). Containers built with stdlib zipfile, like real files.
+# ---------------------------------------------------------------------------
+
+DOCX_CT = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+ODT_CT = "application/vnd.oasis.opendocument.text"
+
+
+def _make_docx(title, paragraphs, links=()):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/hyperlink" Target="{u}" '
+        f'TargetMode="External"/>'
+        for i, u in enumerate(links, start=10)
+    )
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "word/document.xml",
+            f'<?xml version="1.0"?><w:document xmlns:w="x"><w:body>{body}</w:body></w:document>',
+        )
+        z.writestr(
+            "docProps/core.xml",
+            f'<?xml version="1.0"?><cp:coreProperties xmlns:dc="d"><dc:title>{title}</dc:title></cp:coreProperties>',
+        )
+        z.writestr(
+            "word/_rels/document.xml.rels",
+            f'<?xml version="1.0"?><Relationships>{rels}</Relationships>',
+        )
+    return buf.getvalue()
+
+
+def _make_odt(title, paragraphs, links=()):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    anchors = "".join(
+        f'<text:a xlink:type="simple" xlink:href="{u}">link</text:a>' for u in links
+    )
+    body = (
+        "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+        + f"<text:p>{anchors}</text:p>"
+    )
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "content.xml",
+            f'<?xml version="1.0"?><office:document-content>{body}</office:document-content>',
+        )
+        z.writestr(
+            "meta.xml",
+            f'<?xml version="1.0"?><office:document-meta><dc:title>{title}</dc:title></office:document-meta>',
+        )
+    return buf.getvalue()
+
+
+def test_docx_odt_parse(spark):
+    docx = _make_docx(
+        "Quarterly &amp; Report", ["Hello docx", "Second para"],
+        ["http://ext.example.com/a", "http://ext.example.com/b"],
+    )
+    odt = _make_odt(
+        "ODT &amp; Title", ["Hello odt body"], ["http://ext.example.com/c"]
+    )
+    rows = _fetch_rows(
+        spark,
+        [
+            ("doc.docx", docx, DOCX_CT),
+            ("doc.odt", odt, ODT_CT),
+            ("broken.docx", b"PK\x03\x04not-a-zip", DOCX_CT),
+        ],
+    )
+    out = {
+        r["url"].rsplit("/", 1)[1]: r.asDict()
+        for r in parse_pages_multiformat(rows).collect()
+    }
+    d = out["doc.docx"]
+    assert d["parse_status"] == "PARSED"
+    assert d["title"] == "Quarterly & Report"
+    assert d["parsed_text"] == "Hello docx Second para"
+    assert d["outlinks"] == ["http://ext.example.com/a", "http://ext.example.com/b"]
+    o = out["doc.odt"]
+    assert o["parse_status"] == "PARSED"
+    assert o["title"] == "ODT & Title"
+    assert o["parsed_text"] == "Hello odt body link"
+    assert o["outlinks"] == ["http://ext.example.com/c"]
+    # malformed container -> parsing error, never a crashed stage
+    assert out["broken.docx"]["parse_status"] == "ERROR_PARSING_ERROR"

@@ -108,3 +108,69 @@ def test_arrow_byte_stats_empty_blob_guard(spark):
     empty_docs = spark.createDataFrame([(7, "")], ["doc_id", "text"])
     r = arrow_byte_stats(synthesize_media(empty_docs)).collect()[0]
     assert r["n_bytes"] == 0 and r["first_byte"] is None
+
+
+# ---------------------------------------------------------------------------
+# r7: JPEG/EXIF metadata extraction — real marker/TIFF-IFD parsing, no
+# image library (pixel decode stays behind the PIL gate; metadata does not
+# need it). Synthetic-but-VALID jpeg marker streams built byte-by-byte.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg(width=640, height=480, orientation=None, endian="II"):
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    if orientation is not None:
+        if endian == "II":
+            tiff = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            tiff += struct.pack("<H", 1)  # one IFD entry
+            tiff += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", orientation) + b"\x00\x00"
+            tiff += struct.pack("<I", 0)
+        else:
+            tiff = b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+            tiff += struct.pack(">H", 1)
+            tiff += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", orientation) + b"\x00\x00"
+            tiff += struct.pack(">I", 0)
+        app1 = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    sof = b"\x08" + struct.pack(">HH", height, width) + b"\x03" + b"\x01\x11\x00" * 3
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_parse_jpeg_meta_pure():
+    from flink_crawler_spark.operators.multimodal import parse_jpeg_meta
+
+    m = parse_jpeg_meta(_jpeg(800, 600, orientation=6))
+    assert (m["is_jpeg"], m["width"], m["height"], m["n_components"]) == (True, 800, 600, 3)
+    assert m["exif_present"] and m["orientation"] == 6
+    # big-endian (MM) TIFF reads identically
+    mm = parse_jpeg_meta(_jpeg(320, 240, orientation=3, endian="MM"))
+    assert (mm["width"], mm["height"], mm["orientation"]) == (320, 240, 3)
+    # no EXIF segment
+    p = parse_jpeg_meta(_jpeg(64, 48))
+    assert p["is_jpeg"] and not p["exif_present"] and p["orientation"] is None
+    # hostile inputs never raise
+    assert parse_jpeg_meta(b"") == {
+        "is_jpeg": False, "width": None, "height": None,
+        "n_components": None, "orientation": None, "exif_present": False,
+    }
+    assert parse_jpeg_meta(b"\xff\xd8\xff\xc0\x00\x02")["is_jpeg"] is True
+    assert parse_jpeg_meta(b"PNG not jpeg")["is_jpeg"] is False
+
+
+def test_jpeg_meta_distributed(spark):
+    from flink_crawler_spark.operators.multimodal import jpeg_meta
+
+    rows = [
+        (1, _jpeg(800, 600, orientation=8)),
+        (2, _jpeg(100, 50)),
+        (3, b"not an image"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r["media_id"]: r.asDict() for r in jpeg_meta(media).collect()}
+    assert got[1]["width"] == 800 and got[1]["orientation"] == 8
+    assert got[2]["height"] == 50 and got[2]["exif_present"] is False
+    assert got[3]["is_jpeg"] is False and got[3]["width"] is None
