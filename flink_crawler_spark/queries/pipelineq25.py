@@ -322,9 +322,16 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN pos_a * n_b < pos_b * n_a THEN -1 ELSE 0 END AS stratum_sign",
         "CASE WHEN tpa * tnb > tpb * tna THEN 1"
         " WHEN tpa * tnb < tpb * tna THEN -1 ELSE 0 END AS agg_sign",
+    ).localCheckpoint(eager=True)  # consumed by the flag agg AND the output
+    # global "any stratum agrees with the aggregate" flag: a broadcast
+    # 1-row aggregate crossJoin instead of an unbounded unpartitioned
+    # window over the (years-bounded) stratum table (r7 task 7)
+    any_agree = sgn.agg(
+        F.max(
+            F.when(F.col("stratum_sign") == F.col("agg_sign"), 1).otherwise(0)
+        ).alias("__any_agree")
     )
-    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return sgn.select(
+    return sgn.crossJoin(F.broadcast(any_agree)).select(
         "yr",
         "pos_a",
         "n_a",
@@ -337,14 +344,7 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum_sign",
         "agg_sign",
         F.when(
-            (
-                F.max(
-                    F.when(F.col("stratum_sign") == F.col("agg_sign"), 1).otherwise(0)
-                ).over(w)
-                == 0
-            )
-            & (F.col("agg_sign") != 0),
-            1,
+            (F.col("__any_agree") == 0) & (F.col("agg_sign") != 0), 1
         )
         .otherwise(0)
         .alias("paradox_flag"),

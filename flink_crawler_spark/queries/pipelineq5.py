@@ -425,18 +425,22 @@ def word_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = wc.agg(F.sum("cnt").cast("double").alias("n"))
     top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(WR_TOPK)
-    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
-    cum = Window.orderBy(F.desc("cnt"), F.asc("w")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # k-row head: rank + running share via the triangular broadcast
+    # self-join — no unpartitioned WindowExec (r7 task 7)
+    from ..operators.windows import bounded_cumsum
+
     return (
-        top.crossJoin(F.broadcast(tot))
+        bounded_cumsum(
+            top, [("cnt", False), ("w", True)], [("cnt", "cum_cnt", True)],
+            count_out="rank",
+        )
+        .crossJoin(F.broadcast(tot))
         .select(
-            F.row_number().over(w).cast("long").alias("rank"),
+            F.col("rank").cast("long").alias("rank"),
             F.col("w").alias("word"),
             "cnt",
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-            F.round(F.sum("cnt").over(cum).cast("double") / F.col("n"), 6).alias(
+            F.round(F.col("cum_cnt").cast("double") / F.col("n"), 6).alias(
                 "cum_share"
             ),
         )
