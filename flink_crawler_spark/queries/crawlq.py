@@ -570,11 +570,19 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dist = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
-    for _ in range(SSSP_ROUNDS):
+    for r in range(SSSP_ROUNDS):
         relax = dist.join(F.broadcast(edges), dist.node == edges.src).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         dist = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        if r == SSSP_ROUNDS // 2 - 1:
+            # halve the analyzed/codegen'd plan depth: the 8-deep nested
+            # agg tree's compile cost dwarfed its ≤5k-row compute
+            # (measured 5.1 -> 2.7 s at sf0.1); one mid-loop checkpoint
+            # job is the cheaper trade, exactly opposite to
+            # facility_location's per-round checkpoints (whose frames
+            # were consumed once each)
+            dist = dist.localCheckpoint(eager=True)
     return dist.select("node", "dist")
 
 
