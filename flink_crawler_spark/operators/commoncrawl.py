@@ -351,6 +351,31 @@ def archive_fetch(
 # ---------------------------------------------------------------------------
 
 
+def _read_through_cache(
+    cache_dir: str, src_key: str, basename: str, materialize, offset: int, length: int
+) -> bytes:
+    """One SegmentCache protocol for every reader (file copy or HTTP
+    download — ``materialize(tmp_path)`` writes the whole segment):
+    cache key = md5 of the RESOLVED source (two readers sharing a
+    cache_dir, or equal basenames in different segment dirs, must not
+    serve bytes from the wrong segment), ``.tmp-<pid>`` staging +
+    ``os.replace`` so concurrent workers race safely, then a plain
+    seek/read of the local copy."""
+    import hashlib
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    digest = hashlib.md5(src_key.encode("utf-8")).hexdigest()[:16]
+    cached = os.path.join(cache_dir, digest + "-" + basename)
+    if not os.path.exists(cached):
+        tmp = cached + ".tmp-" + str(os.getpid())
+        materialize(tmp)
+        os.replace(tmp, cached)
+    with open(cached, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
 def http_range_reader(base_url: str, *, timeout_s: float = 10.0, cache_dir: str | None = None):
     """Ranged-GET reader over HTTP(S) — the live stand-in for the S3
     ``GetObjectRequest.setRange`` call the reference's CommonCrawlFetcher
@@ -372,22 +397,17 @@ def http_range_reader(base_url: str, *, timeout_s: float = 10.0, cache_dir: str 
     def read(filename: str, offset: int, length: int) -> bytes:
         url = base + "/" + filename.lstrip("/")
         if cache_dir is not None:
-            import hashlib
             import shutil
 
-            os.makedirs(cache_dir, exist_ok=True)
-            digest = hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
-            cached = os.path.join(cache_dir, digest + "-" + os.path.basename(filename))
-            if not os.path.exists(cached):
-                tmp = cached + ".tmp-" + str(os.getpid())
+            def materialize(tmp: str) -> None:
                 with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(
                     tmp, "wb"
                 ) as out:
                     shutil.copyfileobj(resp, out)
-                os.replace(tmp, cached)
-            with open(cached, "rb") as f:
-                f.seek(offset)
-                return f.read(length)
+
+            return _read_through_cache(
+                cache_dir, url, os.path.basename(filename), materialize, offset, length
+            )
         req = urllib.request.Request(
             url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
         )
@@ -414,25 +434,16 @@ def cached_range_reader(archive_dir: str, cache_dir: str | None = None):
 
     def read(filename: str, offset: int, length: int) -> bytes:
         src = filename if os.path.isabs(filename) else os.path.join(archive_dir, filename)
-        path = src
         if cache_dir is not None:
-            import hashlib
-
-            os.makedirs(cache_dir, exist_ok=True)
-            # Key by a digest of the RESOLVED path (src), not the raw CDX
-            # filename: two readers with different archive_dirs sharing a
-            # cache_dir, or equal basenames in different segment dirs,
-            # must not collide and serve bytes from the wrong segment.
-            digest = hashlib.md5(src.encode("utf-8")).hexdigest()[:16]
-            cached = os.path.join(
-                cache_dir, digest + "-" + os.path.basename(filename)
+            return _read_through_cache(
+                cache_dir,
+                src,
+                os.path.basename(filename),
+                lambda tmp: shutil.copyfile(src, tmp),
+                offset,
+                length,
             )
-            if not os.path.exists(cached):
-                tmp = cached + ".tmp-" + str(os.getpid())
-                shutil.copyfile(src, tmp)
-                os.replace(tmp, cached)  # atomic: concurrent workers race safely
-            path = cached
-        with open(path, "rb") as f:
+        with open(src, "rb") as f:
             f.seek(offset)
             return f.read(length)
 

@@ -169,6 +169,13 @@ def parse_jpeg_meta(data: bytes) -> dict:
         while i + 4 <= len(data):
             if data[i] != 0xFF:
                 break
+            # spec-legal fill bytes: any number of 0xFF may pad before a
+            # marker — skip them or the walk reads garbage segment
+            # lengths and misses the real SOF/EXIF (r7 review finding)
+            while i + 4 <= len(data) and data[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(data):
+                break
             marker = data[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length

@@ -755,10 +755,20 @@ def _parse_docx_doc(content: bytes) -> tuple[str, str, list[str]]:
                 )
                 if g or h
             ]
-    # paragraphs -> whitespace, then concatenate the <w:t> runs
-    body = _re.sub(r"</w:p>", " ", doc)
-    runs = _re.findall(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", body, _re.DOTALL)
-    text = " ".join(" ".join(_unescape_xml(r) for r in runs).split())
+    # Word splits runs MID-WORD at every formatting/rsid boundary, so
+    # <w:t> runs inside one paragraph concatenate with NO separator;
+    # only paragraph ends and explicit tab/break elements become
+    # whitespace. (Joining runs with spaces corrupted 'Hel|lo' into
+    # 'Hel lo' — caught in the r7 review.)
+    paras = _re.findall(r"<w:p[\s>].*?</w:p>|<w:p/>", doc, _re.DOTALL)
+    pieces = []
+    for p in paras:
+        # tab/break ELEMENTS are siblings of the <w:t> runs — turn them
+        # into a one-space run so they survive the run extraction
+        p = _re.sub(r"<w:(?:tab|br|cr)\b[^>]*/?>", "<w:t> </w:t>", p)
+        runs = _re.findall(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", p, _re.DOTALL)
+        pieces.append("".join(_unescape_xml(r) for r in runs))
+    text = " ".join(" ".join(pieces).split())
     return title, text, links
 
 
@@ -783,7 +793,13 @@ def _parse_odt_doc(content: bytes) -> tuple[str, str, list[str]]:
         _unescape_xml(m.group(1))
         for m in _re.finditer(r'<text:a\s[^>]*xlink:href="([^"]+)"', doc)
     ]
-    text = " ".join(_strip_tags(_re.sub(r"</text:(p|h)>", " ", doc)).split())
+    # paragraph/heading ends, explicit tabs and line breaks become
+    # whitespace; every OTHER tag (inline spans, anchors) is removed with
+    # NO separator — inline markup splits words mid-word exactly like
+    # docx runs ('Hel<text:span>lo</text:span>' is 'Hello')
+    body = _re.sub(r"</text:(?:p|h)>|<text:(?:tab|line-break)\b[^>]*/?>", " ", doc)
+    body = _re.sub(TAG_RE, "", body)
+    text = " ".join(_unescape_xml(body).split())
     return title, text, links
 
 

@@ -168,14 +168,22 @@ def salted_count_distinct(
 def _lex_strictly_before(order: list[tuple[str, bool]]):
     """Lexicographic '__r row sorts strictly before __l row' predicate for
     an order spec [(col, ascending)] — the join condition that replaces an
-    unpartitioned Window's ordering."""
+    unpartitioned Window's ordering.
+
+    NULL-safe with Spark's Window ordering semantics (asc = NULLS FIRST,
+    desc = NULLS LAST): a plain ``<`` would make NULL keys match nothing,
+    silently dropping their rows from the cumsum's inner join and giving
+    every NULL-key row rank 1 (r7 review finding)."""
     cond = F.lit(False)
     eqs = F.lit(True)
     for name, asc in order:
         lc, rc = F.col(f"__l.{name}"), F.col(f"__r.{name}")
-        step = (rc < lc) if asc else (rc > lc)
+        if asc:  # NULLS FIRST: a null sorts before every non-null
+            step = (rc.isNull() & lc.isNotNull()) | (rc < lc)
+        else:  # NULLS LAST: every non-null sorts before a null
+            step = (lc.isNull() & rc.isNotNull()) | (rc > lc)
         cond = cond | (eqs & step)
-        eqs = eqs & (rc == lc)
+        eqs = eqs & rc.eqNullSafe(lc)
     return cond
 
 
@@ -195,13 +203,15 @@ def bounded_row_number(df: DataFrame, order: list[tuple[str, bool]], *, out: str
     """
     names = [n for n, _ in order]
     left = df.alias("__l")
-    right = df.select(*names).alias("__r")
+    # __one marks a MATCHED row: counting a (possibly NULL) key column
+    # would undercount predecessors whose first key is NULL
+    right = df.select(*names).withColumn("__one", F.lit(1)).alias("__r")
     strict = _lex_strictly_before(order)
     keep = [F.col(f"__l.{c}") for c in df.columns]
     return (
         left.join(F.broadcast(right), strict, "left")
         .groupBy(*keep)
-        .agg((F.count(F.col(f"__r.{names[0]}")) + 1).cast("long").alias(out))
+        .agg((F.count(F.col("__r.__one")) + 1).cast("long").alias(out))
     )
 
 
@@ -228,7 +238,7 @@ def bounded_cumsum(
     strict = _lex_strictly_before(order)
     eq = F.lit(True)
     for n in names:
-        eq = eq & (F.col(f"__r.{n}") == F.col(f"__l.{n}"))
+        eq = eq & F.col(f"__r.{n}").eqNullSafe(F.col(f"__l.{n}"))
     keep = [F.col(f"__l.{c}") for c in df.columns]
     aggs = []
     for src, out, inclusive in sums:

@@ -99,3 +99,20 @@ def shingle_tables(spark: SparkSession, sf_dir: str, n: int = 3):
         hit = (sets, ex)
         _SHINGLE_CACHE[key] = hit
     return hit
+
+
+def clear_query_caches() -> None:
+    """Drop every memoized family materialization (shingle base, cluster
+    assignment, bigram-LM scores, merged crawl state). Two callers need
+    this: measurement harnesses that must time each query's FULL cost
+    (tools/scaling_curves.py clears between timed runs so a cache hit is
+    never recorded as a query's scaling point), and any tool that
+    rewrites a corpus directory mid-session (the caches key on the path,
+    not the data). Dropping the references lets Spark's ContextCleaner
+    reclaim the checkpointed blocks."""
+    _SHINGLE_CACHE.clear()
+    from . import core, dedupq, pipelineq5
+
+    core._MERGED_STATE_CACHE.clear()
+    dedupq._CLUSTER_CACHE.clear()
+    pipelineq5._BIGRAM_NLL_CACHE.clear()

@@ -61,8 +61,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     return e1.unionByName(e2), n
 
 
-def _web_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, _ = _edges(spark, sf_dir)
+def _web_graph(spark: SparkSession, sf_dir: str, edges: DataFrame | None = None) -> DataFrame:
+    if edges is None:
+        edges, _ = _edges(spark, sf_dir)
     return edges.select(
         _url_expr(F.col("id")).alias("page_url"),
         F.lit(1.0).alias("page_score"),
@@ -104,9 +105,11 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     T ticks: depth < T => FETCHED, depth == T => discovered UNFETCHED."""
     from ..plans.crawl_loop import CrawlConfig, crawl
 
-    pages = render_pages(_web_graph(spark, sf_dir))
+    # ONE _edges call: its part.count() is an eager action, and
+    # _web_graph would otherwise re-run it (r7 review finding)
+    edges, n = _edges(spark, sf_dir)
+    pages = render_pages(_web_graph(spark, sf_dir, edges))
     seeds = spark.createDataFrame([("http://d1.ex1.com/p/1", 1.0)], ["url", "score"])
-    _, n = _edges(spark, sf_dir)
     cfg = CrawlConfig(
         max_ticks=CRAWL_TICKS,
         max_queue_size=None,  # unbounded: skips the single-partition top-k stage

@@ -304,6 +304,40 @@ def _make_odt(title, paragraphs, links=()):
     return buf.getvalue()
 
 
+def test_docx_odt_runs_concatenate_without_separator():
+    """Word splits runs MID-WORD at rsid/formatting boundaries and ODT
+    wraps spans inline: run/span boundaries must NOT become spaces
+    (r7 review finding), while paragraph ends and tabs must."""
+    import io
+    import zipfile
+
+    from flink_crawler_spark.operators.parse import _parse_docx_doc, _parse_odt_doc
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "word/document.xml",
+            '<w:document><w:body>'
+            "<w:p><w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>A</w:t></w:r><w:tab/><w:r><w:t>B</w:t></w:r></w:p>"
+            "</w:body></w:document>",
+        )
+    _, text, _ = _parse_docx_doc(buf.getvalue())
+    assert text == "Hello A B"
+
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr(
+            "content.xml",
+            "<office:document-content>"
+            "<text:p>Hel<text:span>lo</text:span></text:p>"
+            "<text:p>A<text:tab/>B</text:p>"
+            "</office:document-content>",
+        )
+    _, text2, _ = _parse_odt_doc(buf2.getvalue())
+    assert text2 == "Hello A B"
+
+
 def test_docx_odt_parse(spark):
     docx = _make_docx(
         "Quarterly &amp; Report", ["Hello docx", "Second para"],

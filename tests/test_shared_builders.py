@@ -106,3 +106,30 @@ def test_stream_session_isolates_shuffle_partitions(spark):
     assert clone.conf.get("spark.sql.session.timeZone") == spark.conf.get(
         "spark.sql.session.timeZone"
     )
+
+
+def test_bounded_helpers_null_keys_match_window(spark):
+    """r7 review: NULL order keys must follow Spark's Window ordering
+    (asc = NULLS FIRST, desc = NULLS LAST) — not vanish from the cumsum
+    or collapse to duplicate rank 1."""
+    rows = [(1, None), (2, 3.0), (3, 1.0), (4, None), (5, 2.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    for asc in (True, False):
+        order = [("v", asc), ("k", True)]
+        wspec = [(F.asc("v") if asc else F.desc("v")), F.asc("k")]
+        w = Window.orderBy(*wspec)
+        got = bounded_row_number(df, order, out="rn").select("k", "rn")
+        want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+        wi = w.rowsBetween(Window.unboundedPreceding, 0)
+        got2 = bounded_cumsum(df, order, [("k", "ck", True)], count_out="cnt").select(
+            "k", "ck", "cnt"
+        )
+        want2 = df.select(
+            "k",
+            F.sum("k").over(wi).alias("ck"),
+            F.count(F.lit(1)).over(wi).cast("long").alias("cnt"),
+        )
+        assert got2.subtract(want2).count() == 0 and want2.subtract(got2).count() == 0

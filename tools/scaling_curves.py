@@ -349,6 +349,13 @@ def main():
             fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
             results[fam][m] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
+            # the memoized family builders (shingle base, cluster
+            # assignment, bigram LM, merged crawl state) would otherwise
+            # let a later family time a CACHE HIT as its scaling point —
+            # every measured run must pay its query's full cost
+            from flink_crawler_spark.queries.base import clear_query_caches
+
+            clear_query_caches()
 
     all_sizes = sorted({m for r in results.values() for m in r})
     print(
