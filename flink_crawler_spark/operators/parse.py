@@ -772,6 +772,100 @@ def _parse_docx_doc(content: bytes) -> tuple[str, str, list[str]]:
     return title, text, links
 
 
+def _parse_xlsx_doc(content: bytes) -> tuple[str, str, list[str]]:
+    """OOXML SpreadsheetML (.xlsx) text extraction: the shared-string
+    table (``xl/sharedStrings.xml`` — one ``<si>`` per distinct cell
+    string, runs concatenated run-tight like docx) plus inline numeric
+    cell values from each worksheet, in sheet order; title from
+    ``docProps/core.xml``; hyperlinks from every sheet's external
+    relationship targets."""
+    import io
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        names = z.namelist()
+        title = ""
+        if "docProps/core.xml" in names:
+            core = z.read("docProps/core.xml").decode("utf-8", "replace")
+            m = _re.search(r"<dc:title>(.*?)</dc:title>", core, _re.DOTALL)
+            title = _unescape_xml(m.group(1).strip()) if m else ""
+        texts: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            ss = z.read("xl/sharedStrings.xml").decode("utf-8", "replace")
+            for si in _re.findall(r"<si>(.*?)</si>", ss, _re.DOTALL):
+                runs = _re.findall(r"<t(?:\s[^>]*)?>(.*?)</t>", si, _re.DOTALL)
+                texts.append("".join(_unescape_xml(r) for r in runs))
+        links: list[str] = []
+        for n in sorted(names):
+            if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n):
+                sheet = z.read(n).decode("utf-8", "replace")
+                # numeric cells carry their value inline (t="s" cells
+                # index the shared-string table already extracted above)
+                texts += [
+                    _unescape_xml(v)
+                    for v in _re.findall(
+                        r'<c(?![^>]*t="s")[^>]*><v>(.*?)</v>', sheet, _re.DOTALL
+                    )
+                ]
+            elif _re.fullmatch(r"xl/worksheets/_rels/sheet\d+\.xml\.rels", n):
+                rels = z.read(n).decode("utf-8", "replace")
+                links += [
+                    _unescape_xml(g or h)
+                    for g, h in _re.findall(
+                        r'Target="([^"]+)"[^>]*TargetMode="External"|'
+                        r'TargetMode="External"[^>]*Target="([^"]+)"',
+                        rels,
+                    )
+                    if g or h
+                ]
+    return title, " ".join(" ".join(texts).split()), links
+
+
+def _parse_pptx_doc(content: bytes) -> tuple[str, str, list[str]]:
+    """OOXML PresentationML (.pptx): ``<a:t>`` runs per slide, slides in
+    numeric order, runs concatenated run-tight within a paragraph
+    (``</a:p>`` is the whitespace boundary, as in docx); title from
+    ``docProps/core.xml``; hyperlinks from slide relationship targets."""
+    import io
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        names = z.namelist()
+        title = ""
+        if "docProps/core.xml" in names:
+            core = z.read("docProps/core.xml").decode("utf-8", "replace")
+            m = _re.search(r"<dc:title>(.*?)</dc:title>", core, _re.DOTALL)
+            title = _unescape_xml(m.group(1).strip()) if m else ""
+
+        def slide_no(n: str) -> int:
+            m2 = _re.search(r"slide(\d+)\.xml$", n)
+            return int(m2.group(1)) if m2 else 0
+
+        pieces: list[str] = []
+        links: list[str] = []
+        for n in sorted((x for x in names if _re.fullmatch(r"ppt/slides/slide\d+\.xml", x)), key=slide_no):
+            slide = z.read(n).decode("utf-8", "replace")
+            # run-tight within a paragraph, whitespace between paragraphs
+            # (the docx run-boundary rule — r7 review finding)
+            for p in _re.findall(r"<a:p>.*?</a:p>|<a:p/>", slide, _re.DOTALL):
+                runs = _re.findall(r"<a:t>(.*?)</a:t>", p, _re.DOTALL)
+                pieces.append("".join(_unescape_xml(r) for r in runs))
+        for n in sorted((x for x in names if _re.fullmatch(r"ppt/slides/_rels/slide\d+\.xml\.rels", x)), key=slide_no):
+            rels = z.read(n).decode("utf-8", "replace")
+            links += [
+                _unescape_xml(g or h)
+                for g, h in _re.findall(
+                    r'Target="([^"]+)"[^>]*TargetMode="External"|'
+                    r'TargetMode="External"[^>]*Target="([^"]+)"',
+                    rels,
+                )
+                if g or h
+            ]
+    return title, " ".join(" ".join(pieces).split()), links
+
+
 def _parse_odt_doc(content: bytes) -> tuple[str, str, list[str]]:
     """ODF text (.odt) extraction, the OpenDocument twin of
     ``_parse_docx_doc``: body in ``content.xml`` (tag-stripped with
@@ -834,6 +928,14 @@ def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: in
         return _parse_docx_doc(content)
     if ctype in ("application/vnd.oasis.opendocument.text",):
         return _parse_odt_doc(content)
+    if ctype in (
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    ):
+        return _parse_xlsx_doc(content)
+    if ctype in (
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    ):
+        return _parse_pptx_doc(content)
     raise _UnsupportedType(ctype)
 
 

@@ -370,3 +370,79 @@ def test_docx_odt_parse(spark):
     assert o["outlinks"] == ["http://ext.example.com/c"]
     # malformed container -> parsing error, never a crashed stage
     assert out["broken.docx"]["parse_status"] == "ERROR_PARSING_ERROR"
+
+
+XLSX_CT = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+PPTX_CT = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+
+
+def _make_xlsx(title, strings, numbers=(), links=()):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    sis = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    cells = "".join(
+        f'<c r="A{i}" t="s"><v>{i - 1}</v></c>' for i in range(1, len(strings) + 1)
+    ) + "".join(f'<c r="B{i}"><v>{n}</v></c>' for i, n in enumerate(numbers, start=1))
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Target="{u}" TargetMode="External"/>'
+        for i, u in enumerate(links, start=1)
+    )
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/sharedStrings.xml", f"<sst>{sis}</sst>")
+        z.writestr("xl/worksheets/sheet1.xml", f"<worksheet><row>{cells}</row></worksheet>")
+        z.writestr("xl/worksheets/_rels/sheet1.xml.rels", f"<Relationships>{rels}</Relationships>")
+        z.writestr("docProps/core.xml", f"<cp:coreProperties><dc:title>{title}</dc:title></cp:coreProperties>")
+    return buf.getvalue()
+
+
+def _make_pptx(title, slides, links=()):
+    """slides: list of lists of paragraphs; paragraph = list of runs."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for i, paras in enumerate(slides, start=1):
+            body = "".join(
+                "<a:p>" + "".join(f"<a:t>{r}</a:t>" for r in para) + "</a:p>"
+                for para in paras
+            )
+            z.writestr(f"ppt/slides/slide{i}.xml", f"<p:sld>{body}</p:sld>")
+        rels = "".join(
+            f'<Relationship Id="rId{j}" Target="{u}" TargetMode="External"/>'
+            for j, u in enumerate(links, start=1)
+        )
+        z.writestr("ppt/slides/_rels/slide1.xml.rels", f"<Relationships>{rels}</Relationships>")
+        z.writestr("docProps/core.xml", f"<cp:coreProperties><dc:title>{title}</dc:title></cp:coreProperties>")
+    return buf.getvalue()
+
+
+def test_xlsx_pptx_parse(spark):
+    xlsx = _make_xlsx(
+        "Budget", ["Revenue", "Cost"], numbers=("12.5", "7"),
+        links=["http://ext.example.com/x"],
+    )
+    # slide 1: a run-split word; slide 2: two paragraphs
+    pptx = _make_pptx(
+        "Deck", [[["Hel", "lo"]], [["First"], ["Second"]]],
+        links=["http://ext.example.com/p"],
+    )
+    rows = _fetch_rows(
+        spark, [("t.xlsx", xlsx, XLSX_CT), ("t.pptx", pptx, PPTX_CT)]
+    )
+    out = {
+        r["url"].rsplit("/", 1)[1]: r.asDict()
+        for r in parse_pages_multiformat(rows).collect()
+    }
+    x = out["t.xlsx"]
+    assert x["parse_status"] == "PARSED"
+    assert x["title"] == "Budget"
+    assert x["parsed_text"] == "Revenue Cost 12.5 7"
+    assert x["outlinks"] == ["http://ext.example.com/x"]
+    p = out["t.pptx"]
+    assert p["parse_status"] == "PARSED"
+    assert p["title"] == "Deck"
+    assert p["parsed_text"] == "Hello First Second"  # run-tight, paragraph-spaced
+    assert p["outlinks"] == ["http://ext.example.com/p"]
