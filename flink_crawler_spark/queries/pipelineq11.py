@@ -292,16 +292,17 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals)
     )
+    from .streamq import _temp_ckpt
+
+    ckpt = _temp_ckpt("fcs_mv_ckpt_")
     q = (
         stream.writeStream.foreachBatch(merge_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(stream_dir, "ckpt_" + uuid.uuid4().hex[:8]),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)  # explicit ckpts never auto-delete
 
     return spark.read.parquet(mv_dir).select(
         "o_custkey",

@@ -72,19 +72,37 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_t", F.col("ts").cast("timestamp_ltz"))
 
 
+def _temp_ckpt(prefix: str = "fcs_ckpt_") -> str:
+    """Throwaway checkpoint dir for the bounded replays, on tmpfs when
+    available: the offset/commit logs and state-store files fsync per
+    micro-batch, and for a convergence check whose checkpoint is deleted
+    afterwards that disk round-trip is pure floor. A durable deployment
+    configures its own (HDFS/S3) checkpointLocation — this helper is the
+    local-temp path only."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
     # agg was built on the stream-replay session; the memory sink registers
     # its table there too, so read it back through the same session
     spark = agg.sparkSession
     name = prefix + uuid.uuid4().hex[:8]
+    ckpt = _temp_ckpt()
     q = (
         agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # an EXPLICIT checkpointLocation is never auto-deleted (only the
+    # engine's own temp dirs are) — drop it, the replay is done
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -156,16 +156,23 @@ def url_db_stateful(obs_stream: DataFrame) -> DataFrame:
 def run_obs_stream_to_state(spark, obs_dir: str, query_name: str) -> DataFrame:
     """Replay an observation directory through the stateful URL DB into a
     memory sink (availableNow) and return the sink table."""
+    import shutil
+
+    from ..queries.streamq import _temp_ckpt
+
     stream = spark.readStream.schema(OBS_SCHEMA).parquet(obs_dir)
+    ckpt = _temp_ckpt("fcs_urldb_ckpt_")
     q = (
         url_db_stateful(stream)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)  # explicit ckpts never auto-delete
     return spark.table(query_name)
 
 
