@@ -169,9 +169,44 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = t(spark, sf_dir, "lineitem").selectExpr(
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS xc"
     )
-    q = x.agg(
-        F.expr(f"percentile(xc, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(xc, {WINSOR_HI})").alias("hi"),
+    # exact interpolated quantiles WITHOUT the percentile() aggregate —
+    # its merge concatenates every value into one buffer (the theil_sen
+    # r6 finding: 600k+ values through a single task). Distributed rank
+    # + the same blend percentile() computes: index = p*(n-1),
+    # x[lo]*(ceil-idx) + x[hi]*(idx-floor) — identical doubles, so the
+    # quantile_cont oracle keeps matching bit-for-bit.
+    from ..operators.partitioning import distributed_row_number
+
+    cnt = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = distributed_row_number(x, ["xc"], out="rn").crossJoin(F.broadcast(cnt))
+
+    def _gather(p: float, tag: str):
+        idx = F.lit(p) * (F.col("n") - 1).cast("double")
+        flo = F.floor(idx).cast("long")
+        # the two neighboring order statistics (1-based rn)
+        return [
+            F.max(F.when(F.col("rn") == flo + 1, F.col("xc").cast("double"))).alias(f"{tag}f"),
+            F.max(F.when(F.col("rn") == flo + 2, F.col("xc").cast("double"))).alias(f"{tag}c"),
+        ]
+
+    def _blend(p: float, tag: str):
+        idx = F.lit(p) * (F.col("n") - 1).cast("double")
+        return (
+            F.when(F.ceil(idx) == F.floor(idx), F.col(f"{tag}f"))
+            .otherwise(
+                F.col(f"{tag}f") * (F.ceil(idx).cast("double") - idx)
+                + F.col(f"{tag}c") * (idx - F.floor(idx).cast("double"))
+            )
+            .alias(tag)
+        )
+
+    q = (
+        ranked.agg(
+            F.max("n").alias("n"),
+            *_gather(WINSOR_LO, "lo"),
+            *_gather(WINSOR_HI, "hi"),
+        )
+        .select(_blend(WINSOR_LO, "lo"), _blend(WINSOR_HI, "hi"))
     )
     w = x.crossJoin(F.broadcast(q)).selectExpr(
         "CAST(round(greatest(lo, least(hi, CAST(xc AS DOUBLE))) / 100, 6)"
