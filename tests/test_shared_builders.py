@@ -133,3 +133,56 @@ def test_bounded_helpers_null_keys_match_window(spark):
             F.count(F.lit(1)).over(wi).cast("long").alias("cnt"),
         )
         assert got2.subtract(want2).count() == 0 and want2.subtract(got2).count() == 0
+
+
+def test_bounded_helpers_property_random_frames(spark):
+    """Property pin: on arbitrary frames (ties, negatives, NULLs, empty),
+    the triangular-join helpers equal the Window they replace. Driven by
+    seeded random cases rather than hypothesis' runner — each case costs
+    two Spark jobs, so a fixed bounded corpus keeps the suite fast while
+    still covering the tie/NULL/singleton edges."""
+    import random
+
+    rng = random.Random(20260815)
+    for case in range(6):
+        n = rng.choice([1, 2, 7, 23])
+        rows = [
+            (
+                i,
+                None if rng.random() < 0.2 else float(rng.randint(-3, 3)),
+                rng.randint(0, 2),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, v double, g long")
+        asc = case % 2 == 0
+        order = [("v", asc), ("g", True), ("k", True)]
+        wspec = [
+            (F.asc("v") if asc else F.desc("v")),
+            F.asc("g"),
+            F.asc("k"),
+        ]
+        w = Window.orderBy(*wspec)
+        got = bounded_row_number(df, order, out="rn").select("k", "rn")
+        want = df.select("k", F.row_number().over(w).cast("long").alias("rn"))
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0, (
+            case,
+            rows,
+        )
+        wi = w.rowsBetween(Window.unboundedPreceding, 0)
+        got2 = bounded_cumsum(
+            df, order, [("g", "cg", True), ("g", "ce", False)], count_out="cnt"
+        ).select("k", "cg", F.coalesce("ce", F.lit(0)).alias("ce"), "cnt")
+        want2 = df.select(
+            "k",
+            F.sum("g").over(wi).alias("cg"),
+            F.coalesce(
+                F.sum("g").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("ce"),
+            F.count(F.lit(1)).over(wi).cast("long").alias("cnt"),
+        )
+        assert got2.subtract(want2).count() == 0 and want2.subtract(got2).count() == 0, (
+            case,
+            rows,
+        )
