@@ -216,6 +216,68 @@ def parse_jpeg_meta(data: bytes) -> dict:
     return out
 
 
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("exif_present", T.BooleanType()),
+    ]
+)
+
+
+def parse_image_meta(data: bytes) -> dict:
+    """Format-sniffing image metadata: JPEG (marker walk + EXIF, above),
+    PNG (IHDR width/height — big-endian ints at a fixed offset), GIF
+    (logical-screen descriptor — little-endian shorts). Unknown magic
+    returns format=None; hostile streams return partial fields rather
+    than raising."""
+    import struct
+
+    out = {
+        "format": None, "width": None, "height": None,
+        "orientation": None, "exif_present": False,
+    }
+    if not data or len(data) < 10:
+        return out
+    if data[0:2] == b"\xff\xd8":
+        j = parse_jpeg_meta(data)
+        out.update(
+            format="jpeg", width=j["width"], height=j["height"],
+            orientation=j["orientation"], exif_present=j["exif_present"],
+        )
+        return out
+    if data[0:8] == b"\x89PNG\r\n\x1a\n":
+        out["format"] = "png"
+        # IHDR is always the first chunk: length(4) 'IHDR'(4) W(4) H(4)
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            out["width"], out["height"] = struct.unpack(">II", data[16:24])
+        return out
+    if data[0:6] in (b"GIF87a", b"GIF89a"):
+        out["format"] = "gif"
+        out["width"], out["height"] = struct.unpack("<HH", data[6:10])
+        return out
+    return out
+
+
+def image_meta(media: DataFrame, *, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
+    """Distributed format-sniffing image metadata (the multi-format twin
+    of :func:`jpeg_meta`, same batch shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = parse_image_meta(bytes(getattr(row, data_col) or b""))
+                m[id_col] = getattr(row, id_col)
+                out.append(m)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    return media.select(id_col, data_col).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
 def jpeg_meta(media: DataFrame, *, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
     """Distributed JPEG/EXIF metadata extraction (mapInPandas over the
     binary column — the same batch shape as decode_media; only

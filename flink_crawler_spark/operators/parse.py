@@ -926,7 +926,14 @@ def _parse_one_doc(url: str, content: bytes, content_type: str, max_outlinks: in
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     ):
         return _parse_docx_doc(content)
-    if ctype in ("application/vnd.oasis.opendocument.text",):
+    if ctype in (
+        "application/vnd.oasis.opendocument.text",
+        # spreadsheet/presentation share the same ODF content.xml text
+        # model (<text:p>/<text:h> inside cells and frames) — the text
+        # extractor is identical
+        "application/vnd.oasis.opendocument.spreadsheet",
+        "application/vnd.oasis.opendocument.presentation",
+    ):
         return _parse_odt_doc(content)
     if ctype in (
         "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",

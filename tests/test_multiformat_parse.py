@@ -446,3 +446,21 @@ def test_xlsx_pptx_parse(spark):
     assert p["title"] == "Deck"
     assert p["parsed_text"] == "Hello First Second"  # run-tight, paragraph-spaced
     assert p["outlinks"] == ["http://ext.example.com/p"]
+
+
+def test_ods_odp_share_the_odf_text_model(spark):
+    ods = _make_odt("Sheet", ["cell one", "cell two"])
+    rows = _fetch_rows(
+        spark,
+        [
+            ("t.ods", ods, "application/vnd.oasis.opendocument.spreadsheet"),
+            ("t.odp", ods, "application/vnd.oasis.opendocument.presentation"),
+        ],
+    )
+    out = {
+        r["url"].rsplit("/", 1)[1]: r.asDict()
+        for r in parse_pages_multiformat(rows).collect()
+    }
+    for k in ("t.ods", "t.odp"):
+        assert out[k]["parse_status"] == "PARSED"
+        assert out[k]["parsed_text"] == "cell one cell two"

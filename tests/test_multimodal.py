@@ -174,3 +174,32 @@ def test_jpeg_meta_distributed(spark):
     assert got[1]["width"] == 800 and got[1]["orientation"] == 8
     assert got[2]["height"] == 50 and got[2]["exif_present"] is False
     assert got[3]["is_jpeg"] is False and got[3]["width"] is None
+
+
+def test_parse_image_meta_png_gif_and_dispatch(spark):
+    import struct
+
+    from flink_crawler_spark.operators.multimodal import image_meta, parse_image_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 1024, 768) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    p = parse_image_meta(png)
+    assert (p["format"], p["width"], p["height"]) == ("png", 1024, 768)
+    g = parse_image_meta(gif)
+    assert (g["format"], g["width"], g["height"]) == ("gif", 320, 200)
+    j = parse_image_meta(_jpeg(64, 48, orientation=6))
+    assert (j["format"], j["width"], j["orientation"]) == ("jpeg", 64, 6)
+    assert parse_image_meta(b"plain text here")["format"] is None
+    assert parse_image_meta(b"")["format"] is None
+    # truncated PNG header: format sniffed, dims absent, no crash
+    assert parse_image_meta(b"\x89PNG\r\n\x1a\n\x00\x00")["format"] == "png"
+
+    media = spark.createDataFrame(
+        [(1, png), (2, gif), (3, b"nope")], "media_id long, data binary"
+    )
+    got = {r["media_id"]: r.asDict() for r in image_meta(media).collect()}
+    assert got[1]["width"] == 1024 and got[2]["format"] == "gif"
+    assert got[3]["format"] is None
