@@ -83,6 +83,27 @@ def _temp_ckpt(prefix: str = "fcs_ckpt_") -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+def _literal_rows(spark: SparkSession, schema, rows) -> DataFrame:
+    """Schema-shaped literal rows as EXPRESSIONS (``range(1).select(lit …)``)
+    instead of ``createDataFrame``: a Python-local relation written to
+    parquet pays a ~5 s Python-worker round-trip PER WRITE (measured —
+    the expression-built twin costs 0.2 s), and the sentinel files these
+    build are on every availableNow replay's critical path."""
+    frames = [
+        spark.range(1).select(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(schema.fields, r)
+            ]
+        )
+        for r in rows
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> DataFrame:
     # agg was built on the stream-replay session; the memory sink registers
     # its table there too, so read it back through the same session
@@ -368,7 +389,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mx[1] + 1, sentinel_ts, -1, "click", 0.0, "{}"),
         (mx[1] + 2, sentinel_ts, -1, "purchase", 0.0, "{}"),
     ]
-    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+    _literal_rows(spark, schema, sentinel).coalesce(1).write.mode("append").parquet(
         stream_dir
     )
 
@@ -480,7 +501,7 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sentinel_ts = mx[0] + datetime.timedelta(hours=3)
     sentinel = [(mx[1] + 1, sentinel_ts, -1, "view", 0.0, "{}")]
-    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(
+    _literal_rows(spark, schema, sentinel).coalesce(1).write.mode("append").parquet(
         stream_dir
     )
     stream = (
