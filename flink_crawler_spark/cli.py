@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="executor-local read-through segment cache for --commoncrawl "
              "(reference: -cachedir / SegmentCache)",
     )
+    p.add_argument(
+        "--s3endpoint", default=None, metavar="URL",
+        help="custom S3 endpoint (path-style, like fs.s3a.endpoint) for "
+             "s3a:// --seedurls/--commoncrawl paths; default = AWS "
+             "virtual-hosted URLs (reference: S3Utils / SeedUrlSource S3 mode)",
+    )
     p.add_argument("--robots", default=None, help="robots parquet (robots_url, body)")
     p.add_argument("--sitemaps", default=None, help="sitemaps parquet (sitemap_url, entry_url)")
     p.add_argument("--redirects", default=None, help="redirects parquet (short_url, long_url)")
@@ -106,7 +112,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("crawl-tool", cpus=args.parallelism)
     spark.sparkContext.setLogLevel("ERROR")
 
-    seeds = seeds_from_text(spark, args.seedurls)
+    from flink_crawler_spark.operators.commoncrawl import is_s3_path, s3_fetch_object
+
+    # s3a:// seed lists: the seed file is one tiny driver-side object
+    # (SeedUrlSource.java:184-248 reads it via the SDK); fetch it through
+    # the HTTPS seam and read the local copy
+    seed_path = args.seedurls
+    if is_s3_path(seed_path):
+        seed_path = s3_fetch_object(
+            seed_path, endpoint=args.s3endpoint, cache_dir=args.cachedir
+        )
+    seeds = seeds_from_text(spark, seed_path)
 
     n_modes = sum(x is not None and x is not False for x in (args.pages, args.commoncrawl, args.http or None))
     if n_modes != 1:
@@ -127,9 +143,19 @@ def main(argv: list[str] | None = None) -> int:
 
         from flink_crawler_spark.operators.commoncrawl import commoncrawl_fetch_fn
 
-        cdx = spark.read.parquet(_os.path.join(args.commoncrawl, "cdx.parquet"))
+        if is_s3_path(args.commoncrawl):
+            # cdx.parquet is the one whole-object read; segments stream
+            # through the ranged-GET seam inside commoncrawl_fetch_fn
+            cdx_local = s3_fetch_object(
+                args.commoncrawl.rstrip("/") + "/cdx.parquet",
+                endpoint=args.s3endpoint,
+                cache_dir=args.cachedir,
+            )
+            cdx = spark.read.parquet(cdx_local)
+        else:
+            cdx = spark.read.parquet(_os.path.join(args.commoncrawl, "cdx.parquet"))
         fetch_fn = commoncrawl_fetch_fn(
-            cdx, args.commoncrawl, cache_dir=args.cachedir
+            cdx, args.commoncrawl, cache_dir=args.cachedir, s3_endpoint=args.s3endpoint
         )
     else:
         pages = spark.read.parquet(args.pages)

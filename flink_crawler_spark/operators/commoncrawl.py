@@ -358,22 +358,133 @@ def _read_through_cache(
     download — ``materialize(tmp_path)`` writes the whole segment):
     cache key = md5 of the RESOLVED source (two readers sharing a
     cache_dir, or equal basenames in different segment dirs, must not
-    serve bytes from the wrong segment), ``.tmp-<pid>`` staging +
-    ``os.replace`` so concurrent workers race safely, then a plain
+    serve bytes from the wrong segment), ``.tmp-<pid>-<tid>-<uuid>``
+    staging + ``os.replace`` so concurrent workers — including two
+    threads of ONE process mid-download — race safely, then a plain
     seek/read of the local copy."""
+    cached = _materialize_cached(cache_dir, src_key, basename, materialize)
+    with open(cached, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
+def _materialize_cached(cache_dir: str, src_key: str, basename: str, materialize) -> str:
+    """Install one source under the cache (keyed by md5 of the resolved
+    source) and return its local path; no-op when already present."""
     import hashlib
     import os
+    import uuid
 
     os.makedirs(cache_dir, exist_ok=True)
     digest = hashlib.md5(src_key.encode("utf-8")).hexdigest()[:16]
     cached = os.path.join(cache_dir, digest + "-" + basename)
     if not os.path.exists(cached):
-        tmp = cached + ".tmp-" + str(os.getpid())
-        materialize(tmp)
-        os.replace(tmp, cached)
-    with open(cached, "rb") as f:
-        f.seek(offset)
-        return f.read(length)
+        # staging name unique per CALL, not per process: pid alone let two
+        # threads of one executor interleave writes into the same tmp file
+        # during a long HTTP download and os.replace() install corrupt bytes
+        tmp = cached + ".tmp-" + str(os.getpid()) + "-" + uuid.uuid4().hex[:12]
+        try:
+            materialize(tmp)
+            os.replace(tmp, cached)
+        finally:
+            if os.path.exists(tmp):  # failed materialize: don't litter
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+    return cached
+
+
+# ---------------------------------------------------------------------------
+# s3a:// seam (r8, round-7 verdict task 7)
+#
+# Reference: SeedUrlSource.java:184-248 reads seed lists from S3 and
+# fetcher/commoncrawl/S3Utils.java reads CDX/segment objects via the AWS
+# SDK. Spark-side the production path for DataFrame reads is hadoop-aws
+# (spark.read.…("s3a://…") with fs.s3a.* configs); what the engine itself
+# must provide is the BYTE-RANGE segment reader and the tiny whole-object
+# reads (seed file, cdx.parquet) — and S3's GET API is plain HTTPS with a
+# Range header, which is exactly the existing http_range_reader seam. So
+# s3a:// paths route through it: virtual-hosted AWS URLs by default, a
+# path-style custom endpoint (MinIO/localstack/loopback test double —
+# the fs.s3a.endpoint analogue) when given. Requester auth headers are
+# out of scope (the reference reads the PUBLIC CommonCrawl bucket, which
+# needs none).
+# ---------------------------------------------------------------------------
+
+_S3_SCHEMES = ("s3a://", "s3://", "s3n://")
+
+
+def is_s3_path(path: str) -> bool:
+    return path.startswith(_S3_SCHEMES)
+
+
+def s3_http_base(path: str, *, endpoint: str | None = None) -> str:
+    """Map ``s3a://bucket[/prefix]`` to the HTTP(S) base URL its objects
+    resolve under: ``https://{bucket}.s3.amazonaws.com[/prefix]`` by
+    default, ``{endpoint}/{bucket}[/prefix]`` (path-style) against a
+    custom endpoint."""
+    for s in _S3_SCHEMES:
+        if path.startswith(s):
+            rest = path[len(s):]
+            break
+    else:
+        raise ValueError(f"not an S3 path: {path!r}")
+    bucket, _, prefix = rest.partition("/")
+    if not bucket:
+        raise ValueError(f"S3 path has no bucket: {path!r}")
+    if endpoint is not None:
+        base = endpoint.rstrip("/") + "/" + bucket
+    else:
+        base = f"https://{bucket}.s3.amazonaws.com"
+    return base + ("/" + prefix.strip("/") if prefix.strip("/") else "")
+
+
+def s3_fetch_object(
+    path: str,
+    *,
+    endpoint: str | None = None,
+    timeout_s: float = 10.0,
+    cache_dir: str | None = None,
+) -> str:
+    """Download ONE whole S3 object (a seed list, a cdx.parquet) to a
+    local file and return its path — read-through cached under
+    ``cache_dir`` when given, a tempdir otherwise. For multi-GB WARC
+    segments use :func:`s3_range_reader` instead; this helper is for the
+    small driver-side objects the reference's SeedUrlSource reads."""
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    url = s3_http_base(path, endpoint=endpoint)
+    cdir = cache_dir or os.path.join(tempfile.gettempdir(), "fcs_s3_objects")
+
+    def materialize(tmp: str) -> None:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(tmp, "wb") as out:
+            shutil.copyfileobj(resp, out)
+
+    # the SegmentCache staging protocol, handing back the local path
+    # (callers pass it to spark.read / open)
+    return _materialize_cached(cdir, url, os.path.basename(path.rstrip("/")), materialize)
+
+
+def s3_range_reader(
+    archive_path: str,
+    *,
+    endpoint: str | None = None,
+    timeout_s: float = 10.0,
+    cache_dir: str | None = None,
+):
+    """Byte-range reader over an ``s3a://bucket/prefix`` archive — the
+    S3Utils.java analogue: CDX filenames resolve under the mapped HTTP
+    base and each member read is a ranged GET (or a one-time whole-segment
+    download when ``cache_dir`` enables the SegmentCache mode)."""
+    return http_range_reader(
+        s3_http_base(archive_path, endpoint=endpoint),
+        timeout_s=timeout_s,
+        cache_dir=cache_dir,
+    )
 
 
 def http_range_reader(base_url: str, *, timeout_s: float = 10.0, cache_dir: str | None = None):
@@ -412,11 +523,13 @@ def http_range_reader(base_url: str, *, timeout_s: float = 10.0, cache_dir: str 
             url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
         )
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = resp.read(length if resp.status == 206 else None)
             if resp.status == 206:
-                return body
-            # server ignored Range: got the whole object — slice locally
-            return body[offset : offset + length]
+                return resp.read(length)
+            # Server ignored Range and is streaming the whole object: only
+            # the first offset+length bytes matter, so read exactly that
+            # much and slice — never resp.read(None), which would buffer a
+            # multi-GB segment in executor memory per member fetch.
+            return resp.read(offset + length)[offset : offset + length]
 
     return read
 
@@ -458,13 +571,21 @@ def commoncrawl_fetch_fn(
     accept_mime: tuple[str, ...] | None = None,
     redirect_mode: str = "FOLLOW_ALL",
     max_redirects: int = 3,
+    s3_endpoint: str | None = None,
 ):
     """Build a crawl-loop ``fetch_fn`` that fetches pages out of a
     CommonCrawl-style archive (CDX index + WARC segments) instead of the
     live web — the reference's ``CrawlTool -commoncrawl`` mode
     (CommonCrawlFetcherBuilder slotting into the BaseHttpFetcher seam).
-    """
-    reader = cached_range_reader(archive_dir, cache_dir)
+    ``archive_dir`` may be a local directory, an ``http(s)://`` base, or
+    an ``s3a://bucket/prefix`` (S3Utils.java parity via the ranged-GET
+    seam)."""
+    if is_s3_path(archive_dir):
+        reader = s3_range_reader(archive_dir, endpoint=s3_endpoint, cache_dir=cache_dir)
+    elif archive_dir.startswith(("http://", "https://")):
+        reader = http_range_reader(archive_dir, cache_dir=cache_dir)
+    else:
+        reader = cached_range_reader(archive_dir, cache_dir)
 
     def fetch(to_fetch, *, now_ms: int):
         return archive_fetch(

@@ -96,12 +96,29 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become a pair.
 
     Returns distinct (id_a, id_b) with id_a < id_b. The join key is the
     (band_id, band_hash) bucket — a plain equi-join Catalyst shuffles on,
     never a cross join.
+
+    Skew guard (r8, round-7 verdict task 6): a degenerate band — e.g. a
+    constant text column hashing every doc into one bucket — would make
+    the self-join O(bucket²) in ONE task. Buckets larger than
+    ``max_bucket`` are salted into ``ceil(n / max_bucket)`` sub-buckets
+    by ``xxhash64(id)``, bounding any task's pair count to
+    ~``max_bucket²/2`` at the cost of missing cross-sub-bucket pairs
+    *inside the pathological bucket only* (standard LSH practice: a
+    bucket that big is not a near-dup cluster, it's corrupt/boilerplate
+    input that exact-dedup upstream should have collapsed). Normal
+    buckets (n ≤ max_bucket) get salt 0 and identical results — the
+    DuckDB oracles reproduce the uncapped pair generation and stay green
+    because no test corpus has a bucket anywhere near the cap. Costs one
+    extra co-keyed size aggregation + exchange of the slim (id, band,
+    bh) frame; at 100 TB that is the price of not dying on the first
+    boilerplate cluster.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -119,10 +136,29 @@ def lsh_candidate_pairs(
         # partitions in the CacheManager for the whole bench session
     )
 
+    keys = ["band", "bh"]
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        buckets = (
+            buckets.join(sizes, ["band", "bh"])
+            .withColumn(
+                "__salt",
+                F.when(
+                    F.col("__n") > max_bucket,
+                    F.pmod(
+                        F.xxhash64(F.col(id_col)),
+                        F.ceil(F.col("__n") / F.lit(max_bucket)),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__n")
+        )
+        keys = ["band", "bh", "__salt"]
+
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
-        a.join(b, ["band", "bh"])
+        a.join(b, keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()

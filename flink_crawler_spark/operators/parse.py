@@ -800,14 +800,29 @@ def _parse_xlsx_doc(content: bytes) -> tuple[str, str, list[str]]:
         for n in sorted(names):
             if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n):
                 sheet = z.read(n).decode("utf-8", "replace")
-                # numeric cells carry their value inline (t="s" cells
-                # index the shared-string table already extracted above)
-                texts += [
-                    _unescape_xml(v)
-                    for v in _re.findall(
-                        r'<c(?![^>]*t="s")[^>]*><v>(.*?)</v>', sheet, _re.DOTALL
-                    )
-                ]
+                # Walk whole <c>...</c> elements: t="s" cells index the
+                # shared-string table already extracted above; inlineStr
+                # cells carry <is><t> runs; everything else (plain
+                # numerics AND formula cells, whose <v> follows an <f>
+                # element rather than the open tag) contributes its
+                # cached <v> value — Tika's extractor includes all three.
+                # drop empty self-closing cells first so `<c r="A1"/>`
+                # can't swallow the next cell's open tag via `.*?</c>`
+                sheet = _re.sub(r"<c\b[^>]*/>", "", sheet)
+                for attrs, cell in _re.findall(
+                    r"<c\b([^>]*)>(.*?)</c>", sheet, _re.DOTALL
+                ):
+                    if 't="s"' in attrs:
+                        continue
+                    if 't="inlineStr"' in attrs:
+                        runs = _re.findall(
+                            r"<t(?:\s[^>]*)?>(.*?)</t>", cell, _re.DOTALL
+                        )
+                        texts.append("".join(_unescape_xml(r) for r in runs))
+                        continue
+                    mv = _re.search(r"<v(?:\s[^>]*)?>(.*?)</v>", cell, _re.DOTALL)
+                    if mv:
+                        texts.append(_unescape_xml(mv.group(1)))
             elif _re.fullmatch(r"xl/worksheets/_rels/sheet\d+\.xml\.rels", n):
                 rels = z.read(n).decode("utf-8", "replace")
                 links += [

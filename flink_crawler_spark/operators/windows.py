@@ -200,7 +200,17 @@ def bounded_row_number(df: DataFrame, order: list[tuple[str, bool]], *, out: str
     ≤ a-few-hundred-row frame is cheaper than the window's sort +
     all-to-one exchange. The order spec must be a TOTAL order (include a
     unique tiebreaker), exactly like the window it replaces.
+
+    Stronger consequence of the total-order requirement (r7 advice): the
+    groupBy below keys on EVERY column of ``df``, so input rows must be
+    whole-row DISTINCT — fully duplicate rows would merge into one
+    output row with an inflated predecessor count (a window would have
+    numbered them separately). A total order over the row implies
+    distinctness, but callers adding non-ordering payload columns must
+    not introduce duplicates. All columns must also be groupable types
+    (no MapType).
     """
+    assert out not in df.columns, f"output column {out!r} already in frame"
     names = [n for n, _ in order]
     left = df.alias("__l")
     # __one marks a MATCHED row: counting a (possibly NULL) key column
@@ -229,8 +239,13 @@ def bounded_cumsum(
     row count. One triangular broadcast self-join computes every
     requested prefix aggregate at once; decimal/long sums are exact and
     order-independent, so the values are bit-identical to the window's.
-    The order spec must be a total order (unique tiebreaker).
+    The order spec must be a total order (unique tiebreaker); as with
+    :func:`bounded_row_number`, the whole-row groupBy requires input
+    rows to be whole-row distinct and every column groupable (no
+    MapType) — duplicates would merge and inflate the prefix sums.
     """
+    for _, out, _ in sums:
+        assert out not in df.columns, f"output column {out!r} already in frame"
     names = [n for n, _ in order]
     src_cols = sorted({s for s, _, _ in sums})
     left = df.alias("__l")

@@ -78,8 +78,20 @@ def _temp_ckpt(prefix: str = "fcs_ckpt_") -> str:
     micro-batch, and for a convergence check whose checkpoint is deleted
     afterwards that disk round-trip is pure floor. A durable deployment
     configures its own (HDFS/S3) checkpointLocation — this helper is the
-    local-temp path only."""
-    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    local-temp path only.
+
+    tmpfs is used only when it has real headroom: containers commonly
+    mount /dev/shm at 64 MB, and the offset/commit logs plus state
+    snapshots hitting ENOSPC there would fail replays that work fine on
+    disk — so require ≥256 MB free before preferring it."""
+    base = None
+    if os.access("/dev/shm", os.W_OK):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                base = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
