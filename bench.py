@@ -111,6 +111,7 @@ def main() -> int:
     from flink_crawler_spark.queries import base as _qbase
     from flink_crawler_spark.queries import core as _qcore
     from flink_crawler_spark.queries import dedupq as _qdedupq
+    from flink_crawler_spark.queries import pipelineq3 as _qp3
     from flink_crawler_spark.queries import pipelineq5 as _qp5
 
     shared_builders: dict[str, float] = {}
@@ -119,6 +120,7 @@ def main() -> int:
         ("near_dup_clusters", _qdedupq.near_dup_clusters),
         ("bigram_nll_table", _qp5.bigram_nll_table),
         ("merged_crawl_state", _qcore.merged_crawl_state),
+        ("pq_core", _qp3._pq_core),
     ):
         bt0 = time.time()
         bfn(spark, sf_dir)  # eager localCheckpoint inside

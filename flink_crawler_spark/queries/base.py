@@ -111,8 +111,9 @@ def clear_query_caches() -> None:
     not the data). Dropping the references lets Spark's ContextCleaner
     reclaim the checkpointed blocks."""
     _SHINGLE_CACHE.clear()
-    from . import core, dedupq, pipelineq5
+    from . import core, dedupq, pipelineq3, pipelineq5
 
     core._MERGED_STATE_CACHE.clear()
     dedupq._CLUSTER_CACHE.clear()
+    pipelineq3._PQ_CORE_CACHE.clear()
     pipelineq5._BIGRAM_NLL_CACHE.clear()

@@ -226,13 +226,19 @@ FROM a2
 """
 
 
+_PQ_CORE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def _pq_core(spark: SparkSession, sf_dir: str):
     """Shared PQ train+encode core: split each embedding into PQ_M
     subspaces of PQ_SUB dims, train a PQ_K-centroid codebook per
     subspace (2-round Lloyd's, seeds = vec_id < K — the proven
     exact-kmeans discipline). Returns (codebooks c1 as (m, cid, cv),
     final assignments a2 as (vec_id, m, cid, dist)) — consumed by
-    pq_codebook_encode and ann_topk_pq_adc.
+    pq_codebook_encode, ann_topk_pq_adc, and ann_recall_report, and
+    therefore memoized per (session, corpus) like the other family
+    builders (r7 pattern; cleared by base.clear_query_caches) — a
+    production IVF-PQ store trains/encodes once per corpus snapshot.
 
     Plan shape: subspace id is a KEY COLUMN, so one assign/update/assign
     chain covers all subspaces at once — codebooks stay broadcast
@@ -240,6 +246,11 @@ def _pq_core(spark: SparkSession, sf_dir: str):
     update partial-aggregates map-side, and every distance is the same
     left-associated fold both engines evaluate bit-for-bit."""
     from pyspark.sql import Window
+
+    key = (spark, sf_dir)
+    hit = _PQ_CORE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     emb = t(spark, sf_dir, "embeddings")
     ms = spark.range(1, PQ_M + 1).select(F.col("id").cast("int").alias("m"))
@@ -288,7 +299,9 @@ def _pq_core(spark: SparkSession, sf_dir: str):
         .select("m", "cid", F.transform("p", lambda q: q["cd"]).alias("cv"))
     )
     a2 = assign(c1, with_dist=True)
-    return c1, a2
+    hit = (c1.localCheckpoint(eager=True), a2.localCheckpoint(eager=True))
+    _PQ_CORE_CACHE[key] = hit
+    return hit
 
 
 def pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +393,16 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc")
     )
     return adc.orderBy("adc", "vec_id").limit(20)
+
+
+# ann_recall_report (r8, round-7 verdict task 5): the function lives in
+# simq (it sweeps IVF/LSH/PQ together); registration happens HERE because
+# its oracle embeds this module's _PQ_CHAIN and simq must not import
+# pipelineq3 at module level (pipelineq3 already imports simq).
+from .simq import _ann_recall_oracle as _arr_oracle  # noqa: E402
+from .simq import ann_recall_report as _arr_fn  # noqa: E402
+
+register("ann_recall_report", oracle=_arr_oracle(_PQ_CHAIN, PQ_SUB, PQ_M))(_arr_fn)
 
 
 # ---------------------------------------------------------------------------

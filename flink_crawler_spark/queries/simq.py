@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_topk_lsh, embedding_near_dup_pairs
+from ..operators.similarity import (
+    ann_topk_lsh,
+    as_double_array,
+    cosine_expr,
+    embedding_near_dup_pairs,
+)
 from .base import register, t
 
 DIM = 64
@@ -129,72 +134,208 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=PAIR_THRESHOLD, n_planes=8, seed=42)
 
 
-@register("ann_recall_report")  # rows-only: candidate sets are engine-internal
+# --- ann_recall_report (r8, round-7 verdict task 5): exact-oracled ----------
+#
+# Every index structure the report measures is recomputed identically in
+# both engines: IVF training is the kmeans decimal discipline (left-assoc
+# fold similarities, decimal-rounded centroid means, renormalize with the
+# same textual norm), LSH signatures are left-assoc plane dots over
+# inlined seeded-hyperplane literals, PQ reuses the proven _pq_core /
+# _PQ_CHAIN twins. Registration (with the generated oracle) lives in
+# pipelineq3 — it owns the PQ CTE chain and already imports this module.
+
+RECALL_QIDS = (0, 7, 13)
+RECALL_PROBES = (2, 4, 8)
+IVF_SAMPLE = 1024  # training sample = lowest vec_ids (bounded at any scale)
+IVF_LISTS = 16
+IVF_ROUNDS = 3
+RECALL_N_PLANES = 8
+
+from ..operators.similarity import hyperplanes as _hyperplanes  # noqa: E402
+
+_RECALL_PLANES = _hyperplanes(DIM, RECALL_N_PLANES, 42)
+_QID_IN = "(" + ", ".join(str(q) for q in RECALL_QIDS) + ")"
+
+
+def _dotxx(a: str, b: str) -> str:
+    """Left-assoc dot over two 1-based SQL list columns (already DOUBLE)."""
+    return " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(1, DIM + 1))
+
+
+def _lsh_sig_sql(src: str) -> str:
+    """Sign-LSH bucket id from inlined hyperplane literals — the SQL twin
+    of operators.similarity.signature_expr (same left-assoc plane dots)."""
+    terms = []
+    for i, plane in enumerate(_RECALL_PLANES):
+        dot = " + ".join(
+            f"CAST({src}[{d}] AS DOUBLE) * {float(plane[d - 1])!r}" for d in range(1, DIM + 1)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _xn_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, xv): unit-normalized double vectors, the IVF training
+    space — norm is the same left-assoc fold the oracle spells out."""
+    xd = as_double_array(F.col("embedding"))
+    nv = F.sqrt(F.aggregate(xd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return emb.select("vec_id", xd.alias("__xd"), nv.alias("__nv")).select(
+        "vec_id", F.transform("__xd", lambda v: v / F.col("__nv")).alias("xv")
+    )
+
+
+def _ivf_exact_centroids(spark: SparkSession, emb: DataFrame, xn: DataFrame) -> DataFrame:
+    """Exact-twin IVF coarse quantizer: seeds = the IVF_LISTS lowest-id
+    normalized vectors, IVF_ROUNDS Lloyd rounds over the IVF_SAMPLE
+    lowest-id sample with cosine argmax (sim DESC, cid tie-break) and
+    decimal-mean + renormalize updates; empty lists keep their previous
+    centroid. The driver carries only K x DIM doubles between rounds
+    (collected + re-literalized so the plan stays O(1) deep) — the same
+    bounded-sample training ivf_centroids does, with engine-reproducible
+    arithmetic instead of BLAS.
+
+    Shape notes: the argmax is a struct-MAX aggregation (map-side
+    combinable; (sim, -cid) max == the oracle's row_number over sim DESC,
+    cid ASC, exact-double ties included), and the loop runs under 4
+    shuffle partitions — 1024-row training frames pay more for 32-task
+    scheduling than for the work (the crawl-loop lesson)."""
+    sample_ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(IVF_SAMPLE).collect()]
+    seed_ids = sorted(sample_ids)[:IVF_LISTS]
+    sm = xn.filter(F.col("vec_id").isin(sample_ids)).localCheckpoint(eager=True)
+    cent = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["xv"]])
+            for r in sm.filter(F.col("vec_id").isin(seed_ids)).collect()
+        ],
+        "cid bigint, cv array<double>",
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for _ in range(IVF_ROUNDS):
+            assign = _argmax_sim(
+                sm.crossJoin(F.broadcast(cent)).select(
+                    "vec_id",
+                    "cid",
+                    F.aggregate(
+                        F.zip_with("xv", "cv", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("sim"),
+                )
+            )
+            means = (
+                assign.join(sm, "vec_id")
+                .select("cid", F.posexplode("xv").alias("d", "xd"))
+                .groupBy("cid", "d")
+                .agg(
+                    F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select("cid", "d", (F.col("s").cast("double") / F.col("n")).alias("md"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("d", "md"))).alias("p"))
+                .select("cid", F.transform("p", lambda q: q["md"]).alias("mv"))
+            )
+            mnorm = F.sqrt(F.aggregate(F.col("mv"), F.lit(0.0), lambda acc, v: acc + v * v))
+            upd = means.select("cid", mnorm.alias("__nn"), "mv").select(
+                "cid", F.transform("mv", lambda v: v / F.col("__nn")).alias("cvn")
+            )
+            nxt = cent.join(upd, "cid", "left").select(
+                "cid", F.coalesce("cvn", "cv").alias("cv")
+            )
+            cent = spark.createDataFrame(
+                [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in nxt.collect()],
+                "cid bigint, cv array<double>",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return cent
+
+
+def _argmax_sim(scored: DataFrame) -> DataFrame:
+    """(vec_id, cid, sim) -> per-vec argmax as (vec_id, cid), ties to the
+    LOWEST cid — a struct-MAX on (sim, -cid), bit-identical to
+    ``row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)``
+    but map-side combinable (no window sort)."""
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-measuring ANN quality gate: recall@k of each approximate
     method against the exact brute-force top-k, averaged over several
     query vectors and swept over n_probe — the probe-vs-recall tuning
     table a 100 TB deployment derives on a sample before trusting an
-    index configuration (probing 2/16 lists scans ~12% of the corpus,
-    8/16 ~50%; the table shows what each buys). Deterministic (seeded
-    hyperplanes / quantizer), so the numbers are reproducible."""
-    import numpy as np
+    index configuration. Exact-oracled (r8): IVF training, LSH buckets,
+    PQ codebooks, and every ranking reproduce bit-for-bit in the DuckDB
+    twin, so the recall VALUES are verified, not just the row shape."""
     from pyspark.sql import Window
-
-    from ..operators.similarity import (
-        as_double_array,
-        cosine_expr,
-        ivf_assign,
-        ivf_centroids,
-    )
 
     # the quality gate runs on a sample-sized corpus — right-size the
     # partitioning to the sample (32 near-empty shuffle tasks per stage
     # cost more in scheduling than the data; measured 2x on this report)
     emb = t(spark, sf_dir, "embeddings").repartition(4)
-    query_ids = [0, 7, 13]
+    qids = list(RECALL_QIDS)
     qdf = F.broadcast(
-        emb.filter(F.col("vec_id").isin(query_ids)).select(
+        emb.filter(F.col("vec_id").isin(qids)).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
     )
     sim = cosine_expr(as_double_array(F.col("embedding")), as_double_array(F.col("qv")))
 
-    # all queries scored in ONE plan per stage (query batching — the
-    # shape ANN serving uses; also: one codegen unit instead of one per
-    # query vector)
-    scored = emb.crossJoin(qdf).select("qid", "vec_id", sim.alias("cosine"))
+    # all queries scored in ONE pass (query batching — the shape ANN
+    # serving uses); reused by the truth set and every method's ranking
+    scored = (
+        emb.crossJoin(qdf)
+        .select("qid", "vec_id", sim.alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
     tw = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     truth = (
         scored.withColumn("rn", F.row_number().over(tw))
         .filter(F.col("rn") <= TOPK)
         .select("qid", "vec_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
-    # index built once, probed for every (query, n_probe) via a tiny
-    # broadcast probe table — probing stays a join, never a new plan
-    C = ivf_centroids(emb, n_lists=16)
-    assigned = ivf_assign(emb, C).select("vec_id", "embedding", "list_id")
-    qn = {r["qid"]: np.asarray([float(x) for x in r["qv"]], dtype=np.float64) for r in qdf.collect()}
-    probe_rows = []
-    for qid, v in qn.items():
-        order = np.argsort(-(C @ (v / max(np.linalg.norm(v), 1e-12)))).tolist()
-        for n_probe in (2, 4, 8):
-            probe_rows += [(qid, n_probe, int(l)) for l in order[:n_probe]]
-    probes = F.broadcast(
-        spark.createDataFrame(probe_rows, "qid bigint, n_probe int, list_id int")
+    # --- IVF: exact-twin training, then probe sweep as joins ---
+    xn = _xn_frame(emb).localCheckpoint(eager=True)
+    cent = F.broadcast(_ivf_exact_centroids(spark, emb, xn))
+    dot_xc = F.aggregate(
+        F.zip_with("xv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
-    aw = Window.partitionBy("qid", "n_probe").orderBy(
+    assigned = _argmax_sim(
+        xn.crossJoin(cent).select("vec_id", "cid", dot_xc.alias("sim"))
+    )
+    pw = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    pr = (
+        xn.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "xv")
+        .crossJoin(cent)
+        .select("qid", "cid", dot_xc.alias("sim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= max(RECALL_PROBES))
+    )
+    np_df = spark.createDataFrame([(p,) for p in RECALL_PROBES], "n_probe int")
+    probes = (
+        pr.crossJoin(F.broadcast(np_df))
+        .filter(F.col("prn") <= F.col("n_probe"))
+        .select("qid", "n_probe", "cid")
+    )
+    iw = Window.partitionBy("qid", "n_probe").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     ivf_hits = {
         r["n_probe"]: r["hits"]
         for r in (
-            assigned.join(probes, "list_id")
-            .join(qdf, "qid")
-            .select("qid", "n_probe", "vec_id", sim.alias("cosine"))
-            .withColumn("rn", F.row_number().over(aw))
+            assigned.join(F.broadcast(probes), "cid")
+            .select("qid", "n_probe", "vec_id")
+            .join(scored, ["qid", "vec_id"])
+            .withColumn("rn", F.row_number().over(iw))
             .filter(F.col("rn") <= TOPK)
             .join(truth, ["qid", "vec_id"], "left_semi")
             .groupBy("n_probe")
@@ -203,41 +344,32 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
 
-    # LSH batched identically: sign the corpus once, probe via a tiny
-    # broadcast (qid, bucket) table covering Hamming<=2 neighbors
-    from ..operators.similarity import hyperplanes, signature_udf
+    # --- LSH: left-assoc signature expression (the signature_expr twin
+    # of the inlined-plane oracle), Hamming<=2 probe as a bit_count join
+    from ..operators.similarity import signature_expr
 
-    n_planes = 8
-    planes = hyperplanes(len(next(iter(qn.values()))), n_planes, 42)
-    signed = emb.withColumn("bucket", signature_udf(planes)(F.col("embedding")))
-    lsh_rows = []
-    for qid, v in qn.items():
-        qsig = 0
-        for i, plane in enumerate(planes):
-            qsig |= (1 if float(v @ plane) >= 0 else 0) << i
-        probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
-        probe += [
-            qsig ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-        lsh_rows += [(qid, int(b)) for b in probe]
-    lsh_probes = F.broadcast(spark.createDataFrame(lsh_rows, "qid bigint, bucket bigint"))
+    signed = emb.select(
+        "vec_id", signature_expr(F.col("embedding"), _RECALL_PLANES).alias("bkt")
+    ).localCheckpoint(eager=True)
+    qsig = signed.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt")
+    )
     lw = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     lsh_hits = (
-        signed.join(lsh_probes, "bucket")
-        .join(qdf, "qid")
-        .select("qid", "vec_id", sim.alias("cosine"))
+        signed.crossJoin(F.broadcast(qsig))
+        .filter(F.bit_count(F.col("bkt").bitwiseXOR(F.col("qbkt"))) <= 2)
+        .select("qid", "vec_id")
+        .join(scored, ["qid", "vec_id"])
         .withColumn("rn", F.row_number().over(lw))
         .filter(F.col("rn") <= TOPK)
         .join(truth, ["qid", "vec_id"], "left_semi")
         .count()
     )
-    truth.unpersist()
 
-    nq = len(query_ids)
+    nq = len(qids)
     rows = [("lsh_hamming2", TOPK, nq, float(lsh_hits) / (TOPK * nq))] + [
-        (f"ivf_16x{p}", TOPK, nq, float(h) / (TOPK * nq)) for p, h in sorted(ivf_hits.items())
+        (f"ivf_16x{p}", TOPK, nq, float(ivf_hits.get(p, 0)) / (TOPK * nq))
+        for p in RECALL_PROBES
     ]
 
     # PQ-ADC: the compressed-store search approximates EUCLIDEAN distance,
@@ -297,6 +429,116 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, k int, n_queries int, recall double"
     )
+
+
+def _ann_recall_oracle(pq_chain: str, pq_sub: int, pq_m: int) -> str:
+    """The full DuckDB twin of ann_recall_report: cosine/L2 truth sets,
+    IVF Lloyd training + probe sweep, LSH signatures, PQ-ADC — every
+    ranking reproduces the Spark plan's arithmetic term-for-term.
+    ``pq_chain`` is pipelineq3's _PQ_CHAIN (x/c0/a1/c1/c1l/a2 CTEs)."""
+    denom = TOPK * len(RECALL_QIDS)
+    cos = (
+        f"({_dot_sql('e.embedding', 'q.embedding', 1)}) / "
+        f"(({_norm_sql('e.embedding', 1)}) * ({_norm_sql('q.embedding', 1)}))"
+    )
+    means = ", ".join(
+        f"CAST(sum(CAST(round(s.xv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
+        for d in range(1, DIM + 1)
+    )
+    mlist = "[" + ", ".join(f"m{d}" for d in range(1, DIM + 1)) + "]"
+    mnorm = " + ".join(f"m{d} * m{d}" for d in range(1, DIM + 1))
+    rounds = []
+    for r in range(1, IVF_ROUNDS + 1):
+        prev = f"ic{r - 1}"
+        rounds.append(
+            f"""id{r} AS (SELECT s.vec_id, c.cid, ({_dotxx('s.xv', 'c.cv')}) AS sim
+       FROM ism s CROSS JOIN {prev} c),
+ia{r} AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         FROM id{r}) z WHERE rn = 1),
+iu{r} AS (SELECT a.cid, {means} FROM ia{r} a JOIN ism s USING (vec_id) GROUP BY a.cid),
+iu{r}l AS (SELECT cid, list_transform({mlist}, v -> v / sqrt({mnorm})) AS cv FROM iu{r}),
+ic{r} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+       FROM {prev} c LEFT JOIN iu{r}l u ON u.cid = c.cid)"""
+        )
+    lloyd = ",\n".join(rounds)
+    qd = " + ".join(
+        f"(q.qv[{d}] - c.cv[{d}]) * (q.qv[{d}] - c.cv[{d}])" for d in range(1, pq_sub + 1)
+    )
+    l2sum = " + ".join(
+        f"(CAST(e.embedding[{d}] AS DOUBLE) - CAST(q.embedding[{d}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{d}] AS DOUBLE) - CAST(q.embedding[{d}] AS DOUBLE))"
+        for d in range(1, DIM + 1)
+    )
+    return f"""
+{pq_chain}),
+csc AS (SELECT q.vec_id AS qid, e.vec_id, {cos} AS cosine
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN {_QID_IN}) q),
+ctru AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         FROM csc) z WHERE rn <= {TOPK}),
+ix0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+               ({_norm_sql('embedding', 1)}) AS nv FROM embeddings),
+ixn AS (SELECT vec_id, list_transform(xd, v -> v / nv) AS xv FROM ix0),
+ism AS (SELECT vec_id, xv FROM ixn
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_SAMPLE})),
+ic0 AS (SELECT vec_id AS cid, xv AS cv FROM ixn
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})),
+{lloyd},
+iaf AS (SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY ({_dotxx('x.xv', 'c.cv')}) DESC, c.cid) AS rn
+        FROM ixn x CROSS JOIN ic{IVF_ROUNDS} c) z WHERE rn = 1),
+inp AS (SELECT unnest([{', '.join(str(p) for p in RECALL_PROBES)}]) AS n_probe),
+ipr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS prn
+        FROM (SELECT q.vec_id AS qid, c.cid, ({_dotxx('q.xv', 'c.cv')}) AS sim
+              FROM (SELECT * FROM ixn WHERE vec_id IN {_QID_IN}) q
+              CROSS JOIN ic{IVF_ROUNDS} c) z),
+icand AS (SELECT p.qid, inp.n_probe, f.vec_id
+          FROM ipr p JOIN inp ON p.prn <= inp.n_probe JOIN iaf f ON f.cid = p.cid),
+irk AS (SELECT qid, n_probe, vec_id,
+               row_number() OVER (PARTITION BY qid, n_probe ORDER BY cosine DESC, vec_id) AS rn
+        FROM icand JOIN csc USING (qid, vec_id)),
+ihit AS (SELECT n_probe, count(*) AS h FROM irk JOIN ctru USING (qid, vec_id)
+         WHERE rn <= {TOPK} GROUP BY n_probe),
+ivfh AS (SELECT inp.n_probe, coalesce(ihit.h, 0) AS h
+         FROM inp LEFT JOIN ihit ON inp.n_probe = ihit.n_probe),
+lsig AS (SELECT vec_id, CAST({_lsh_sig_sql('embedding')} AS BIGINT) AS bkt FROM embeddings),
+lrk AS (SELECT q.vec_id AS qid, s.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY c.cosine DESC, s.vec_id) AS rn
+        FROM lsig s JOIN (SELECT * FROM lsig WHERE vec_id IN {_QID_IN}) q
+          ON bit_count(xor(s.bkt, q.bkt)) <= 2
+        JOIN csc c ON c.qid = q.vec_id AND c.vec_id = s.vec_id),
+lshh AS (SELECT count(*) AS h FROM lrk JOIN ctru ON ctru.qid = lrk.qid AND ctru.vec_id = lrk.vec_id
+         WHERE lrk.rn <= {TOPK}),
+pqq AS (SELECT vec_id AS qid, m,
+               list_transform(list_slice(embedding, (m-1)*{pq_sub}+1, m*{pq_sub}),
+                              v -> CAST(v AS DOUBLE)) AS qv
+        FROM embeddings, (SELECT unnest(generate_series(1, {pq_m})) AS m)
+        WHERE vec_id IN {_QID_IN}),
+padc AS (SELECT q.qid, a2.vec_id,
+                CAST(sum(CAST(round({qd}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS adc
+         FROM a2 JOIN c1l c ON a2.m = c.m AND a2.cid = c.cid JOIN pqq q ON q.m = a2.m
+         GROUP BY q.qid, a2.vec_id),
+padct AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+          FROM padc) z WHERE rn <= {TOPK}),
+pl2 AS (SELECT q.vec_id AS qid, e.vec_id, ({l2sum}) AS d2
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id IN {_QID_IN}) q),
+pl2t AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+         FROM pl2) z WHERE rn <= {TOPK}),
+pqh AS (SELECT count(*) AS h FROM padct JOIN pl2t ON pl2t.qid = padct.qid AND pl2t.vec_id = padct.vec_id)
+SELECT 'lsh_hamming2' AS method, CAST({TOPK} AS INT) AS k,
+       CAST({len(RECALL_QIDS)} AS INT) AS n_queries, CAST(h AS DOUBLE) / {denom} AS recall FROM lshh
+UNION ALL
+SELECT 'ivf_16x' || CAST(n_probe AS VARCHAR), CAST({TOPK} AS INT),
+       CAST({len(RECALL_QIDS)} AS INT), CAST(h AS DOUBLE) / {denom} FROM ivfh
+UNION ALL
+SELECT 'pq_adc_8x16_vs_l2', CAST({TOPK} AS INT),
+       CAST({len(RECALL_QIDS)} AS INT), CAST(h AS DOUBLE) / {denom} FROM pqh
+"""
 
 
 # ---------------------------------------------------------------------------
