@@ -114,6 +114,30 @@ def main() -> int:
     from flink_crawler_spark.queries import pipelineq3 as _qp3
     from flink_crawler_spark.queries import pipelineq5 as _qp5
 
+    # Python DataSource engine spin-up (planner round-trip + datasource
+    # worker): a cold custom-source write/read costs ~5 s once per
+    # session (measured on warc_sink_source_roundtrip: 6.2 s cold vs
+    # 1.4 s steady state) — absorb it here like the streaming init above
+    # so the first datasource query's number measures the query.
+    from pyspark.sql import functions as _F
+
+    from flink_crawler_spark.operators.warc import build_warc_records, write_warc
+    from flink_crawler_spark.sources.warc_datasource import WarcDataSource
+
+    wwdir = os.path.join(tempfile.mkdtemp(prefix="fcs_warm_warc_"), "seg")
+    wrows = warm.limit(2).select(
+        _F.concat(_F.lit("http://warm.example/"), _F.col("n_nationkey").cast("string")).alias("url"),
+        _F.lit("FETCHED").alias("status"),
+        _F.lit(0).cast("long").alias("status_time"),
+        _F.encode(_F.col("n_name"), "UTF-8").alias("content"),
+        _F.lit("text/plain").alias("content_type"),
+    )
+    write_warc(build_warc_records(wrows), wwdir, timestamp_ms=0)
+    spark.dataSource.register(WarcDataSource)
+    spark.read.format("warc").option("path", wwdir).option(
+        "warc_types", "resource"
+    ).load().count()
+
     shared_builders: dict[str, float] = {}
     for bname, bfn in (
         ("shingle_tables", _qbase.shingle_tables),

@@ -76,83 +76,87 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r7 rotation (round-6 verdict task 1): ALL 50 slots drawn from
-    # the 71 oracled queries the driver has never verified (205/282 seen
-    # across r1-r6).  This window burns the never-seen backlog down to 21
-    # oracled (27 incl. the six rows-only ANN/sketch queries) — rotate
-    # those in r8.  Every r6-window row rotated OUT (all driver-green r6;
-    # still covered by the local gate + pytest + bench).  Composition per
-    # the verdict: the heaviest/trickiest first (near-dup sweep, survivor
-    # audit, containment, contamination, ccnet, novelty, minhash
-    # calibration, KM survival, skyline, seasonal decompose), then the
-    # waves-16..33 statistics/eval family.  All 50 green on the stricter
-    # local gate at sf0.01 before this rotation (tools/verify_local.py).
+    # --- r8 rotation (round-7 verdict tasks 1+4): closes the driver
+    # verification gap.  Slots 1-27 are EVERY query the driver has never
+    # seen across r1-r7: the 21-oracled backlog plus the 6 rows-only
+    # ANN/sketch queries (of which ann_recall_report gained a full value
+    # oracle this round — its recall table is now hash-checked, leaving 5
+    # rows-only by design).  With this window, cumulative driver coverage
+    # reaches 282/282.
     #
-    # r8 backlog (21 oracled, never driver-seen after this window):
-    # doc_entropy_score, filter_agreement_matrix, word_rank_curve,
-    # embedding_outlier_prune, random_projection_embed,
-    # near_dup_cluster_histogram, shard_balance_report, rfm_user_segments,
-    # event_cusum_alarms, zorder_layout_stats, event_markov_transitions,
-    # weighted_median_price, session_max_concurrency,
-    # association_rules_pairs, anova_f_event_values, gumbel_topk_sample,
-    # embedding_dim_stats, hill_tail_index, dau_mau_stickiness,
-    # error_budget_burn, worst_group_metric.
-    # Rows-only (⊘ by design): ann_topk_lsh, ann_topk_ivf,
-    # embedding_near_dup_lsh, ann_recall_report, hll_distinct_users,
-    # approx_percentile_prices.
-    # --- verdict-named heaviest/trickiest ---
+    # Slots 28-50 re-verify queries whose implementation changed after
+    # their last green driver row (refactors void green rows):
+    #   * r8 LSH bucket-size skew guard (operators/dedup.py max_bucket)
+    #     flows through the whole near-dup family: threshold_sweep,
+    #     keep_best, survivor_quality, calibration, containment,
+    #     contamination, quality_dedup_calibration, leakage_safe_split,
+    #     curation_funnel (+ cluster_histogram already in slots 1-27);
+    #   * r8 memoized _pq_core: ann_topk_pq_adc, pq_codebook_encode;
+    #   * r8 xlsx formula/inlineStr cell fix: parse_multiformat;
+    #   * r7 refactors never re-driver-seen: ppjoin_pairs,
+    #     sssp_bellman_ford, crawl_merge_lattice, frontier family,
+    #     doc_lang_id, crawl_reachability (also the r7 bench regression
+    #     under watch), and the r7 drifters stream_url_db_merge /
+    #     warc_sink_source_roundtrip, plus stream_stream_left_join for
+    #     the literal-rows sentinel + r8 tmpfs-guard checkpoint path.
+    # All 50 green on the stricter local gate at sf0.01 before this
+    # rotation (tools/verify_local.py).
+    # --- never-driver-seen: 21 oracled ---
+    "doc_entropy_score",
+    "filter_agreement_matrix",
+    "word_rank_curve",
+    "embedding_outlier_prune",
+    "random_projection_embed",
+    "near_dup_cluster_histogram",
+    "shard_balance_report",
+    "rfm_user_segments",
+    "event_cusum_alarms",
+    "zorder_layout_stats",
+    "event_markov_transitions",
+    "weighted_median_price",
+    "session_max_concurrency",
+    "association_rules_pairs",
+    "anova_f_event_values",
+    "gumbel_topk_sample",
+    "embedding_dim_stats",
+    "hill_tail_index",
+    "dau_mau_stickiness",
+    "error_budget_burn",
+    "worst_group_metric",
+    # --- never-driver-seen: the ANN/sketch tier (ann_recall_report now
+    # value-oracled; the other five stay rows-only by design) ---
+    "ann_recall_report",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup_lsh",
+    "hll_distinct_users",
+    "approx_percentile_prices",
+    # --- re-verification: r8 skew guard (near-dup family) ---
     "near_dup_threshold_sweep",
+    "near_dup_keep_best",
     "dedup_survivor_quality",
+    "minhash_estimate_calibration",
     "excerpt_containment_pairs",
     "cross_source_contamination",
-    "ccnet_bigram_nll",
-    "ngram_novelty_score",
-    "minhash_estimate_calibration",
-    "kaplan_meier_conversion",
-    "pareto_skyline_orders",
-    "seasonal_decompose_weekly",
-    # --- corpus / retrieval / tokenizer ---
-    "tokenizer_fertility_by_lang",
-    "query_likelihood_retrieval",
-    "matryoshka_truncation_recall",
-    "naive_bayes_lang_classify",
-    "class_balanced_downsample",
-    "target_encoding_loo",
-    "dp_laplace_counts",
-    "cdc_changelog_apply",
-    "source_diversity_indices",
-    "lift_gains_deciles",
-    "ndcg_same_label_eval",
-    "filter_kappa_agreement",
-    # --- statistics / eval (waves 16-33) ---
-    "ols_price_on_qty_discount",
-    "chi_square_priority_status",
-    "psi_price_drift",
-    "benford_price_digits",
-    "acf_daily_revenue",
-    "ewma_smoothed_revenue",
-    "info_gain_feature_rank",
-    "welch_t_test_price",
-    "mann_kendall_trend",
-    "winsorized_mean_price",
-    "rolling_quantile_band_alarms",
-    "simpson_paradox_check",
-    "zipf_fit_slope",
-    "user_burstiness_index",
-    "fano_factor_daily",
-    "entropy_rate_markov",
-    "conformal_prediction_interval",
-    "cuped_variance_reduction",
-    "mcnemar_gate_test",
-    "shapley_two_feature",
-    "ab_srm_check",
-    "session_gap_sensitivity",
-    "purchase_attribution_models",
-    "slo_latency_report",
-    "ipw_treatment_effect",
-    "brier_calibration_bins",
-    "auc_urgent_by_price",
-    "woe_iv_price_bins",
+    "quality_dedup_calibration",
+    "leakage_safe_split",
+    "curation_funnel",
+    # --- re-verification: r8 _pq_core memo + xlsx cell fix ---
+    "ann_topk_pq_adc",
+    "pq_codebook_encode",
+    "parse_multiformat",
+    # --- re-verification: r7 refactors / drifters ---
+    "ppjoin_pairs",
+    "sssp_bellman_ford",
+    "crawl_merge_lattice",
+    "frontier_topk",
+    "frontier_domain_quota",
+    "frontier_refetch_due",
+    "doc_lang_id",
+    "crawl_reachability",
+    "stream_url_db_merge",
+    "warc_sink_source_roundtrip",
+    "stream_stream_left_join",
 ]
 
 
