@@ -42,6 +42,18 @@ FETCH_STATUS_PRIORITY: dict[str, int] = {
     "HTTP_REDIRECTION_ERROR": 50,
     "HTTP_TOO_MANY_REDIRECTS": 50,
     "HTTP_MOVED_PERMANENTLY": 50,
+    # HTTP status-code failures (FetchStatus.java:42-44). The merge
+    # lattice already treated these as the 50-class via the unknown-status
+    # default; declaring them makes ENUMERATING consumers see them too —
+    # before r8 the per-tick df.observe status counters silently dropped
+    # e.g. HTTP_NOT_FOUND rows from CrawlResult.stats (caught by the
+    # CrawlerMetrics parity test).
+    "HTTP_CLIENT_ERROR": 50,
+    "HTTP_UNAUTHORIZED": 50,
+    "HTTP_FORBIDDEN": 50,
+    "HTTP_NOT_FOUND": 50,
+    "HTTP_GONE": 50,
+    "HTTP_SERVER_ERROR": 50,
     "ERROR_INVALID_URL": 50,
     "ERROR_IOEXCEPTION": 50,
     "ERROR_PARSING_ERROR": 50,
