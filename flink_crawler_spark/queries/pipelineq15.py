@@ -474,11 +474,18 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side explicitly so the stream side keeps its 32 splits.
     a = daily.repartition(32).alias("a")
     b = F.broadcast(daily).alias("b")
-    pairs = a.join(b, F.col("b.dayn") > F.col("a.dayn")).select(
-        (
-            (F.col("b.rev") - F.col("a.rev")).cast("double")
-            / (F.col("b.dayn") - F.col("a.dayn"))
-        ).alias("slope")
+    pairs = (
+        a.join(b, F.col("b.dayn") > F.col("a.dayn"))
+        .select(
+            (
+                (F.col("b.rev") - F.col("a.rev")).cast("double")
+                / (F.col("b.dayn") - F.col("a.dayn"))
+            ).alias("slope")
+        )
+        # consumed three times (the two-phase rank's both passes + the
+        # pair count) — pin the ~3M x 8-byte slope column so the BNLJ
+        # expansion runs once
+        .localCheckpoint(eager=True)
     )
     from ..operators.partitioning import distributed_row_number
 

@@ -401,13 +401,20 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer (a doc can't vouch for itself).
 
     Counts are three map-side-combined aggs (the classic distributed
-    n-gram LM build); scoring is the position stream hash-joined to the
-    count tables on n-gram keys — per-key fan-in bounded by n-gram
-    frequency, never a global sort. Per-position scores are rationals
-    of BIGINTs (deterministic double division + the 0.4/0.16 literals
-    both engines parse identically); the per-doc mean uses the decimal
-    discipline at 12 dp so summation order cannot move the answer.
-    Docs with < 3 tokens have no scoreable position and are absent.
+    n-gram LM build), and every GLOBAL count table derives from its
+    per-doc twin by a second, much smaller agg — each exploded n-gram
+    stream is shuffled exactly once. Scoring collapses the position
+    stream too: all positions of one (doc, a, b, w) group score
+    identically, so the scorer runs on the distinct per-doc trigram
+    table weighted by its own count (the c3d column doubles as the
+    leave-one-out subtrahend AND the position multiplicity) — the join
+    fan-in is per-doc-distinct trigrams, not raw positions. Per-position
+    scores are rationals of BIGINTs (deterministic double division + the
+    0.4/0.16 literals both engines parse identically); the per-doc mean
+    uses the decimal discipline at 12 dp (an exact decimal times a
+    BIGINT weight equals the weight-fold sum, so collapsing cannot move
+    the answer). Docs with < 3 tokens have no scoreable position and
+    are absent.
 
     Triples/bigrams come from the materialized token array via
     transform(sequence(...)) — zero shuffle to build, and the array is
@@ -443,18 +450,30 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "t.x", "t.y")
     ug = d0.select("doc_id", F.explode("tk").alias("w"))
 
-    c3g = tr.groupBy("a", "b", "w").agg(F.count(F.lit(1)).alias("c3g"))
-    c3d = tr.groupBy("doc_id", "a", "b", "w").agg(F.count(F.lit(1)).alias("c3d"))
-    c2g = bg.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c2g"))
-    c2d = bg.groupBy("doc_id", "x", "y").agg(F.count(F.lit(1)).alias("c2d"))
-    c1g = ug.groupBy("w").agg(F.count(F.lit(1)).alias("c1g"))
-    c1d = ug.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c1d"))
-    nn = ug.agg(F.count(F.lit(1)).alias("ntot"))
-    nd = ug.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndoc"))
+    # one shuffle per exploded stream; globals fold the per-doc tables
+    c3d = (
+        tr.groupBy("doc_id", "a", "b", "w")
+        .agg(F.count(F.lit(1)).alias("c3d"))
+        .localCheckpoint(eager=True)
+    )
+    c2d = (
+        bg.groupBy("doc_id", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c2d"))
+        .localCheckpoint(eager=True)
+    )
+    c1d = (
+        ug.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c1d"))
+        .localCheckpoint(eager=True)
+    )
+    c3g = c3d.groupBy("a", "b", "w").agg(F.sum("c3d").alias("c3g"))
+    c2g = c2d.groupBy("x", "y").agg(F.sum("c2d").alias("c2g"))
+    c1g = c1d.groupBy("w").agg(F.sum("c1d").alias("c1g"))
+    nd = c1d.groupBy("doc_id").agg(F.sum("c1d").alias("ndoc"))
+    nn = nd.agg(F.sum("ndoc").alias("ntot"))
 
     pos = (
-        tr.join(c3g, ["a", "b", "w"])
-        .join(c3d, ["doc_id", "a", "b", "w"])
+        c3d.join(c3g, ["a", "b", "w"])
         .join(
             c2g.withColumnRenamed("x", "a").withColumnRenamed("y", "b")
             .withColumnRenamed("c2g", "c2g_ab"),
@@ -486,6 +505,7 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nd, "doc_id")
         .select(
             "doc_id",
+            F.col("c3d").alias("cnt"),
             (F.col("c3g") - F.col("c3d")).alias("c3"),
             (F.col("c2g_ab") - F.col("c2d_ab")).alias("c2ab"),
             (F.col("c2g_bw") - F.col("c2d_bw")).alias("c2bw"),
@@ -506,19 +526,34 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = pos.select(
         "doc_id",
-        (F.col("c3") > 0).cast("long").alias("is_tri"),
-        ((F.col("c3") == 0) & (F.col("c2bw") > 0)).cast("long").alias("is_bi"),
-        ((F.col("c3") == 0) & (F.col("c2bw") == 0)).cast("long").alias("is_uni"),
+        "cnt",
+        ((F.col("c3") > 0).cast("long") * F.col("cnt")).alias("is_tri"),
+        (((F.col("c3") == 0) & (F.col("c2bw") > 0)).cast("long") * F.col("cnt")).alias(
+            "is_bi"
+        ),
+        (((F.col("c3") == 0) & (F.col("c2bw") == 0)).cast("long") * F.col("cnt")).alias(
+            "is_uni"
+        ),
         s.alias("s"),
     )
+    # s in [0, 1] by construction (each branch's numerator count is
+    # dominated by its denominator count), so round(s, 12) fits
+    # decimal(14,12) and the cnt-weighted product decimal(14,12) x
+    # decimal(19,0) = decimal(34,12) stays under precision 38 — exact,
+    # i.e. bit-identical to adding the rounded decimal cnt times like
+    # the per-position oracle does (Spark would silently rescale to 6 dp
+    # if the product overflowed 38).
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("cnt").alias("n_scored"),
         F.sum("is_tri").alias("n_tri_hits"),
         F.sum("is_bi").alias("n_bi_backoffs"),
         F.sum("is_uni").alias("n_uni_backoffs"),
         F.round(
-            F.sum(F.round(F.col("s"), 12).cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(
+                F.round(F.col("s"), 12).cast("decimal(14,12)")
+                * F.col("cnt").cast("decimal(19,0)")
+            ).cast("double")
+            / F.sum("cnt"),
             9,
         ).alias("score"),
     )

@@ -108,13 +108,21 @@ LIMIT {MERGE_TOP_K}
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training, step 1: count adjacent character pairs inside every
     word occurrence and rank the merge candidates — the statistic a real
-    BPE trainer (Sennrich et al. 2016) computes each round. One explode
-    + one count agg with map-side partial aggregation; the top-k is
-    TakeOrderedAndProject, never a global sort. Symbol-pair cardinality
-    is bounded by alphabet², so the agg state is tiny at any corpus
-    size."""
-    words = t(spark, sf_dir, "documents").select(
-        F.explode(tokens_expr(F.col("text"))).alias("w")
+    BPE trainer (Sennrich et al. 2016) computes each round, and exactly
+    how reference trainers structure it: collapse the corpus to the
+    DISTINCT word + occurrence count first (Zipf makes the vocabulary
+    orders of magnitude smaller than the token stream), then split only
+    each unique word once and weight its pairs by the word count. The
+    pair statistic is identical to splitting every occurrence; the
+    explode volume drops from O(tokens) to O(vocab). Both aggs are
+    map-side combined; the top-k is TakeOrderedAndProject, never a
+    global sort. Symbol-pair cardinality is bounded by alphabet², so
+    the final agg state is tiny at any corpus size."""
+    wfreq = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
     )
     cs = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
     # Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's generate_series
@@ -122,17 +130,18 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(F.size(cs) >= 2, F.sequence(F.lit(1), F.size(cs) - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = words.select(
+    pairs = wfreq.select(
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
             )
-        ).alias("pair")
+        ).alias("pair"),
+        "wn",
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("wn").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(MERGE_TOP_K)
     )
