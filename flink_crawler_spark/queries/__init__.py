@@ -101,6 +101,14 @@ PRIORITY_WINDOW = [
     #     the literal-rows sentinel + r8 tmpfs-guard checkpoint path.
     # All 50 green on the stricter local gate at sf0.01 before this
     # rotation (tools/verify_local.py).
+    #
+    # r9 re-verification queue (refactors AFTER this window was frozen
+    # void their old green rows; each is bit-exact on the local gate —
+    # full 282-query sweep at sf0.001 plus targeted sf0.01 — but the
+    # driver must re-see them next rotation): stupid_backoff_score,
+    # bpe_merge_candidates, cms_heavy_hitters, theil_sen_trend,
+    # rrf_rank_fusion, hits_hub_authority (r8 session-2 collapse-then-
+    # score / checkpoint-fusion perf work).
     # --- never-driver-seen: 21 oracled ---
     "doc_entropy_score",
     "filter_agreement_matrix",

@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_expr
-from ..operators.partitioning import distributed_row_number
 from .base import REGISTRY, register, t
 from .pipelineq9 import bm25_search_topk  # noqa: F401  (registers its oracle)
 from .textops import QUALITY_CTES, QUALITY_SELECT
@@ -143,11 +142,13 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval signals: the BM25 top-20 for the fixed term query and the
     corpus-wide quality-score top-20 — the hybrid-search / multi-signal
     curation aggregator (score scales never need calibrating; only
-    ranks fuse: rrf = sum 1/(60 + rank_i)). The quality ranking over
-    the FULL corpus uses the two-phase ``distributed_row_number`` (no
-    single-partition window at any corpus size) and truncates to 20;
-    the BM25 side ranks its own top-20 result, a 20-row window by
-    construction. Both engines run the same verbatim BM25 and quality
+    ranks fuse: rrf = sum 1/(60 + rank_i)). The quality top-20 is cut
+    with orderBy+limit — TakeOrderedAndProject, a map-side bounded heap
+    per partition then one 20-row merge: ONE corpus pass and no window
+    at any corpus size (the previous two-phase full-corpus rank paid a
+    second pass for rows all about to be discarded); the 20 survivors
+    are then ranked with the triangular join, same as the BM25 side's
+    own top-20. Both engines run the same verbatim BM25 and quality
     chains (the oracle embeds `bm25_search_topk`'s oracle), so fusion
     cannot drift from the rankings it aggregates."""
     from ..operators.windows import bounded_row_number
@@ -161,13 +162,10 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t(spark, sf_dir, "documents").select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
     )
-    qr = (
-        distributed_row_number(
-            q, [F.col("quality").desc(), F.col("doc_id")], out="r_q"
-        )
-        .filter(F.col("r_q") <= RRF_TOP)
-        .select("doc_id", F.col("r_q").cast("long").alias("r_q"))
-    )
+    top = q.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(RRF_TOP)
+    qr = bounded_row_number(
+        top, [("quality", False), ("doc_id", True)], out="r_q"
+    ).select("doc_id", F.col("r_q").cast("long").alias("r_q"))
     return br.join(qr, "doc_id", "full_outer").select(
         "doc_id",
         F.coalesce(F.col("r_bm"), F.lit(-1)).alias("bm25_rank"),
