@@ -450,7 +450,12 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "t.x", "t.y")
     ug = d0.select("doc_id", F.explode("tk").alias("w"))
 
-    # one shuffle per exploded stream; globals fold the per-doc tables
+    # one shuffle per exploded stream; globals fold the per-doc tables.
+    # Pinned (eager localCheckpoint): each per-doc table has 2-4
+    # consumers joining on DIFFERENT keys, so static ReuseExchange
+    # cannot dedupe them (the reused node is the pre-join exchange,
+    # which differs per key) — unpinned, the explode+agg recomputes per
+    # consumer (measured +0.6-1.2 s isolated at sf0.1).
     c3d = (
         tr.groupBy("doc_id", "a", "b", "w")
         .agg(F.count(F.lit(1)).alias("c3d"))
