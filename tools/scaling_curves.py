@@ -300,6 +300,13 @@ FAMILIES = [
     ("stream-agg", "stream_window_counts_append", None),
     ("stream-join", "stream_stream_left_join", None),
     ("stream-urldb", "stream_url_db_merge", None),
+    # r8 session-2: the collapse-then-score rewrites — expected
+    # SUBLINEAR in corpus size (their hash/explode work scales with
+    # DISTINCT words/keys, which the fixed 31-token vocabulary pins
+    # nearly constant while the token stream grows linearly; on a
+    # natural corpus distinct grows ~sqrt) plus the linear count agg.
+    ("bpe-pairs", "bpe_merge_candidates", None),
+    ("theil-sen", "theil_sen_trend", None),
 ]
 
 
