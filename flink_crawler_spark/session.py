@@ -41,6 +41,18 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # A multi-hundred-query session generates thousands of Janino
+        # classes; the JVM's default 240 MB code cache overflows mid-run
+        # ("CodeCache is full. Compiler has been disabled") and the rest
+        # of the session runs interpreted — the classic cause of
+        # late-run degradation in long Spark SQL sessions. 512 MB keeps
+        # the JIT alive for the whole 282-query bench.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # NOTE: deliberately NOT setting spark.sql.legacy.parquet.nanosAsLong.
