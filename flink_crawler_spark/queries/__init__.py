@@ -107,8 +107,9 @@ PRIORITY_WINDOW = [
     # full 282-query sweep at sf0.001 plus targeted sf0.01 — but the
     # driver must re-see them next rotation): stupid_backoff_score,
     # bpe_merge_candidates, cms_heavy_hitters, theil_sen_trend,
-    # rrf_rank_fusion, hits_hub_authority (r8 session-2 collapse-then-
-    # score / checkpoint-fusion perf work).
+    # rrf_rank_fusion, hits_hub_authority,
+    # graph_jaccard_link_prediction (r8 session-2 collapse-then-score /
+    # checkpoint-fusion / sentinel-edge-fold perf work).
     # --- never-driver-seen: 21 oracled ---
     "doc_entropy_score",
     "filter_agreement_matrix",
