@@ -229,6 +229,55 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray, *, vec_col: str = "
     return embeddings.withColumn("list_id", assign(F.col(vec_col)))
 
 
+def ivf_probe_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    centroids: np.ndarray,
+    n_probe: int,
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN candidate join: query x corpus pairs restricted to
+    the query's ``n_probe`` nearest inverted lists — the sub-quadratic
+    replacement for a broadcast cross join in pair-mining queries
+    (hard-negative mining, MNN bitext mining).
+
+    Shape: the corpus lands in its nearest-centroid list (``ivf_assign``
+    — at 100 TB ``list_id`` is the stored table's partition key, so
+    probing prunes the scan), each query row explodes into its n_probe
+    probe lists, and candidates come from an equi-join on the list id.
+    The corpus side never shuffles more than once and no cross join ever
+    forms; with ``n_probe == len(centroids)`` the candidate set is
+    exactly the full cross product (the property the equivalence tests
+    pin). The list id is low-cardinality, so list-size skew is the AQE
+    skew-join case; per-list size is bounded by the quantizer, same as
+    any IVF index.
+
+    Caller contract: ``queries`` and ``corpus`` must have disjoint
+    column names; the returned frame has all columns of both (helper
+    columns ``probe_id``/``list_id`` are dropped). Tie-breaks in the
+    probe ranking are by stable argsort (lowest list id wins), matching
+    ``ivf_assign``'s first-argmax rule, so results are deterministic.
+    """
+    n_lists = len(centroids)
+    n_probe = min(n_probe, n_lists)
+    Ct = centroids.T  # dim x n_lists
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ Ct), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.withColumn(
+        "probe_id", F.explode(probes(F.col(query_vec_col)))
+    )
+    c = ivf_assign(corpus, centroids, vec_col=corpus_vec_col)
+    return q.join(c, q["probe_id"] == c["list_id"]).drop("probe_id", "list_id")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -76,96 +76,70 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r8 rotation (round-7 verdict tasks 1+4): closes the driver
-    # verification gap.  Slots 1-27 are EVERY query the driver has never
-    # seen across r1-r7: the 21-oracled backlog plus the 6 rows-only
-    # ANN/sketch queries (of which ann_recall_report gained a full value
-    # oracle this round — its recall table is now hash-checked, leaving 5
-    # rows-only by design).  With this window, cumulative driver coverage
-    # reaches 282/282.
-    #
-    # Slots 28-50 re-verify queries whose implementation changed after
-    # their last green driver row (refactors void green rows):
-    #   * r8 LSH bucket-size skew guard (operators/dedup.py max_bucket)
-    #     flows through the whole near-dup family: threshold_sweep,
-    #     keep_best, survivor_quality, calibration, containment,
-    #     contamination, quality_dedup_calibration, leakage_safe_split,
-    #     curation_funnel (+ cluster_histogram already in slots 1-27);
-    #   * r8 memoized _pq_core: ann_topk_pq_adc, pq_codebook_encode;
-    #   * r8 xlsx formula/inlineStr cell fix: parse_multiformat;
-    #   * r7 refactors never re-driver-seen: ppjoin_pairs,
-    #     sssp_bellman_ford, crawl_merge_lattice, frontier family,
-    #     doc_lang_id, crawl_reachability (also the r7 bench regression
-    #     under watch), and the r7 drifters stream_url_db_merge /
-    #     warc_sink_source_roundtrip, plus stream_stream_left_join for
-    #     the literal-rows sentinel + r8 tmpfs-guard checkpoint path.
-    # All 50 green on the stricter local gate at sf0.01 before this
-    # rotation (tools/verify_local.py).
-    #
-    # r9 re-verification queue (refactors AFTER this window was frozen
-    # void their old green rows; each is bit-exact on the local gate —
-    # full 282-query sweep at sf0.001 plus targeted sf0.01 — but the
-    # driver must re-see them next rotation): stupid_backoff_score,
-    # bpe_merge_candidates, cms_heavy_hitters, theil_sen_trend,
-    # rrf_rank_fusion, hits_hub_authority,
-    # graph_jaccard_link_prediction (r8 session-2 collapse-then-score /
-    # checkpoint-fusion / sentinel-edge-fold perf work).
-    # --- never-driver-seen: 21 oracled ---
-    "doc_entropy_score",
-    "filter_agreement_matrix",
-    "word_rank_curve",
-    "embedding_outlier_prune",
-    "random_projection_embed",
-    "near_dup_cluster_histogram",
-    "shard_balance_report",
-    "rfm_user_segments",
-    "event_cusum_alarms",
-    "zorder_layout_stats",
-    "event_markov_transitions",
-    "weighted_median_price",
-    "session_max_concurrency",
-    "association_rules_pairs",
-    "anova_f_event_values",
-    "gumbel_topk_sample",
-    "embedding_dim_stats",
-    "hill_tail_index",
-    "dau_mau_stickiness",
-    "error_budget_burn",
-    "worst_group_metric",
-    # --- never-driver-seen: the ANN/sketch tier (ann_recall_report now
-    # value-oracled; the other five stay rows-only by design) ---
-    "ann_recall_report",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "embedding_near_dup_lsh",
-    "hll_distinct_users",
-    "approx_percentile_prices",
-    # --- re-verification: r8 skew guard (near-dup family) ---
-    "near_dup_threshold_sweep",
-    "near_dup_keep_best",
-    "dedup_survivor_quality",
-    "minhash_estimate_calibration",
-    "excerpt_containment_pairs",
-    "cross_source_contamination",
-    "quality_dedup_calibration",
-    "leakage_safe_split",
-    "curation_funnel",
-    # --- re-verification: r8 _pq_core memo + xlsx cell fix ---
-    "ann_topk_pq_adc",
-    "pq_codebook_encode",
-    "parse_multiformat",
-    # --- re-verification: r7 refactors / drifters ---
-    "ppjoin_pairs",
-    "sssp_bellman_ford",
-    "crawl_merge_lattice",
-    "frontier_topk",
-    "frontier_domain_quota",
-    "frontier_refetch_due",
-    "doc_lang_id",
-    "crawl_reachability",
-    "stream_url_db_merge",
-    "warc_sink_source_roundtrip",
-    "stream_stream_left_join",
+    # --- r9 rotation (round-8 verdict tasks 1+4): current-code closure.
+    # Slots 1-7 are the 7 queries perf-refactored AFTER the r8 window
+    # froze (collapse-then-score / checkpoint fusion / sentinel
+    # edge-fold, commits d911359..4d5523e) — their old green rows were
+    # voided by the refactors; each is bit-exact on the local gate
+    # (tools/verify_local.py, full sf0.001 sweep + targeted sf0.01).
+    "stupid_backoff_score",
+    "bpe_merge_candidates",
+    "cms_heavy_hitters",
+    "theil_sen_trend",
+    "rrf_rank_fusion",
+    "hits_hub_authority",
+    "graph_jaccard_link_prediction",
+    # --- changed THIS round (r8 verdict task 2): bucketed-ANN candidate
+    # guard — above MAX_EXACT_ROWS the broadcast cross join gives way to
+    # ivf_probe_candidates; exact path below (path equality
+    # property-tested in tests/test_ann_guard.py).  Landed BEFORE this
+    # window per the re-verification protocol (r8 verdict task 4).
+    "margin_mnn_pairs",
+    "hard_negative_mining",
+    # --- re-verification: the 41 stalest green rows (36 last seen in
+    # r1, 5 in r2; none changed since — pure freshness rotation so the
+    # cumulative ledger carries no row older than r3 after this round).
+    "customer_deciles",
+    "customer_distribution_q13",
+    "disjunctive_revenue_q19",
+    "distinct_users_salted",
+    "event_value_bands",
+    "events_asof_signup",
+    "forecast_revenue_q6",
+    "frontier_fairness_gini",
+    "idle_customers_q22",
+    "large_orders_q18",
+    "last_shipper_q21",
+    "market_share_q8",
+    "min_cost_supplier_q2",
+    "nation_balance_share_q11",
+    "order_percentiles",
+    "order_priority_exists_q4",
+    "orders_priority_rollup",
+    "orders_running_total",
+    "pricing_summary",
+    "priority_class_counts_q12",
+    "profit_by_nation_q9",
+    "promo_revenue_q14",
+    "promo_volume_suppliers_q20",
+    "returned_items_q10",
+    "revenue_cube",
+    "revenue_rollup",
+    "seen_urls_semi_join",
+    "sessionize_events",
+    "sessionize_grouped_map",
+    "shipping_priority_q3",
+    "small_quantity_revenue_q17",
+    "supplier_part_counts_q16",
+    "top_customer_per_nation",
+    "top_supplier_q15",
+    "topk_orders_global",
+    "volume_shipping_q7",
+    "bucketed_state_merge",
+    "cosine_pairs_bruteforce",
+    "dedup_exact",
+    "revenue_by_region",
+    "url_pld_extract",
 ]
 
 

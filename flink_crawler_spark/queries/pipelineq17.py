@@ -89,6 +89,12 @@ def softdedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HARDNEG_K = 5
+# Above this row count the exact anchors x corpus broadcast pass gives
+# way to the bucketed IVF candidate join — test scales stay exact (and
+# oracle-comparable), 100 TB runs never form the cross product.
+HARDNEG_MAX_EXACT_ROWS = 100_000
+HARDNEG_N_LISTS = 16
+HARDNEG_N_PROBE = 4
 # ~1/16 of vectors are anchors — an md5 gate, NOT a linear id%k residue
 # (the known degenerate-map trap on derived synthetic ids)
 _ANCHOR_DUCK = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'"
@@ -123,34 +129,60 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for each
     anchor vector (a deterministic md5-gated ~1/16 sample), the top-k
     most-similar embeddings with a DIFFERENT label — the negatives that
-    actually teach the model something. Anchors broadcast against the
-    corpus (the corpus side never shuffles); cosine is the same unrolled
-    left-associated 64-term chain both engines run, rounded BEFORE
-    ranking so rank boundaries agree. This exact pass is the labeled
-    fallback; at 100 TB the candidate generation step swaps to the
-    bucketed ANN operators (ann_topk_lsh / ann_topk_ivf) and this
-    ranking runs per-bucket."""
+    actually teach the model something. Below HARDNEG_MAX_EXACT_ROWS the
+    candidate step is the exact broadcast pass (anchors broadcast, the
+    corpus side never shuffles); above it, candidates route through the
+    bucketed IVF join (``ivf_probe_candidates`` — corpus rows live in
+    their nearest-centroid list, anchors probe n_probe lists, candidates
+    come from an equi-join on the list id, never a cross join), the same
+    guard discipline ``exact_cosine_pairs`` applies to its collect path.
+    Cosine is the same unrolled left-associated 64-term chain both
+    engines run, rounded BEFORE ranking so rank boundaries agree.
+    Equivalence of the two candidate paths is property-tested in
+    tests/test_ann_guard.py (n_probe == n_lists ==> identical output)."""
+    return _hard_negative_impl(spark, sf_dir)
+
+
+def _hard_negative_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_exact_rows: int = HARDNEG_MAX_EXACT_ROWS,
+    n_lists: int = HARDNEG_N_LISTS,
+    n_probe: int = HARDNEG_N_PROBE,
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     anch = e.where(F.expr(_ANCHOR_SPARK)).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("label").alias("a_label"),
     )
-    # repartition the corpus side first — a small parquet scan is ONE
-    # split, which would serialize the anchor x corpus cosine chain
-    # through a single BroadcastNestedLoopJoin task
-    pairs = (
-        e.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .crossJoin(F.broadcast(anch))
-        .where(F.col("label") != F.col("a_label"))
-        .select(
-            "a_id",
-            F.col("vec_id").alias("neg_id"),
-            F.expr(
-                f"round(({_dot_sql('a_emb', 'embedding', 0)})"
-                f" / (({_norm_sql('a_emb', 0)}) * ({_norm_sql('embedding', 0)})), 6)"
-            ).alias("cosine"),
+    if e.count() <= max_exact_rows:
+        # repartition the corpus side first — a small parquet scan is ONE
+        # split, which would serialize the anchor x corpus cosine chain
+        # through a single BroadcastNestedLoopJoin task
+        cand = e.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ).crossJoin(F.broadcast(anch))
+    else:
+        from ..operators.similarity import ivf_centroids, ivf_probe_candidates
+
+        cents = ivf_centroids(e, n_lists=n_lists)
+        cand = ivf_probe_candidates(
+            anch,
+            e,
+            centroids=cents,
+            n_probe=n_probe,
+            query_vec_col="a_emb",
+            corpus_vec_col="embedding",
         )
+    pairs = cand.where(F.col("label") != F.col("a_label")).select(
+        "a_id",
+        F.col("vec_id").alias("neg_id"),
+        F.expr(
+            f"round(({_dot_sql('a_emb', 'embedding', 0)})"
+            f" / (({_norm_sql('a_emb', 0)}) * ({_norm_sql('embedding', 0)})), 6)"
+        ).alias("cosine"),
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
     return (

@@ -93,6 +93,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MNN_K = 4  # neighborhood size for the margin denominator
+# Above this per-side row count the exact x-side x y-side broadcast
+# cross join gives way to the bucketed IVF candidate join; below it the
+# exact pass runs (and stays oracle-comparable at test scales).
+MNN_MAX_EXACT_ROWS = 100_000
+MNN_N_LISTS = 16
+MNN_N_PROBE = 4
 
 
 def _dot64(a: str, b: str, base: int) -> str:
@@ -156,12 +162,27 @@ def margin_mnn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner): score(x,y) = cos(x,y) / mean of the two local k-NN
     neighborhoods, keep pairs where each is the other's best margin.
     The ratio margin cancels hubness that raw cosine thresholds can't.
-    This is the exact labeled fallback (sides here: label parity); at
-    100 TB candidate pairs come from the bucketed ANN operators and the
-    margin/mutual steps run per-bucket unchanged. k-NN means are exact
-    DECIMAL sums of the rounded cosines; the margin quotient is O(1)
-    magnitude so 6dp rounding is well inside double precision (the
-    large-magnitude quotient trap does not apply)."""
+    Below MNN_MAX_EXACT_ROWS total rows the candidate step is the exact
+    broadcast cross join (the labeled fallback; sides here: label
+    parity); above it, candidates route through the bucketed IVF join
+    (``ivf_probe_candidates``) and the margin/mutual steps run on the
+    candidate set unchanged — never a cross product at 100 TB.
+    Equivalence of the two candidate paths is property-tested in
+    tests/test_ann_guard.py (n_probe == n_lists ==> identical output).
+    k-NN means are exact DECIMAL sums of the rounded cosines; the margin
+    quotient is O(1) magnitude so 6dp rounding is well inside double
+    precision (the large-magnitude quotient trap does not apply)."""
+    return _margin_mnn_impl(spark, sf_dir)
+
+
+def _margin_mnn_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_exact_rows: int = MNN_MAX_EXACT_ROWS,
+    n_lists: int = MNN_N_LISTS,
+    n_probe: int = MNN_N_PROBE,
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     x = e.where(F.col("label") < 5).selectExpr(
         "vec_id AS x_id", "embedding AS ex", f"{_norm_sql('embedding', 0)} AS nx"
@@ -169,20 +190,31 @@ def margin_mnn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = e.where(F.col("label") >= 5).selectExpr(
         "vec_id AS y_id", "embedding AS ey", f"{_norm_sql('embedding', 0)} AS ny"
     )
-    # repartition the left side BEFORE the broadcast cross join: a
-    # small parquet side arrives as ONE input split, which would leave
-    # the BroadcastNestedLoopJoin — and the 1M x 64-term cosine chain —
-    # on a single task (measured 30 s -> ~1 s at sf0.1 with 32 slots)
-    p = (
-        x.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .crossJoin(F.broadcast(y))
-        .selectExpr(
-            "x_id",
-            "y_id",
-            f"round(({_dot64('ex', 'ey', 0)}) / (nx * ny), 6) AS cos",
+    if e.count() <= max_exact_rows:
+        # repartition the left side BEFORE the broadcast cross join: a
+        # small parquet side arrives as ONE input split, which would leave
+        # the BroadcastNestedLoopJoin — and the 1M x 64-term cosine chain —
+        # on a single task (measured 30 s -> ~1 s at sf0.1 with 32 slots)
+        cand = x.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ).crossJoin(F.broadcast(y))
+    else:
+        from ..operators.similarity import ivf_centroids, ivf_probe_candidates
+
+        cents = ivf_centroids(e, n_lists=n_lists)
+        cand = ivf_probe_candidates(
+            x,
+            y,
+            centroids=cents,
+            n_probe=n_probe,
+            query_vec_col="ex",
+            corpus_vec_col="ey",
         )
-        .localCheckpoint(eager=True)
-    )
+    p = cand.selectExpr(
+        "x_id",
+        "y_id",
+        f"round(({_dot64('ex', 'ey', 0)}) / (nx * ny), 6) AS cos",
+    ).localCheckpoint(eager=True)
     wx = Window.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
     kx = (
         p.withColumn("rn", F.row_number().over(wx))

@@ -42,16 +42,28 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # A multi-hundred-query session generates thousands of Janino
-        # classes; the JVM's default 240 MB code cache overflows mid-run
-        # ("CodeCache is full. Compiler has been disabled") and the rest
-        # of the session runs interpreted — the classic cause of
-        # late-run degradation in long Spark SQL sessions. 512 MB keeps
-        # the JIT alive for the whole 282-query bench.
+        # classes.  Near the JVM's default 240 MB code-cache ceiling the
+        # sweeper churns still-warm compiled methods (no "CodeCache is
+        # full" warning is ever printed — measured in SCALE.md, commit
+        # 341eab5), costing ~12% of suite runtime with heavy-tailed
+        # per-query spikes.  512 MB keeps warm methods resident for the
+        # whole 282-query bench.
+        #
+        # Launch-mode caveat: builder-set driver extraJavaOptions only
+        # take effect when THIS process launches the JVM.  Under
+        # spark-submit or a pre-existing gateway this is a silent no-op —
+        # set the flag in spark-defaults.conf / --driver-java-options
+        # there.  _log_code_cache_size() below makes a no-op visible.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
-            ),
+            # Append (not replace) any user-supplied JVM flags so an
+            # unrelated export (e.g. GC tuning) doesn't silently drop
+            # the code-cache sizing.  A user ReservedCodeCacheSize wins:
+            # on duplicate -XX flags the JVM honours the last one.
+            (
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -61,7 +73,52 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         # interpret nanos as seconds — garbage epochs far from the cause.
         # Without it, such a physical-type change fails fast at scan time.
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _log_code_cache_size(spark)
+    return spark
+
+
+def _log_code_cache_size(spark: SparkSession) -> None:
+    """Print the JVM's effective code-cache reservation once per process.
+
+    Builder-set extraJavaOptions silently no-op when the JVM pre-exists
+    this Python process (spark-submit, shared gateway); surfacing the
+    real reservation makes that visible instead of reappearing as the
+    ~12% late-run sweeper-churn degradation documented in SCALE.md.
+    """
+    global _code_cache_logged
+    if _code_cache_logged:
+        return
+    _code_cache_logged = True
+    try:
+        pools = (
+            spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()  # type: ignore[union-attr]
+        )
+        total = 0
+        for i in range(pools.size()):
+            pool = pools.get(i)
+            name = pool.getName()
+            # JDK 9+ segments the cache into three CodeHeap pools; older
+            # JVMs expose a single "CodeCache" pool.
+            if "CodeHeap" in name or name == "CodeCache":
+                total += pool.getUsage().getMax()
+        if total:
+            mb = total // (1024 * 1024)
+            print(f"[flink_crawler_spark] JVM code cache reserved: {mb} MB", flush=True)
+            if mb < 384:
+                print(
+                    "[flink_crawler_spark] WARNING: code cache < 384 MB — the "
+                    "512m builder flag did not reach this JVM (pre-existing "
+                    "gateway / spark-submit?). Expect ~12% late-run slowdown "
+                    "on multi-hundred-plan sessions; set "
+                    "-XX:ReservedCodeCacheSize=512m in --driver-java-options.",
+                    flush=True,
+                )
+    except Exception:
+        pass  # diagnostics only — never fail session creation
+
+
+_code_cache_logged = False
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -186,7 +186,12 @@ def _clamp_interval(ms: float) -> int:
     return int(min(max(ms, 1), 1000))
 
 
-def _url_db_timer_fn(base_interval_ms: int, max_per_fire: int, min_fetch_score: float):
+def _url_db_timer_fn(
+    base_interval_ms: int,
+    max_per_fire: int,
+    min_fetch_score: float,
+    refetch: bool = False,
+):
     def fn(
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -207,12 +212,27 @@ def _url_db_timer_fn(base_interval_ms: int, max_per_fire: int, min_fetch_score: 
             # timer fire: admit the domain's best UNFETCHED URL(s) to the
             # fetch queue — status becomes QUEUED and the status-change row
             # is emitted (the reference's side-output loopback)
+            # refetch mode mirrors the batch admission predicate
+            # (operators/frontier.py _eligible_expr with refetch=True)
+            # term for term: due UNFETCHED above the score floor, plus
+            # due FETCHED rows re-entering — the reference's continuous
+            # re-crawl timers.  Non-refetch keeps the original
+            # UNFETCHED-only admission (timer cadence plays the role of
+            # the due check).  Batch/streaming equivalence of the
+            # re-admission set is pinned in tests/test_refetch_parity.py.
+            if refetch:
+                def _elig(v):
+                    return (
+                        v[0] == UNFETCHED
+                        and v[2] >= min_fetch_score
+                        and v[3] <= now
+                    ) or (v[0] == "FETCHED" and v[3] <= now)
+            else:
+                def _elig(v):
+                    return v[0] == UNFETCHED and v[2] >= min_fetch_score
+
             cands = sorted(
-                (
-                    (u, v)
-                    for u, v in db.items()
-                    if v[0] == UNFETCHED and v[2] >= min_fetch_score
-                ),
+                ((u, v) for u, v in db.items() if _elig(v)),
                 key=lambda kv: (-kv[1][2], kv[0]),
             )[:max_per_fire]
             for u, v in cands:
@@ -256,14 +276,18 @@ def url_db_with_timers(
     base_interval_ms: int = 200,
     max_per_fire: int = 1,
     min_fetch_score: float = 0.0,
+    refetch: bool = False,
 ) -> DataFrame:
     """Streaming URL DB with per-domain processing-time timers: incoming
     observations merge into keyed state; each domain's timer re-arms at a
     score-scaled interval and admits its best UNFETCHED URL as QUEUED —
     the continuous form of the frontier-selection quota the batch loop
-    computes per tick."""
+    computes per tick.  ``refetch=True`` additionally re-admits FETCHED
+    rows whose next_fetch_time has come due (UrlDBFunction.java:333-351
+    continuous re-crawl), with the admission predicate mirroring the
+    batch ``_eligible_expr(refetch=True)`` term for term."""
     return obs_stream.groupBy("pld").applyInPandasWithState(
-        _url_db_timer_fn(base_interval_ms, max_per_fire, min_fetch_score),
+        _url_db_timer_fn(base_interval_ms, max_per_fire, min_fetch_score, refetch),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -1,0 +1,108 @@
+"""Batch/streaming refetch equivalence (round-8 verdict task 7).
+
+The batch refetch admission (``select_frontier(refetch=True)``,
+operators/frontier.py — the `frontier_refetch_due` query) and the
+streaming per-domain timers (``url_db_with_timers(refetch=True)``,
+streaming/url_db.py) implement the SAME reference policy
+(UrlDBFunction.java:333-351 continuous re-crawl: due UNFETCHED above the
+score floor plus due FETCHED rows re-enter).  This test drives both over
+one fixture and asserts the re-admission SET is identical — the same
+one-oracle discipline the four sessionizers share.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+FAR_FUTURE_MS = 1 << 50
+MIN_SCORE = 0.5
+
+# (url, pld, status, status_time, score, next_fetch_time)
+FIXTURE = [
+    # due UNFETCHED above the floor -> admitted
+    ("http://a.com/fresh", "a.com", "UNFETCHED", 1, 2.0, 0),
+    ("http://b.com/fresh", "b.com", "UNFETCHED", 1, 0.6, 0),
+    # UNFETCHED below the score floor -> NOT admitted
+    ("http://a.com/lowscore", "a.com", "UNFETCHED", 1, 0.1, 0),
+    # UNFETCHED not yet due -> NOT admitted
+    ("http://b.com/future", "b.com", "UNFETCHED", 1, 3.0, FAR_FUTURE_MS),
+    # due FETCHED -> re-admitted (no score floor on the refetch branch)
+    ("http://a.com/stale", "a.com", "FETCHED", 1, 0.05, 0),
+    ("http://b.com/stale", "b.com", "FETCHED", 1, 4.0, 0),
+    # FETCHED not yet due -> NOT admitted
+    ("http://a.com/recent", "a.com", "FETCHED", 1, 9.0, FAR_FUTURE_MS),
+    # terminal/in-flight statuses never re-enter
+    ("http://b.com/queued", "b.com", "QUEUED", 1, 9.0, 0),
+]
+
+EXPECTED = {
+    "http://a.com/fresh",
+    "http://b.com/fresh",
+    "http://a.com/stale",
+    "http://b.com/stale",
+}
+
+SCHEMA = (
+    "url string, pld string, status string, status_time long, "
+    "score double, next_fetch_time long"
+)
+
+
+def test_batch_refetch_admission_set(spark):
+    from flink_crawler_spark.operators.frontier import select_frontier
+
+    state = spark.createDataFrame(FIXTURE, SCHEMA)
+    out = select_frontier(
+        state,
+        now_ms=int(time.time() * 1000),
+        max_queue_size=None,
+        max_per_domain=100,
+        min_fetch_score=MIN_SCORE,
+        refetch=True,
+    )
+    assert {r["url"] for r in out.collect()} == EXPECTED
+
+
+def test_streaming_timers_match_batch_refetch_set(spark, tmp_path):
+    from flink_crawler_spark.streaming.url_db import OBS_SCHEMA, url_db_with_timers
+
+    obs_dir = str(tmp_path / "obs")
+    spark.createDataFrame(FIXTURE, OBS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(obs_dir)
+    stream = spark.readStream.schema(OBS_SCHEMA).parquet(obs_dir)
+    out = url_db_with_timers(
+        stream,
+        base_interval_ms=200,
+        max_per_fire=10,
+        min_fetch_score=MIN_SCORE,
+        refetch=True,
+    )
+    name = "refetchdb_" + uuid.uuid4().hex[:6]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got: set[str] = set()
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            got = {r["url"] for r in rows}
+            assert all(r["status"] == "QUEUED" for r in rows)
+            if got >= EXPECTED:
+                # one extra settle pass proves nothing beyond the batch
+                # set ever gets admitted
+                time.sleep(1.5)
+                rows = spark.sql(f"SELECT * FROM {name}").collect()
+                got = {r["url"] for r in rows}
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == EXPECTED
