@@ -103,8 +103,16 @@ def _log_code_cache_size(spark: SparkSession) -> None:
             if "CodeHeap" in name or name == "CodeCache":
                 total += pool.getUsage().getMax()
         if total:
+            import sys as _sys
+
+            # stderr, NOT stdout: bench.py's contract is ONE JSON line
+            # on stdout and the driver parses it
             mb = total // (1024 * 1024)
-            print(f"[flink_crawler_spark] JVM code cache reserved: {mb} MB", flush=True)
+            print(
+                f"[flink_crawler_spark] JVM code cache reserved: {mb} MB",
+                file=_sys.stderr,
+                flush=True,
+            )
             if mb < 384:
                 print(
                     "[flink_crawler_spark] WARNING: code cache < 384 MB — the "
@@ -112,6 +120,7 @@ def _log_code_cache_size(spark: SparkSession) -> None:
                     "gateway / spark-submit?). Expect ~12% late-run slowdown "
                     "on multi-hundred-plan sessions; set "
                     "-XX:ReservedCodeCacheSize=512m in --driver-java-options.",
+                    file=_sys.stderr,
                     flush=True,
                 )
     except Exception:
