@@ -99,6 +99,15 @@ PRIORITY_WINDOW = [
     # --- re-verification: the 41 stalest green rows (36 last seen in
     # r1, 5 in r2; none changed since — pure freshness rotation so the
     # cumulative ledger carries no row older than r3 after this round).
+    #
+    # r10 rotation plan (freshness ledger after this window lands):
+    # stalest remaining = the 12 r3-vintage rows (domain_avg_of_avgs,
+    # html_outlink_extract, new_urls_anti_join, outlink_cap,
+    # politeness_lag, robots_longest_match, sitemap_xml_roundtrip,
+    # surt_cdx_lookup, union_outlinks_merge, url_lengthen_resolve,
+    # url_normalize_lite, url_validate) + 38 of the 39 r4-vintage rows —
+    # exactly one 50-slot window. Queries changed in r10 (if any) take
+    # slots first, displacing the newest r4 rows.
     "customer_deciles",
     "customer_distribution_q13",
     "disjunctive_revenue_q19",
