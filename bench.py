@@ -150,6 +150,29 @@ def main() -> int:
         bfn(spark, sf_dir)  # eager localCheckpoint inside
         shared_builders[bname] = round(time.time() - bt0, 3)
 
+    # Host-speed calibration (r9): rounds 7-9 each burned a session
+    # re-deriving whether a total moved because of code or because the
+    # shared host drifted (measured swings up to 25% between round
+    # windows). Two FIXED-WORK probes pin the host in every bench
+    # artifact: a single-thread pure-Python spin (interpreter + core
+    # clock) and a 32-slot JVM aggregation over spark.range (codegen +
+    # all-core throughput). Compare cpu_calib across BENCH_r{N}.json
+    # before comparing totals.
+    ct0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc = (acc + i * 2654435761) & 0xFFFFFFFF
+    py_calib = round(time.time() - ct0, 3)
+    # pmod keeps the ANSI-mode sum far from long overflow; the small
+    # untimed run compiles the plan so the timed number measures CPU
+    # throughput, not Janino
+    _calib_expr = "sum(pmod(xxhash64(id), 1000000)) AS h"
+    spark.range(0, 40_000_000, 1, 32).selectExpr(_calib_expr).collect()
+    ct0 = time.time()
+    spark.range(0, 1_600_000_000, 1, 32).selectExpr(_calib_expr).collect()
+    jvm_calib = round(time.time() - ct0, 3)
+    cpu_calib = {"py_1t_sec": py_calib, "jvm_32slot_sec": jvm_calib}
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, pair in q.REGISTRY.items():
@@ -194,6 +217,9 @@ def main() -> int:
         # One-time corpus materializations built in warmup (see above) —
         # kept out of per-query numbers but reported so nothing is hidden.
         "shared_builders": shared_builders,
+        # Fixed-work host-speed probes (see above) — normalize totals by
+        # these before calling a cross-round delta a regression.
+        "cpu_calib": cpu_calib,
     }
     if failures:
         out["failures"] = failures
