@@ -248,6 +248,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failures": len(failures),
         "slowest": {k: round(v, 2) for k, v in slowest.items()},
+        "cpu_calib": cpu_calib,
         "full_map": "BENCH_LOCAL_LATEST.json",
     }
     print(json.dumps(compact))
