@@ -226,18 +226,27 @@ def main() -> int:
     # The round artifact records only a bounded TAIL of stdout (~2000
     # chars), which decapitates the full 185-query JSON line and leaves
     # the artifact's parsed field null. So: (1) persist the FULL result
-    # next to bench.py (committed per round — the judge's per-query diff
-    # reads this), (2) print the full line for anyone reading stdout
-    # whole, and (3) END stdout with a compact line that fits the tail,
-    # so the artifact's last-line parse always succeeds.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LOCAL_LATEST.json")
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(out, fh)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
+    # next to bench.py, (2) print the full line for anyone reading
+    # stdout whole, and (3) END stdout with a compact line that fits the
+    # tail, so the artifact's last-line parse always succeeds.
+    #
+    # Two files (r9 verdict task 5): every run writes the gitignored
+    # scratch BENCH_FULL_LAST_RUN.json (the driver's per-round run lands
+    # here, so it stops clobbering the committed closing record);
+    # BENCH_LOCAL_LATEST.json — the committed record the judge diffs —
+    # is only rewritten when FCS_BENCH_RECORD=1 (the builder's closing
+    # run).
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = [os.path.join(here, "BENCH_FULL_LAST_RUN.json")]
+    if os.environ.get("FCS_BENCH_RECORD") == "1":
+        targets.append(os.path.join(here, "BENCH_LOCAL_LATEST.json"))
+    for full_path in targets:
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(out, fh)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     compact = {
@@ -249,7 +258,7 @@ def main() -> int:
         "n_failures": len(failures),
         "slowest": {k: round(v, 2) for k, v in slowest.items()},
         "cpu_calib": cpu_calib,
-        "full_map": "BENCH_LOCAL_LATEST.json",
+        "full_map": "BENCH_FULL_LAST_RUN.json",
     }
     print(json.dumps(compact))
     return 1 if failures else 0

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles_expr
-from .base import register, t
+from .base import ann_exact_path, register, t
 from .simq import _dot_sql, _norm_sql
 
 # ---------------------------------------------------------------------------
@@ -89,9 +89,11 @@ def softdedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HARDNEG_K = 5
-# Above this row count the exact anchors x corpus broadcast pass gives
-# way to the bucketed IVF candidate join — test scales stay exact (and
-# oracle-comparable), 100 TB runs never form the cross product.
+# Above this TOTAL embeddings row count the exact anchors x corpus
+# broadcast pass gives way to the bucketed IVF candidate join — test
+# scales stay exact (and oracle-comparable), 100 TB runs never form the
+# cross product. Path pick: base.ann_exact_path — parquet-footer count
+# (no Spark action) + FCS_ANN_CANDIDATES override + loud warn on flip.
 HARDNEG_MAX_EXACT_ROWS = 100_000
 HARDNEG_N_LISTS = 16
 HARDNEG_N_PROBE = 4
@@ -157,7 +159,7 @@ def _hard_negative_impl(
         F.col("embedding").alias("a_emb"),
         F.col("label").alias("a_label"),
     )
-    if e.count() <= max_exact_rows:
+    if ann_exact_path(sf_dir, max_exact_rows, query="hard_negative_mining"):
         # repartition the corpus side first — a small parquet scan is ONE
         # split, which would serialize the anchor x corpus cosine chain
         # through a single BroadcastNestedLoopJoin task

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import register, t
+from .base import ann_exact_path, register, t
 from .simq import _norm_sql
 
 _HEX = "0123456789abcdef"
@@ -93,9 +93,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MNN_K = 4  # neighborhood size for the margin denominator
-# Above this per-side row count the exact x-side x y-side broadcast
-# cross join gives way to the bucketed IVF candidate join; below it the
-# exact pass runs (and stays oracle-comparable at test scales).
+# Above this TOTAL embeddings row count (both pair-mining sides
+# combined — each side is roughly half) the exact x-side x y-side
+# broadcast cross join gives way to the bucketed IVF candidate join;
+# below it the exact pass runs (and stays oracle-comparable at test
+# scales). Path pick: base.ann_exact_path — parquet-footer count (no
+# Spark action) + FCS_ANN_CANDIDATES override + loud warn on auto-flip.
 MNN_MAX_EXACT_ROWS = 100_000
 MNN_N_LISTS = 16
 MNN_N_PROBE = 4
@@ -190,7 +193,7 @@ def _margin_mnn_impl(
     y = e.where(F.col("label") >= 5).selectExpr(
         "vec_id AS y_id", "embedding AS ey", f"{_norm_sql('embedding', 0)} AS ny"
     )
-    if e.count() <= max_exact_rows:
+    if ann_exact_path(sf_dir, max_exact_rows, query="margin_mnn_pairs"):
         # repartition the left side BEFORE the broadcast cross join: a
         # small parquet side arrives as ONE input split, which would leave
         # the BroadcastNestedLoopJoin — and the 1M x 64-term cosine chain —

@@ -101,7 +101,11 @@ def _log_code_cache_size(spark: SparkSession) -> None:
             # JDK 9+ segments the cache into three CodeHeap pools; older
             # JVMs expose a single "CodeCache" pool.
             if "CodeHeap" in name or name == "CodeCache":
-                total += pool.getUsage().getMax()
+                # getMax() is documented to return -1 when the pool has
+                # no defined max; skip those rather than undercounting
+                m = pool.getUsage().getMax()
+                if m > 0:
+                    total += m
         if total:
             import sys as _sys
 

@@ -30,6 +30,8 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 UNFETCHED = "UNFETCHED"
+FETCHED = "FETCHED"
+QUEUED = "QUEUED"
 
 OBS_SCHEMA = T.StructType(
     [
@@ -226,7 +228,7 @@ def _url_db_timer_fn(
                         v[0] == UNFETCHED
                         and v[2] >= min_fetch_score
                         and v[3] <= now
-                    ) or (v[0] == "FETCHED" and v[3] <= now)
+                    ) or (v[0] == FETCHED and v[3] <= now)
             else:
                 def _elig(v):
                     return v[0] == UNFETCHED and v[2] >= min_fetch_score
@@ -236,9 +238,9 @@ def _url_db_timer_fn(
                 key=lambda kv: (-kv[1][2], kv[0]),
             )[:max_per_fire]
             for u, v in cands:
-                db[u] = ("QUEUED", now, v[2], v[3])
+                db[u] = (QUEUED, now, v[2], v[3])
                 out.append(
-                    {"url": u, "pld": pld, "status": "QUEUED", "status_time": now,
+                    {"url": u, "pld": pld, "status": QUEUED, "status_time": now,
                      "score": v[2], "next_fetch_time": v[3]}
                 )
         else:

@@ -89,7 +89,11 @@ def test_streaming_timers_match_batch_refetch_set(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        # generous deadline: the admissions ride processing-time timers,
+        # which straggle on a loaded host — poll until the batch set is
+        # reached (r9 advice: a tight deadline makes this flaky, not
+        # deterministic), then one settle pass pins the final equality
+        deadline = time.time() + 120
         got: set[str] = set()
         while time.time() < deadline:
             rows = spark.sql(f"SELECT * FROM {name}").collect()
