@@ -111,19 +111,38 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    reproducible: bool = False,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: only score vectors in the query's LSH bucket
     (plus Hamming-1 neighbor buckets for recall).
 
     At 100 TB the bucket column is a partition/bucketing key on the
     embeddings table, so this prunes the scan itself.
+
+    ``reproducible=True`` (r10, round-9 verdict task 2) makes every
+    arithmetic step an engine-portable left-associated double chain —
+    corpus signatures via ``signature_expr`` (the proven
+    ``_lsh_sig_sql`` twin from ann_recall_report), the query signature
+    via an explicit Python left-assoc loop (IEEE-identical to the SQL
+    sum), and the re-rank cosine rounded to ``round_digits`` before
+    ordering — so the WHOLE result is value-oracle-able in DuckDB.
+    Default False keeps the Arrow-matmul fast path for production use
+    where cross-engine bit-reproducibility isn't needed.
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    qv = np.array(query_vec)
     qsig = 0
-    for i, plane in enumerate(planes):
-        qsig |= (1 if float(qv @ plane) >= 0 else 0) << i
+    if reproducible:
+        for i, plane in enumerate(planes):
+            s = 0.0
+            for d in range(dim):
+                s = s + float(query_vec[d]) * float(plane[d])
+            qsig |= (1 if s >= 0.0 else 0) << i
+    else:
+        qv = np.array(query_vec)
+        for i, plane in enumerate(planes):
+            qsig |= (1 if float(qv @ plane) >= 0 else 0) << i
     # multi-probe out to Hamming distance 2: near-threshold plane signs
     # flip easily, and recall collapses with exact-bucket-only probing
     probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
@@ -133,10 +152,17 @@ def ann_topk_lsh(
         for j in range(i + 1, n_planes)
     ]
 
-    with_sig = embeddings.withColumn("bucket", signature_udf(planes)(F.col(vec_col)))
+    sig_col = (
+        signature_expr(F.col(vec_col), planes)
+        if reproducible
+        else signature_udf(planes)(F.col(vec_col))
+    )
+    with_sig = embeddings.withColumn("bucket", sig_col)
     candidates = with_sig.filter(F.col("bucket").isin(probe))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     sim = cosine_expr(as_double_array(F.col(vec_col)), q)
+    if reproducible:
+        sim = F.round(sim, round_digits)
     return (
         candidates.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -152,23 +178,37 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    reproducible: bool = False,
+    round_digits: int = 6,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, LSH-blocked (no cross join)."""
+    """All pairs with cosine >= threshold, LSH-blocked (no cross join).
+
+    ``reproducible=True``: signatures via ``signature_expr`` (left-assoc
+    plane dots, the ``_lsh_sig_sql`` DuckDB twin) and the pair cosine
+    rounded to ``round_digits`` before the threshold — fully
+    value-oracle-able; each vector lives in exactly one bucket, so every
+    surviving pair is emitted exactly once in both engines."""
     planes = hyperplanes_from_df_dim(embeddings, vec_col, n_planes, seed)
-    with_sig = embeddings.select(
-        F.col(id_col), F.col(vec_col), signature_udf(planes)(F.col(vec_col)).alias("bucket")
+    sig_col = (
+        signature_expr(F.col(vec_col), planes)
+        if reproducible
+        else signature_udf(planes)(F.col(vec_col))
     )
+    with_sig = embeddings.select(F.col(id_col), F.col(vec_col), sig_col.alias("bucket"))
     a = with_sig.alias("a")
     b = with_sig.alias("b")
+    cos = cosine_expr(
+        as_double_array(F.col(f"a.{vec_col}")), as_double_array(F.col(f"b.{vec_col}"))
+    )
+    if reproducible:
+        cos = F.round(cos, round_digits)
     pairs = (
         a.join(b, "bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(
-                as_double_array(F.col(f"a.{vec_col}")), as_double_array(F.col(f"b.{vec_col}"))
-            ).alias("cosine"),
+            cos.alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= F.lit(threshold)).distinct()

@@ -76,79 +76,78 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r9 rotation (round-8 verdict tasks 1+4): current-code closure.
-    # Slots 1-7 are the 7 queries perf-refactored AFTER the r8 window
-    # froze (collapse-then-score / checkpoint fusion / sentinel
-    # edge-fold, commits d911359..4d5523e) — their old green rows were
-    # voided by the refactors; each is bit-exact on the local gate
-    # (tools/verify_local.py, full sf0.001 sweep + targeted sf0.01).
-    "stupid_backoff_score",
-    "bpe_merge_candidates",
-    "cms_heavy_hitters",
-    "theil_sen_trend",
-    "rrf_rank_fusion",
-    "hits_hub_authority",
-    "graph_jaccard_link_prediction",
-    # --- changed THIS round (r8 verdict task 2): bucketed-ANN candidate
-    # guard — above MAX_EXACT_ROWS the broadcast cross join gives way to
-    # ivf_probe_candidates; exact path below (path equality
-    # property-tested in tests/test_ann_guard.py).  Landed BEFORE this
-    # window per the re-verification protocol (r8 verdict task 4).
+    # --- r10 rotation (round-9 verdict tasks 1+2): slots 1-8 are the
+    # queries CHANGED this round — the 5 former rows-only entries
+    # upgraded to full value oracles (ANN trio rebuilt on the
+    # reproducible signature_expr/_ivf_exact_centroids twins; HLL +
+    # quantile sketches re-framed as exact-side + bounded-error verdict
+    # columns), plus ann_recall_report (now shares the _IVF_CENT_CACHE
+    # centroids and the extracted _ivf_chain_sql oracle text) and the
+    # two pair-mining queries whose size guard moved to
+    # base.ann_exact_path (parquet-footer count + env override). Each is
+    # bit-exact on the local gate (full sf0.001 sweep + targeted
+    # sf0.01).
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup_lsh",
+    "hll_distinct_users",
+    "approx_percentile_prices",
+    "ann_recall_report",
     "margin_mnn_pairs",
     "hard_negative_mining",
-    # --- re-verification: the 41 stalest green rows (36 last seen in
-    # r1, 5 in r2; none changed since — pure freshness rotation so the
-    # cumulative ledger carries no row older than r3 after this round).
+    # --- re-verification: the 42 stalest green rows — all 12 r3-vintage
+    # rows + the 30 alphabetically-first r4-vintage rows (none changed
+    # since their vintage; pure freshness rotation so the cumulative
+    # ledger carries no row older than r4 after this round).
     #
-    # r10 rotation plan (freshness ledger after this window lands):
-    # stalest remaining = the 12 r3-vintage rows (domain_avg_of_avgs,
-    # html_outlink_extract, new_urls_anti_join, outlink_cap,
-    # politeness_lag, robots_longest_match, sitemap_xml_roundtrip,
-    # surt_cdx_lookup, union_outlinks_merge, url_lengthen_resolve,
-    # url_normalize_lite, url_validate) + 38 of the 39 r4-vintage rows —
-    # exactly one 50-slot window. Queries changed in r10 (if any) take
-    # slots first, displacing the newest r4 rows.
-    "customer_deciles",
-    "customer_distribution_q13",
-    "disjunctive_revenue_q19",
-    "distinct_users_salted",
-    "event_value_bands",
-    "events_asof_signup",
-    "forecast_revenue_q6",
-    "frontier_fairness_gini",
-    "idle_customers_q22",
-    "large_orders_q18",
-    "last_shipper_q21",
-    "market_share_q8",
-    "min_cost_supplier_q2",
-    "nation_balance_share_q11",
-    "order_percentiles",
-    "order_priority_exists_q4",
-    "orders_priority_rollup",
-    "orders_running_total",
-    "pricing_summary",
-    "priority_class_counts_q12",
-    "profit_by_nation_q9",
-    "promo_revenue_q14",
-    "promo_volume_suppliers_q20",
-    "returned_items_q10",
-    "revenue_cube",
-    "revenue_rollup",
-    "seen_urls_semi_join",
-    "sessionize_events",
-    "sessionize_grouped_map",
-    "shipping_priority_q3",
-    "small_quantity_revenue_q17",
-    "supplier_part_counts_q16",
-    "top_customer_per_nation",
-    "top_supplier_q15",
-    "topk_orders_global",
-    "volume_shipping_q7",
-    "bucketed_state_merge",
-    "cosine_pairs_bruteforce",
-    "dedup_exact",
-    "revenue_by_region",
-    "url_pld_extract",
+    # r11 rotation plan: the 9 r4-vintage rows left over (stream_dedup,
+    # stream_doc_dedup_stats, stream_sessionize, stream_stream_join,
+    # stream_window_counts, tfidf_top_terms, trimmed_mean_price_udaf,
+    # tsv_content_lines, video_frame_sample) + the 41 stalest r5 rows
+    # fill the next 50-slot window; queries changed in r11 (if any)
+    # take slots first.
+    "domain_avg_of_avgs",
+    "html_outlink_extract",
+    "new_urls_anti_join",
+    "outlink_cap",
+    "politeness_lag",
+    "robots_longest_match",
+    "sitemap_xml_roundtrip",
+    "surt_cdx_lookup",
+    "union_outlinks_merge",
+    "url_lengthen_resolve",
+    "url_normalize_lite",
+    "url_validate",
+    "benchmark_contamination",
+    "bloom_bucket_prefilter",
+    "char_dup_spans",
+    "corpus_shuffle_shard",
+    "cosine_topk_bruteforce",
+    "data_quality_report",
+    "doc_quality_score",
+    "doc_token_count",
+    "dsir_importance_weights",
+    "gopher_quality_filter",
+    "incremental_ingest_dedup",
+    "kmeans_embeddings",
+    "kmv_distinct_custkey_monthly",
+    "lsh_candidate_pairs",
+    "media_arrow_byte_stats",
+    "media_content_dedup",
+    "media_stats",
+    "minhash_signatures",
+    "mixture_temperature_sample",
+    "moving_avg_10",
+    "near_dup_clusters",
+    "partitioned_parquet_pruning",
+    "rate_window_30s",
+    "recrawl_schedule",
+    "robots_wildcard_match",
+    "semantic_contamination",
+    "semdedup_prune",
+    "sequence_pack_chop",
+    "simhash_near_dup_pairs",
+    "status_counts",
 ]
 
 

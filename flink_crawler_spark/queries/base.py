@@ -163,9 +163,11 @@ def clear_query_caches() -> None:
     not the data). Dropping the references lets Spark's ContextCleaner
     reclaim the checkpointed blocks."""
     _SHINGLE_CACHE.clear()
-    from . import core, dedupq, pipelineq3, pipelineq5
+    _ROW_COUNT_CACHE.clear()
+    from . import core, dedupq, pipelineq3, pipelineq5, simq
 
     core._MERGED_STATE_CACHE.clear()
     dedupq._CLUSTER_CACHE.clear()
     pipelineq3._PQ_CORE_CACHE.clear()
     pipelineq5._BIGRAM_NLL_CACHE.clear()
+    simq._IVF_CENT_CACHE.clear()

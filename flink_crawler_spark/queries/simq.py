@@ -99,39 +99,13 @@ def cosine_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_pairs(emb, threshold=PAIR_THRESHOLD)
 
 
-@register("ann_topk_lsh")  # rows-only: LSH candidate set is engine-internal
-def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-LSH bucket + Hamming-2 multi-probe.
-
-    Measured on the synthetic embeddings (near-uniform pairwise cosine):
-    recall@20 ~= 0.2 at ~15% of the data scanned — sign-LSH degrades
-    when neighbors are barely closer than random points. ann_topk_ivf
-    measures recall@20 ~= 0.8 on the same data and is the preferred
-    scale path; both are kept (LSH wins when real embedding clusters
-    exist and an unsupervised bucket key is needed at write time)."""
-    emb = t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
-    return ann_topk_lsh(emb, qvec, k=TOPK, n_planes=8, seed=42)
-
-
-@register("ann_topk_ivf")  # rows-only: IVF lists are engine-internal
-def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse quantizer + n_probe inverted lists + exact
-    re-rank) — the partition-pruning scale path: list_id is the bucket
-    key of the stored table at 100 TB."""
-    from ..operators.similarity import ivf_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow[0]]
-    return ivf_topk(emb, qvec, k=TOPK, n_lists=16, n_probe=4)
-
-
-@register("embedding_near_dup_lsh")  # rows-only: LSH blocking is engine-internal
-def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=PAIR_THRESHOLD, n_planes=8, seed=42)
+# --- ann_topk_lsh / ann_topk_ivf / embedding_near_dup_lsh ------------------
+# Registered BELOW _ann_recall_oracle (r10, round-9 verdict task 2):
+# formerly rows-only, now full value oracles — the LSH signatures and
+# IVF training that made their candidate sets "engine-internal" are the
+# same deterministic left-assoc twins ann_recall_report already proved
+# reproduce bit-for-bit in DuckDB, so the candidate sets themselves are
+# cross-engine reproducible and the whole result value-hashes.
 
 
 # --- ann_recall_report (r8, round-7 verdict task 5): exact-oracled ----------
@@ -160,6 +134,49 @@ _QID_IN = "(" + ", ".join(str(q) for q in RECALL_QIDS) + ")"
 def _dotxx(a: str, b: str) -> str:
     """Left-assoc dot over two 1-based SQL list columns (already DOUBLE)."""
     return " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(1, DIM + 1))
+
+
+def _ivf_chain_sql() -> str:
+    """CTE text (no leading WITH, no trailing comma): ix0 -> ixn -> ism
+    -> ic0 -> IVF_ROUNDS Lloyd rounds -> iaf (full-corpus inverted-list
+    assignment) — the exact-twin IVF trainer, shared by the
+    ann_recall_report oracle and the ann_topk_ivf value oracle (r10).
+    Term-for-term the DuckDB twin of _ivf_exact_centroids +
+    _argmax_sim."""
+    means = ", ".join(
+        f"CAST(sum(CAST(round(s.xv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
+        for d in range(1, DIM + 1)
+    )
+    mlist = "[" + ", ".join(f"m{d}" for d in range(1, DIM + 1)) + "]"
+    mnorm = " + ".join(f"m{d} * m{d}" for d in range(1, DIM + 1))
+    rounds = []
+    for r in range(1, IVF_ROUNDS + 1):
+        prev = f"ic{r - 1}"
+        rounds.append(
+            f"""id{r} AS (SELECT s.vec_id, c.cid, ({_dotxx('s.xv', 'c.cv')}) AS sim
+       FROM ism s CROSS JOIN {prev} c),
+ia{r} AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         FROM id{r}) z WHERE rn = 1),
+iu{r} AS (SELECT a.cid, {means} FROM ia{r} a JOIN ism s USING (vec_id) GROUP BY a.cid),
+iu{r}l AS (SELECT cid, list_transform({mlist}, v -> v / sqrt({mnorm})) AS cv FROM iu{r}),
+ic{r} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+       FROM {prev} c LEFT JOIN iu{r}l u ON u.cid = c.cid)"""
+        )
+    lloyd = ",\n".join(rounds)
+    return f"""ix0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
+               ({_norm_sql('embedding', 1)}) AS nv FROM embeddings),
+ixn AS (SELECT vec_id, list_transform(xd, v -> v / nv) AS xv FROM ix0),
+ism AS (SELECT vec_id, xv FROM ixn
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_SAMPLE})),
+ic0 AS (SELECT vec_id AS cid, xv AS cv FROM ixn
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})),
+{lloyd},
+iaf AS (SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY ({_dotxx('x.xv', 'c.cv')}) DESC, c.cid) AS rn
+        FROM ixn x CROSS JOIN ic{IVF_ROUNDS} c) z WHERE rn = 1)"""
 
 
 def _lsh_sig_sql(src: str) -> str:
@@ -304,7 +321,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- IVF: exact-twin training, then probe sweep as joins ---
     xn = _xn_frame(emb).localCheckpoint(eager=True)
-    cent = F.broadcast(_ivf_exact_centroids(spark, emb, xn))
+    cent = F.broadcast(_ivf_exact_centroids_cached(spark, sf_dir, xn))
     dot_xc = F.aggregate(
         F.zip_with("xv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -441,27 +458,6 @@ def _ann_recall_oracle(pq_chain: str, pq_sub: int, pq_m: int) -> str:
         f"({_dot_sql('e.embedding', 'q.embedding', 1)}) / "
         f"(({_norm_sql('e.embedding', 1)}) * ({_norm_sql('q.embedding', 1)}))"
     )
-    means = ", ".join(
-        f"CAST(sum(CAST(round(s.xv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
-        for d in range(1, DIM + 1)
-    )
-    mlist = "[" + ", ".join(f"m{d}" for d in range(1, DIM + 1)) + "]"
-    mnorm = " + ".join(f"m{d} * m{d}" for d in range(1, DIM + 1))
-    rounds = []
-    for r in range(1, IVF_ROUNDS + 1):
-        prev = f"ic{r - 1}"
-        rounds.append(
-            f"""id{r} AS (SELECT s.vec_id, c.cid, ({_dotxx('s.xv', 'c.cv')}) AS sim
-       FROM ism s CROSS JOIN {prev} c),
-ia{r} AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-         FROM id{r}) z WHERE rn = 1),
-iu{r} AS (SELECT a.cid, {means} FROM ia{r} a JOIN ism s USING (vec_id) GROUP BY a.cid),
-iu{r}l AS (SELECT cid, list_transform({mlist}, v -> v / sqrt({mnorm})) AS cv FROM iu{r}),
-ic{r} AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
-       FROM {prev} c LEFT JOIN iu{r}l u ON u.cid = c.cid)"""
-        )
-    lloyd = ",\n".join(rounds)
     qd = " + ".join(
         f"(q.qv[{d}] - c.cv[{d}]) * (q.qv[{d}] - c.cv[{d}])" for d in range(1, pq_sub + 1)
     )
@@ -477,19 +473,7 @@ csc AS (SELECT q.vec_id AS qid, e.vec_id, {cos} AS cosine
 ctru AS (SELECT qid, vec_id FROM (
          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
          FROM csc) z WHERE rn <= {TOPK}),
-ix0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd,
-               ({_norm_sql('embedding', 1)}) AS nv FROM embeddings),
-ixn AS (SELECT vec_id, list_transform(xd, v -> v / nv) AS xv FROM ix0),
-ism AS (SELECT vec_id, xv FROM ixn
-        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_SAMPLE})),
-ic0 AS (SELECT vec_id AS cid, xv AS cv FROM ixn
-        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})),
-{lloyd},
-iaf AS (SELECT vec_id, cid FROM (
-        SELECT x.vec_id, c.cid,
-               row_number() OVER (PARTITION BY x.vec_id
-                                  ORDER BY ({_dotxx('x.xv', 'c.cv')}) DESC, c.cid) AS rn
-        FROM ixn x CROSS JOIN ic{IVF_ROUNDS} c) z WHERE rn = 1),
+{_ivf_chain_sql()},
 inp AS (SELECT unnest([{', '.join(str(p) for p in RECALL_PROBES)}]) AS n_probe),
 ipr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS prn
         FROM (SELECT q.vec_id AS qid, c.cid, ({_dotxx('q.xv', 'c.cv')}) AS sim
@@ -539,6 +523,167 @@ UNION ALL
 SELECT 'pq_adc_8x16_vs_l2', CAST({TOPK} AS INT),
        CAST({len(RECALL_QIDS)} AS INT), CAST(h AS DOUBLE) / {denom} FROM pqh
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-oracled ANN queries (r10, round-9 verdict task 2): the former
+# rows-only trio, rebuilt on the reproducible twins.
+# ---------------------------------------------------------------------------
+
+ANN_IVF_N_PROBE = 4
+
+# Exact-twin IVF centroids are corpus-level state (like the shingle
+# base): train once per (session, corpus), share between
+# ann_recall_report and ann_topk_ivf. Cleared by base.clear_query_caches.
+_IVF_CENT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ivf_exact_centroids_cached(
+    spark: SparkSession, sf_dir: str, xn: DataFrame | None = None
+) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _IVF_CENT_CACHE:
+        emb = t(spark, sf_dir, "embeddings").repartition(4)
+        if xn is None:
+            xn = _xn_frame(emb).localCheckpoint(eager=True)
+        _IVF_CENT_CACHE[key] = _ivf_exact_centroids(spark, emb, xn)
+    return _IVF_CENT_CACHE[key]
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+WITH lsig AS (SELECT vec_id, CAST({_lsh_sig_sql('embedding')} AS BIGINT) AS bkt FROM embeddings),
+q AS (SELECT bkt AS qbkt FROM lsig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM lsig s CROSS JOIN q WHERE bit_count(xor(s.bkt, q.qbkt)) <= 2)
+SELECT e.vec_id,
+       round(({_dot_sql('e.embedding', 'qq.embedding', 1)})
+             / (({_norm_sql('e.embedding', 1)}) * ({_norm_sql('qq.embedding', 1)})), 6) AS cosine
+FROM embeddings e
+JOIN cand ON cand.vec_id = e.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+""",
+)
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucket + Hamming-2 multi-probe.
+
+    Measured on the synthetic embeddings (near-uniform pairwise cosine):
+    recall@20 ~= 0.2 at ~15% of the data scanned — sign-LSH degrades
+    when neighbors are barely closer than random points. ann_topk_ivf
+    measures recall@20 ~= 0.8 on the same data and is the preferred
+    scale path; both are kept (LSH wins when real embedding clusters
+    exist and an unsupervised bucket key is needed at write time).
+
+    Value-oracled since r10: ``reproducible=True`` computes corpus
+    signatures with ``signature_expr`` (the ``_lsh_sig_sql`` twin), the
+    query signature with the identical left-assoc Python loop, and
+    rounds the re-rank cosine — the DuckDB oracle rebuilds the same
+    buckets, probes Hamming<=2 via bit_count(xor), and re-ranks with the
+    same arithmetic, so candidate set AND scores value-hash."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_topk_lsh(emb, qvec, k=TOPK, n_planes=RECALL_N_PLANES, seed=42, reproducible=True)
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+WITH {_ivf_chain_sql()},
+qpr AS (SELECT c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ({_dotxx('q.xv', 'c.cv')}) DESC, c.cid) AS prn
+        FROM (SELECT vec_id, xv FROM ixn WHERE vec_id = 0) q
+        CROSS JOIN ic{IVF_ROUNDS} c),
+cand AS (SELECT f.vec_id
+         FROM iaf f JOIN (SELECT cid FROM qpr WHERE prn <= {ANN_IVF_N_PROBE}) p
+           ON p.cid = f.cid)
+SELECT e.vec_id,
+       round(({_dot_sql('e.embedding', 'qq.embedding', 1)})
+             / (({_norm_sql('e.embedding', 1)}) * ({_norm_sql('qq.embedding', 1)})), 6) AS cosine
+FROM embeddings e
+JOIN cand ON cand.vec_id = e.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOPK}
+""",
+)
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse quantizer + n_probe inverted lists + exact
+    re-rank) — the partition-pruning scale path: list_id is the bucket
+    key of the stored table at 100 TB.
+
+    Value-oracled since r10: training is the exact-twin Lloyd loop
+    (_ivf_exact_centroids — bounded sample, decimal means, left-assoc
+    norms) ann_recall_report already oracles; the full-corpus list
+    assignment, the query's probe ranking, and the candidate re-rank are
+    the same struct-MAX / window / rounded-cosine constructions, so the
+    DuckDB twin (_ivf_chain_sql) reproduces the candidate set and every
+    score bit-for-bit. Centroids are trained once per (session, corpus)
+    and shared with ann_recall_report (_IVF_CENT_CACHE)."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").repartition(4)
+    xn = _xn_frame(emb)
+    cent = F.broadcast(_ivf_exact_centroids_cached(spark, sf_dir))
+    dot_xc = F.aggregate(
+        F.zip_with("xv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    assigned = _argmax_sim(
+        xn.crossJoin(cent).select("vec_id", "cid", dot_xc.alias("sim"))
+    )
+    pw = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    probe = (
+        xn.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("qid"), "xv")
+        .crossJoin(cent)
+        .select("qid", "cid", dot_xc.alias("sim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= ANN_IVF_N_PROBE)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe), "cid").select("vec_id")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qlit = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    sim = F.round(cosine_expr(as_double_array(F.col("embedding")), qlit), 6)
+    return (
+        emb.join(cand, "vec_id", "left_semi")
+        .select("vec_id", sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH lsig AS (SELECT vec_id, embedding,
+                     CAST({_lsh_sig_sql('embedding')} AS BIGINT) AS bkt
+              FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_dot_sql('a.embedding', 'b.embedding', 1)})
+             / (({_norm_sql('a.embedding', 1)}) * ({_norm_sql('b.embedding', 1)})), 6) AS cosine
+FROM lsig a JOIN lsig b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE round(({_dot_sql('a.embedding', 'b.embedding', 1)})
+            / (({_norm_sql('a.embedding', 1)}) * ({_norm_sql('b.embedding', 1)})), 6)
+      >= {PAIR_THRESHOLD}
+""",
+)
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs (cosine >= threshold within one sign-
+    LSH bucket) — the sub-quadratic sibling of cosine_pairs_bruteforce.
+
+    Value-oracled since r10 via ``reproducible=True``: signatures are
+    the ``signature_expr``/_lsh_sig_sql twins and the pair cosine is
+    rounded before the threshold, so the emitted pair set (a strict,
+    deterministic subset of the brute-force pairs — exactly those
+    colliding in their single bucket) value-hashes against DuckDB."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=PAIR_THRESHOLD, n_planes=RECALL_N_PLANES, seed=42, reproducible=True
+    )
 
 
 # ---------------------------------------------------------------------------

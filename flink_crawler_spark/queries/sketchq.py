@@ -156,15 +156,9 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_users")  # no SQL oracle: HLL estimates are engine-specific
-def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate per event type
-    (approx_count_distinct, 1% target rsd) next to the exact count — the
-    mergeable industry sketch for 100 TB distinct counting where even
-    salted exact COUNT DISTINCT shuffles every value once. Spark's HLL
-    buckets are engine-internal, so there is no cross-engine value
-    oracle; the error bound is asserted in
-    tests/test_sketch_analytics.py (|est - exact| / exact < 5%)."""
+def _hll_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL frame (estimate next to exact) — tests assert the error
+    bound on this; the registry query projects the oracle-able verdict."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("hll_estimate"),
@@ -172,21 +166,88 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_prices")  # no SQL oracle: KLL-style sketch internals are engine-specific
-def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (quantile sketch, accuracy 10000) next to the
-    exact percentile per return flag — the constant-memory quantile path
-    for 100 TB where exact percentile must shuffle every value per
-    group. Like HLL, sketch internals are engine-specific, so this is a
-    rows-only entry; the rank-error bound (|approx - exact| within the
-    0.5%-rank neighborhood) is asserted in
-    tests/test_sketch_analytics.py."""
+@register(
+    "hll_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS INT) AS est_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per event type
+    (approx_count_distinct, 1% target rsd) next to the exact count — the
+    mergeable industry sketch for 100 TB distinct counting where even
+    salted exact COUNT DISTINCT shuffles every value once.
+
+    Value-oracled since r10 (round-9 verdict task 2, the
+    ann_recall_report precedent): Spark's HLL registers are
+    engine-internal, so the ESTIMATE can't cross engines — instead the
+    frame carries the exact count plus a bounded-error verdict column
+    (|est - exact| / exact < 5%, the bound
+    tests/test_sketch_analytics.py asserts on the raw frame), and the
+    oracle pins the exact counts AND that every verdict is 1. A
+    regression in the estimator (or a broken merge) flips the verdict
+    to 0 and hash-mismatches."""
+    f = _hll_frame(spark, sf_dir)
+    ok = (
+        F.abs(F.col("hll_estimate") - F.col("n_exact"))
+        / F.col("n_exact")
+        < 0.05
+    )
+    return f.select(
+        "event_type",
+        "n_exact",
+        F.when(ok, 1).otherwise(0).cast("int").alias("est_within_5pct"),
+    )
+
+
+def _approx_percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw quantile-sketch frame (approx next to exact + rank bounds) —
+    tests assert the rank-error bound on this; the registry query
+    projects the oracle-able verdict."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
         F.percentile("l_extendedprice", F.lit(0.495)).alias("lo_bound"),
         F.percentile("l_extendedprice", F.lit(0.505)).alias("hi_bound"),
+    )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+       CAST(1 AS INT) AS approx_within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch, accuracy 10000) next to the
+    exact percentile per return flag — the constant-memory quantile path
+    for 100 TB where exact percentile must shuffle every value per
+    group.
+
+    Value-oracled since r10: the sketch internals stay engine-private,
+    but the frame carries the exact interpolated median (Spark
+    `percentile` == DuckDB `quantile_cont`; p=0.5 midpoints of 2-decimal
+    prices are >= 5e-7 from every 6dp rounding boundary, so round(...,6)
+    is safe) plus a rank-bound verdict column: the sketch's guaranteed
+    rank error at accuracy 10000 (1e-4) is far inside the checked
+    [p-0.005, p+0.005] value window, so the verdict is deterministically
+    1 whatever the partition merge order. The oracle pins the medians
+    AND the verdicts."""
+    f = _approx_percentile_frame(spark, sf_dir)
+    ok = (F.col("approx_median") >= F.col("lo_bound")) & (
+        F.col("approx_median") <= F.col("hi_bound")
+    )
+    return f.select(
+        "l_returnflag",
+        F.round("exact_median", 6).alias("exact_median"),
+        F.when(ok, 1).otherwise(0).cast("int").alias("approx_within_rank_bound"),
     )
 
 

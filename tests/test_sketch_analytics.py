@@ -94,10 +94,13 @@ def test_bigram_lift_marginals_consistent(spark, sf_dir):
 
 
 def test_hll_estimate_within_bound(spark, sf_dir):
-    from flink_crawler_spark.queries.sketchq import hll_distinct_users
+    from flink_crawler_spark.queries.sketchq import _hll_frame, hll_distinct_users
 
-    for r in hll_distinct_users(spark, sf_dir).collect():
+    for r in _hll_frame(spark, sf_dir).collect():
         assert abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"] < 0.05
+    # the registry query's oracle-able verdict column agrees
+    for r in hll_distinct_users(spark, sf_dir).collect():
+        assert r["est_within_5pct"] == 1
 
 
 def test_kmeans_partitions_all_points(spark, sf_dir):
@@ -111,10 +114,16 @@ def test_kmeans_partitions_all_points(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_bound(spark, sf_dir):
-    from flink_crawler_spark.queries.sketchq import approx_percentile_prices
+    from flink_crawler_spark.queries.sketchq import (
+        _approx_percentile_frame,
+        approx_percentile_prices,
+    )
 
-    for r in approx_percentile_prices(spark, sf_dir).collect():
+    for r in _approx_percentile_frame(spark, sf_dir).collect():
         assert r["lo_bound"] <= r["approx_median"] <= r["hi_bound"]
+    # the registry query's oracle-able verdict column agrees
+    for r in approx_percentile_prices(spark, sf_dir).collect():
+        assert r["approx_within_rank_bound"] == 1
 
 
 def test_kmv_set_algebra_bounds_and_mergeability(spark, sf_dir):

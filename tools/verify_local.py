@@ -112,7 +112,7 @@ def main() -> int:
             continue
         if pair.oracle is None:
             print(f"ok*   {name}: rows={len(sdf)} (rows-only, no oracle) [{time.time()-t0:.1f}s]")
-            if len(sdf) == 0 and name not in ("embedding_near_dup_lsh",):
+            if len(sdf) == 0:
                 print(f"      WARNING: zero rows")
             continue
         try:
