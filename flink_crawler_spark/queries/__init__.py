@@ -95,17 +95,22 @@ PRIORITY_WINDOW = [
     "ann_recall_report",
     "margin_mnn_pairs",
     "hard_negative_mining",
-    # --- re-verification: the 42 stalest green rows — all 12 r3-vintage
-    # rows + the 30 alphabetically-first r4-vintage rows (none changed
+    # slot 9: graph_jaccard adopted the signed-weight sentinel fold
+    # after the variance-shrink A/B/C (round-9 verdict task 3;
+    # tools/jaccard_variance_ab.py, series in SCALE.md r10) — the code
+    # change voids its r9 green row.
+    "graph_jaccard_link_prediction",
+    # --- re-verification: the 41 stalest green rows — all 12 r3-vintage
+    # rows + the 29 alphabetically-first r4-vintage rows (none changed
     # since their vintage; pure freshness rotation so the cumulative
     # ledger carries no row older than r4 after this round).
     #
-    # r11 rotation plan: the 9 r4-vintage rows left over (stream_dedup,
-    # stream_doc_dedup_stats, stream_sessionize, stream_stream_join,
-    # stream_window_counts, tfidf_top_terms, trimmed_mean_price_udaf,
-    # tsv_content_lines, video_frame_sample) + the 41 stalest r5 rows
-    # fill the next 50-slot window; queries changed in r11 (if any)
-    # take slots first.
+    # r11 rotation plan: the 10 r4-vintage rows left over (status_counts,
+    # stream_dedup, stream_doc_dedup_stats, stream_sessionize,
+    # stream_stream_join, stream_window_counts, tfidf_top_terms,
+    # trimmed_mean_price_udaf, tsv_content_lines, video_frame_sample) +
+    # the 40 stalest r5 rows fill the next 50-slot window; queries
+    # changed in r11 (if any) take slots first.
     "domain_avg_of_avgs",
     "html_outlink_extract",
     "new_urls_anti_join",
@@ -147,7 +152,6 @@ PRIORITY_WINDOW = [
     "semdedup_prune",
     "sequence_pack_chop",
     "simhash_near_dup_pairs",
-    "status_counts",
 ]
 
 

@@ -190,9 +190,12 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate table is bounded by anchor-degree x degree rather than
     sum-of-degrees-squared. Existing edges are removed INSIDE the
     common-neighbor aggregation: the anchored edge list is unioned into
-    the two-hop stream as sentinel marker rows and the groupBy carries
-    max(is_edge) next to the count — the exclusion rides the shuffle
-    the count already pays, deleting the separate left-anti join. At
+    the two-hop stream as sentinel marker rows and the groupBy folds a
+    signed weight (+1 per wedge, -2^40 per marker) into ONE sum whose
+    sign encodes edge-existence — the exclusion rides the shuffle the
+    count already pays, deleting the separate left-anti join, with a
+    single agg buffer (r10 fold; was a conditional-sum + max-flag
+    pair). At
     sf0.1 the 2.4M-row edge list still fits the broadcast threshold so
     the win is modest (8.2 -> 7.9 s steady-state, measured A/B); the
     point is the 100 TB shape, where the edge list CANNOT broadcast and
@@ -217,29 +220,33 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     anchors = nbr.where(F.expr(_LP_ANCHOR_SPARK)).select("pa").distinct()
     x = nbr.join(F.broadcast(anchors), "pa").selectExpr("pa AS a", "pb AS n")
     y = nbr.selectExpr("pa AS n", "pb AS c")
+    # signed-weight sentinel fold (r10 variance-shrink A/B,
+    # tools/jaccard_variance_ab.py): hops carry +1, markers carry -2^40,
+    # so ONE sum per group replaces the previous (conditional-sum,
+    # max-flag) pair — a group containing a marker goes negative and is
+    # dropped, and the surviving sum IS the common-neighbor count
+    # (cn < 2^40 always: it is bounded by max degree). Same single
+    # shuffle; one agg buffer instead of two. Paired 10-rep medians were
+    # inside host noise (6.69 vs 6.58 s) but the straggler tail shrank
+    # (A max 22.7 s / B+C max <= 10.5 s over 30 paired reps — SCALE.md
+    # r10); adopted because the fold is also strictly less agg state at
+    # 100 TB, where the wedge aggregation is this plan's biggest stage.
+    _MARKER = 1 << 40
     hops = (
         x.join(y, "n")
         .where(F.col("c") != F.col("a"))
-        .select("a", "c", F.lit(0).alias("is_edge"))
+        .select("a", "c", F.lit(1).cast("long").alias("w"))
     )
     marker = (
         nbr.join(F.broadcast(anchors), "pa")
         .selectExpr("pa AS a", "pb AS c")
-        .withColumn("is_edge", F.lit(1))
+        .withColumn("w", F.lit(-_MARKER).cast("long"))
     )
     common = (
         hops.unionByName(marker)
         .groupBy("a", "c")
-        .agg(
-            F.sum(F.when(F.col("is_edge") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("cn"),
-            F.max("is_edge").alias("__e"),
-        )
-        # a group containing a marker row is an existing edge — drop it;
-        # every surviving group has >=1 two-hop row, so cn >= 1
-        .filter(F.col("__e") == 0)
-        .drop("__e")
+        .agg(F.sum("w").alias("cn"))
+        .filter(F.col("cn") > 0)
     )
     cand = common.join(
         F.broadcast(deg.selectExpr("pa AS a", "deg AS deg_a")), "a"

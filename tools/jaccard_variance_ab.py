@@ -11,18 +11,23 @@ a straggling task holds less work.
 
 Variants (all return bit-identical rows — asserted before timing):
 
-  A  current registry plan: rows (a int, c int, is_edge int) into
+  A  the pre-r10 registry plan: rows (a, c, is_edge int) into
      groupBy(a, c).agg(sum(when(is_edge=0)), max(is_edge)).
-  B  packed-key + sentinel-weight fold: rows (k bigint = a<<32|c,
+  B  packed-key + signed-weight fold: rows (k bigint = a<<32|c,
      w long = +1 hop / -2^40 marker) into groupBy(k).agg(sum(w)) —
-     one 8-byte key instead of two ints, ONE agg buffer instead of
-     two; groups holding a marker go negative and are filtered, cn is
-     the surviving sum. Same single shuffle, ~1/3 fewer row bytes.
+     one 8-byte key instead of two, ONE agg buffer instead of two;
+     marker groups go negative and are filtered, cn is the surviving
+     sum. NOT scale-safe: packing needs both keys < 2^31, which a
+     ~100 TB part-key domain exceeds.
+  C  signed-weight fold, unpacked keys (scale-safe): groupBy(a,
+     c).agg(sum(w)) — the single-buffer win without the packing.
+     ADOPTED by the registry in r10 (medians inside host noise, but
+     the straggler tail shrank: A max 22.7 s vs B/C max <= 10.5 s over
+     30 paired reps, and the fold is strictly less agg state).
 
-Protocol: verify B == A once, then alternate A,B,A,B,... for --reps
-timed pairs (pairing neutralizes slow host windows — the discriminator
-the r9 verdict institutionalized), report per-rep times, medians, p90.
-Accept-and-close either way in SCALE.md.
+Protocol: verify each variant == A once, then alternate A,B,C per rep
+(pairing neutralizes slow host windows — the discriminator the r9
+verdict institutionalized), report per-rep times, medians, p90.
 
 Usage: python tools/jaccard_variance_ab.py [--reps 10] [--sf DIR]
 """
@@ -31,21 +36,75 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_crawler_spark.queries.base import t
-from flink_crawler_spark.queries.pipelineq25 import (
-    _LP_ANCHOR_SPARK,
-    LP_TOPK,
-    graph_jaccard_link_prediction,
-)
+from flink_crawler_spark.queries.pipelineq25 import _LP_ANCHOR_SPARK, LP_TOPK
 
 PACK = 1 << 32
 BIG = 1 << 40
+
+
+def variant_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 registry plan, frozen here for the paired record:
+    rows (a, c, is_edge int) into groupBy(a, c).agg(conditional sum,
+    max(is_edge)). The registry adopted variant C after the A/B/C run
+    (see SCALE.md r10)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.selectExpr("l_orderkey", "l_partkey AS pa")
+    b = li.selectExpr("l_orderkey", "l_partkey AS pb")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    nbr = e.unionAll(e.selectExpr("pb AS pa", "pa AS pb")).localCheckpoint(eager=True)
+    deg = nbr.groupBy("pa").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    anchors = nbr.where(F.expr(_LP_ANCHOR_SPARK)).select("pa").distinct()
+    x = nbr.join(F.broadcast(anchors), "pa").selectExpr("pa AS a", "pb AS n")
+    y = nbr.selectExpr("pa AS n", "pb AS c")
+    hops = (
+        x.join(y, "n")
+        .where(F.col("c") != F.col("a"))
+        .select("a", "c", F.lit(0).alias("is_edge"))
+    )
+    marker = (
+        nbr.join(F.broadcast(anchors), "pa")
+        .selectExpr("pa AS a", "pb AS c")
+        .withColumn("is_edge", F.lit(1))
+    )
+    common = (
+        hops.unionByName(marker)
+        .groupBy("a", "c")
+        .agg(
+            F.sum(F.when(F.col("is_edge") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cn"),
+            F.max("is_edge").alias("__e"),
+        )
+        .filter(F.col("__e") == 0)
+        .drop("__e")
+    )
+    cand = common.join(
+        F.broadcast(deg.selectExpr("pa AS a", "deg AS deg_a")), "a"
+    ).join(F.broadcast(deg.selectExpr("pa AS c", "deg AS deg_c")), "c")
+    jacc = "round(CAST(cn AS DOUBLE) / CAST(deg_a + deg_c - cn AS DOUBLE), 6)"
+    w = Window.partitionBy("a").orderBy(F.expr(jacc).desc(), F.asc("c"))
+    return (
+        cand.withColumn("jacc", F.expr(jacc))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= LP_TOPK)
+        .selectExpr("a AS part_a", "c AS predicted_part", "cn AS n_common", "jacc", "rnk")
+    )
 
 
 def variant_b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,6 +161,56 @@ def variant_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-weight fold WITHOUT key packing (scale-safe at any key
+    domain): rows (a, c, w long = +1 hop / -2^40 marker) into
+    groupBy(a, c).agg(sum(w)) — one agg buffer instead of two, same
+    two-column key as A. Isolates the single-buffer win from B's
+    packed-key win (packing needs both keys < 2^31, which a ~100 TB
+    TPC-H part-key domain exceeds)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.selectExpr("l_orderkey", "l_partkey AS pa")
+    b = li.selectExpr("l_orderkey", "l_partkey AS pb")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    nbr = e.unionAll(e.selectExpr("pb AS pa", "pa AS pb")).localCheckpoint(eager=True)
+    deg = nbr.groupBy("pa").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    anchors = nbr.where(F.expr(_LP_ANCHOR_SPARK)).select("pa").distinct()
+    x = nbr.join(F.broadcast(anchors), "pa").selectExpr("pa AS a", "pb AS n")
+    y = nbr.selectExpr("pa AS n", "pb AS c")
+    hops = (
+        x.join(y, "n")
+        .where(F.col("c") != F.col("a"))
+        .select("a", "c", F.lit(1).cast("long").alias("w"))
+    )
+    marker = (
+        nbr.join(F.broadcast(anchors), "pa")
+        .selectExpr("pa AS a", "pb AS c")
+        .withColumn("w", F.lit(-BIG).cast("long"))
+    )
+    common = (
+        hops.unionByName(marker)
+        .groupBy("a", "c")
+        .agg(F.sum("w").alias("cn"))
+        .filter(F.col("cn") > 0)
+    )
+    cand = common.join(
+        F.broadcast(deg.selectExpr("pa AS a", "deg AS deg_a")), "a"
+    ).join(F.broadcast(deg.selectExpr("pa AS c", "deg AS deg_c")), "c")
+    jacc = "round(CAST(cn AS DOUBLE) / CAST(deg_a + deg_c - cn AS DOUBLE), 6)"
+    w = Window.partitionBy("a").orderBy(F.expr(jacc).desc(), F.asc("c"))
+    return (
+        cand.withColumn("jacc", F.expr(jacc))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= LP_TOPK)
+        .selectExpr("a AS part_a", "c AS predicted_part", "cn AS n_common", "jacc", "rnk")
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
@@ -113,7 +222,7 @@ def main() -> int:
     spark = get_spark("jaccard_ab")
     spark.sparkContext.setLogLevel("ERROR")
 
-    variants = {"A": graph_jaccard_link_prediction, "B": variant_b}
+    variants = {"A": variant_a, "B": variant_b, "C": variant_c}
 
     # correctness first: B must be row-identical to A
     rows = {}
@@ -121,7 +230,8 @@ def main() -> int:
         rows[name] = sorted(
             tuple(r) for r in fn(spark, args.sf).collect()
         )
-    assert rows["A"] == rows["B"], "variant B result differs from A"
+    for name in variants:
+        assert rows[name] == rows["A"], f"variant {name} result differs from A"
     print(f"identical: {len(rows['A'])} rows", flush=True)
 
     times: dict[str, list[float]] = {k: [] for k in variants}
@@ -142,8 +252,12 @@ def main() -> int:
             "p90": round(s[max(0, int(0.9 * len(s)) - 1)], 2),
         }
 
-    out = {k: stats(v) for k, v in times.items()}
-    out["paired_deltas"] = [round(a - b, 2) for a, b in zip(times["A"], times["B"])]
+    out: dict = {k: stats(v) for k, v in times.items()}
+    for k in variants:
+        if k != "A":
+            out[f"paired_deltas_A_minus_{k}"] = [
+                round(a - b, 2) for a, b in zip(times["A"], times[k])
+            ]
     print(json.dumps(out))
     return 0
 
