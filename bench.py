@@ -113,6 +113,7 @@ def main() -> int:
     from flink_crawler_spark.queries import dedupq as _qdedupq
     from flink_crawler_spark.queries import pipelineq3 as _qp3
     from flink_crawler_spark.queries import pipelineq5 as _qp5
+    from flink_crawler_spark.queries import simq as _qsimq
 
     # Python DataSource engine spin-up (planner round-trip + datasource
     # worker): a cold custom-source write/read costs ~5 s once per
@@ -145,6 +146,9 @@ def main() -> int:
         ("bigram_nll_table", _qp5.bigram_nll_table),
         ("merged_crawl_state", _qcore.merged_crawl_state),
         ("pq_core", _qp3._pq_core),
+        # r10: exact-twin IVF centroids (trained once per corpus, shared
+        # by ann_topk_ivf + ann_recall_report since the oracle upgrade)
+        ("ivf_exact_centroids", _qsimq._ivf_exact_centroids_cached),
     ):
         bt0 = time.time()
         bfn(spark, sf_dir)  # eager localCheckpoint inside

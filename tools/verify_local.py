@@ -20,6 +20,13 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The oracle gate compares EXACT semantics, so pin the ANN pair-mining
+# candidate path to exact whatever the corpus size — at a scale factor
+# where the auto guard would flip to the bucketed (approximate) path,
+# the DuckDB twin would mismatch by design (r9 advice). Explicit env
+# wins if the caller set one.
+os.environ.setdefault("FCS_ANN_CANDIDATES", "exact")
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
