@@ -546,6 +546,96 @@ def _blocked_cosine_pairs(
     )
 
 
+def bipartite_cosine_pairs(
+    xdf: DataFrame,
+    ydf: DataFrame,
+    *,
+    x_id: str = "x_id",
+    x_vec: str = "ex",
+    y_id: str = "y_id",
+    y_vec: str = "ey",
+    round_digits: int = 6,
+    block_target_rows: int = 512,
+    x_rows: int | None = None,
+    y_rows: int | None = None,
+) -> DataFrame:
+    """ALL x-side x y-side cosine pairs as (x_id, y_id, cos) — the
+    bipartite sibling of the blocked ``exact_cosine_pairs`` kernel.
+
+    ``x_rows``/``y_rows`` are OPTIONAL row-count estimates used only to
+    size the block grid (e.g. a parquet-footer count from the caller —
+    zero actions); when None the side is counted. Block sizing needs no
+    exactness: every pair is produced whatever the grid.
+
+    Same exactness contract: dots and norms are left-associated double
+    chains (``_leftassoc_dot_matrix`` / ``_leftassoc_norm``), only the
+    final round(dot/nprod, round_digits) runs JVM-side — bit-identical
+    to the unrolled 64-term SQL chain the DuckDB oracles spell out, at
+    numpy speed (measured ~2x end-to-end on margin_mnn_pairs, whose
+    pair materialization was dominated by the codegen'd scalar chain).
+
+    Shape: each side hashes into ~block_target_rows blocks packed one
+    row per block; every (x-block, y-block) pair is one task computing
+    its cross product in Arrow. No driver collect, task memory bounded
+    by two blocks, parallelism grows with |x|x|y| — at 100 TB this is
+    the same all-pairs discipline as exact_cosine_pairs (and like it,
+    reserved for bounded candidate sets; LSH/IVF remain the
+    sub-quadratic paths)."""
+    import pandas as pd
+
+    nx_blocks = max(1, -(-(x_rows if x_rows is not None else xdf.count()) // block_target_rows))
+    ny_blocks = max(1, -(-(y_rows if y_rows is not None else ydf.count()) // block_target_rows))
+    xb = (
+        xdf.select(
+            F.pmod(F.xxhash64(F.col(x_id)), F.lit(nx_blocks)).alias("xblk"),
+            F.col(x_id).alias("id"),
+            F.col(x_vec).alias("v"),
+        )
+        .groupBy("xblk")
+        .agg(F.collect_list("id").alias("ids_x"), F.collect_list("v").alias("vecs_x"))
+    )
+    yb = (
+        ydf.select(
+            F.pmod(F.xxhash64(F.col(y_id)), F.lit(ny_blocks)).alias("yblk"),
+            F.col(y_id).alias("id"),
+            F.col(y_vec).alias("v"),
+        )
+        .groupBy("yblk")
+        .agg(F.collect_list("id").alias("ids_y"), F.collect_list("v").alias("vecs_y"))
+    )
+    pair_rows = xb.crossJoin(yb).repartition(max(nx_blocks * ny_blocks, 1))
+
+    def run(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ida = np.asarray(row.ids_x, dtype=np.int64)
+                idb = np.asarray(row.ids_y, dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float32) for v in row.vecs_x]).astype(
+                    np.float64
+                )
+                B = np.stack([np.asarray(v, dtype=np.float32) for v in row.vecs_y]).astype(
+                    np.float64
+                )
+                P = _leftassoc_dot_matrix(A, B)
+                nprod = _leftassoc_norm(A)[:, None] * _leftassoc_norm(B)[None, :]
+                ii, jj = np.meshgrid(np.arange(len(ida)), np.arange(len(idb)), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+                yield pd.DataFrame(
+                    {
+                        "id_x": ida[ii],
+                        "id_y": idb[jj],
+                        "dot": P[ii, jj],
+                        "nprod": nprod[ii, jj],
+                    }
+                )
+
+    cand = pair_rows.mapInPandas(run, "id_x long, id_y long, dot double, nprod double")
+    cos = F.round(F.col("dot") / F.col("nprod"), round_digits)
+    return cand.select(
+        F.col("id_x").alias(x_id), F.col("id_y").alias(y_id), cos.alias("cos")
+    )
+
+
 def exact_cosine_topk(
     embeddings: DataFrame,
     query_vec,

@@ -194,13 +194,26 @@ def _margin_mnn_impl(
         "vec_id AS y_id", "embedding AS ey", f"{_norm_sql('embedding', 0)} AS ny"
     )
     if ann_exact_path(sf_dir, max_exact_rows, query="margin_mnn_pairs"):
-        # repartition the left side BEFORE the broadcast cross join: a
-        # small parquet side arrives as ONE input split, which would leave
-        # the BroadcastNestedLoopJoin — and the 1M x 64-term cosine chain —
-        # on a single task (measured 30 s -> ~1 s at sf0.1 with 32 slots)
-        cand = x.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions"))
-        ).crossJoin(F.broadcast(y))
+        # exact path (r10): the bipartite blocked Arrow kernel computes
+        # the SAME left-assoc doubles as the unrolled 64-term SQL chain
+        # (operators/similarity.py exactness contract) at numpy speed —
+        # the pair materialization was this query's dominant cost
+        # (profiled 4.4-7.2 s of the 7.4 s total at sf0.1; the earlier
+        # "repartition before BroadcastNL" note moved the chain off one
+        # task, the kernel removes the scalar chain entirely). Block
+        # grid sized from the parquet footer count — zero extra actions.
+        from .base import parquet_row_count
+        from ..operators.similarity import bipartite_cosine_pairs
+
+        half = max(1, parquet_row_count(sf_dir, "embeddings") // 2)
+        p = bipartite_cosine_pairs(
+            x.select("x_id", "ex"),
+            y.select("y_id", "ey"),
+            x_vec="ex",
+            y_vec="ey",
+            x_rows=half,
+            y_rows=half,
+        ).localCheckpoint(eager=True)
     else:
         from ..operators.similarity import ivf_centroids, ivf_probe_candidates
 
@@ -213,11 +226,11 @@ def _margin_mnn_impl(
             query_vec_col="ex",
             corpus_vec_col="ey",
         )
-    p = cand.selectExpr(
-        "x_id",
-        "y_id",
-        f"round(({_dot64('ex', 'ey', 0)}) / (nx * ny), 6) AS cos",
-    ).localCheckpoint(eager=True)
+        p = cand.selectExpr(
+            "x_id",
+            "y_id",
+            f"round(({_dot64('ex', 'ey', 0)}) / (nx * ny), 6) AS cos",
+        ).localCheckpoint(eager=True)
     wx = Window.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
     kx = (
         p.withColumn("rn", F.row_number().over(wx))

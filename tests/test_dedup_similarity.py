@@ -206,3 +206,35 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark):
     capped = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, max_bucket=1024).collect()}
     uncapped = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, max_bucket=None).collect()}
     assert capped == uncapped
+
+
+def test_reproducible_lsh_paths_match_fast_paths(spark, sf_dir):
+    """r10: the oracle-grade reproducible=True mode (signature_expr +
+    left-assoc query signature + rounded cosine) must select the same
+    candidates and the same top-k ids as the Arrow-matmul fast path on
+    the real corpus — sign flips between the two arithmetics would need
+    a plane dot within ~1e-13 of zero, which the test data never is."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+
+    fast = ann_topk_lsh(emb, qvec, k=20, n_planes=8, seed=42).collect()
+    repro = ann_topk_lsh(
+        emb, qvec, k=20, n_planes=8, seed=42, reproducible=True
+    ).collect()
+    assert [r["vec_id"] for r in fast] == [r["vec_id"] for r in repro]
+    for rf, rr in zip(fast, repro):
+        assert abs(rf["cosine"] - rr["cosine"]) < 1e-6  # repro side is rounded
+
+    fast_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.35, n_planes=8).collect()
+    }
+    repro_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.35, n_planes=8, reproducible=True
+        ).collect()
+    }
+    assert fast_pairs == repro_pairs
