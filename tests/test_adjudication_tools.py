@@ -93,6 +93,17 @@ def test_compare_bench_clustered_interference_window(tmp_path):
     assert rep["total_ratio_calib_normalized"] == rep["total_ratio_raw"]
 
 
+def test_compare_bench_single_spike_verdict(tmp_path):
+    # exactly one spiked query -> neither "clustered" nor "spread": the
+    # tool points at that query's own history (intentional changes land
+    # here too, e.g. r10's ann_topk_ivf exact-twin training)
+    old_q = {f"q{i:02d}": 1.0 for i in range(10)}
+    new_q = dict(old_q, q05=9.0)
+    rep = _run_compare(tmp_path, _full_map(old_q, 1.0), _full_map(new_q, 1.0))
+    assert rep["clustering_verdict"].startswith("single spike")
+    assert [s["query"] for s in rep["spikes"]] == ["q05"]
+
+
 def test_compare_bench_calib_normalization(tmp_path):
     # whole host 1.5x slower, calib probes too: normalized ratio ~ 1.0
     old_q = {f"q{i:02d}": 1.0 for i in range(10)}

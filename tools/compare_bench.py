@@ -142,7 +142,15 @@ def main() -> int:
             }
             for lo, hi in wins
         ]
-        if spikes:
+        if not spikes:
+            report["clustering_verdict"] = "no spikes"
+        elif len(spikes) == 1:
+            report["clustering_verdict"] = (
+                "single spike: check that query's plan/commit history first "
+                "(an intentional change shows here too); if its code is "
+                "unchanged, treat as environmental and re-run"
+            )
+        else:
             clustered = len(wins) <= max(1, len(spikes) // 3) or (
                 in_win_pos <= 0.2 * len(names)
                 and total_excess > 0
@@ -153,8 +161,6 @@ def main() -> int:
                 if clustered
                 else "spread across execution order: investigate per-query plans"
             )
-        else:
-            report["clustering_verdict"] = "no spikes"
 
     # (c) spike migration vs the other artifact's spike set
     def _top8(art: dict, q: dict | None) -> set[str]:
