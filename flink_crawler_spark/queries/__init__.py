@@ -100,16 +100,25 @@ PRIORITY_WINDOW = [
     # tools/jaccard_variance_ab.py, series in SCALE.md r10) — the code
     # change voids its r9 green row.
     "graph_jaccard_link_prediction",
-    # --- re-verification: the 41 stalest green rows — all 12 r3-vintage
-    # rows + the 29 alphabetically-first r4-vintage rows (none changed
+    # slots 10-11: engine-rounding portability fixes caught by the
+    # first-ever FULL sf0.1 oracle gate (280/282 -> 282/282; SCALE.md
+    # r10): cusum's oracle silently promoted ss to DOUBLE past DuckDB's
+    # 38-digit decimal cap; ewma's weight literals parsed as DECIMAL
+    # (engine-capped scale) instead of DOUBLE. Both voided their green
+    # rows.
+    "event_cusum_alarms",
+    "ewma_smoothed_revenue",
+    # --- re-verification: the 39 stalest green rows — all 12 r3-vintage
+    # rows + the 27 alphabetically-first r4-vintage rows (none changed
     # since their vintage; pure freshness rotation so the cumulative
     # ledger carries no row older than r4 after this round).
     #
-    # r11 rotation plan: the 10 r4-vintage rows left over (status_counts,
+    # r11 rotation plan: the 12 r4-vintage rows left over
+    # (sequence_pack_chop, simhash_near_dup_pairs, status_counts,
     # stream_dedup, stream_doc_dedup_stats, stream_sessionize,
     # stream_stream_join, stream_window_counts, tfidf_top_terms,
     # trimmed_mean_price_udaf, tsv_content_lines, video_frame_sample) +
-    # the 40 stalest r5 rows fill the next 50-slot window; queries
+    # the 38 stalest r5 rows fill the next 50-slot window; queries
     # changed in r11 (if any) take slots first.
     "domain_avg_of_avgs",
     "html_outlink_extract",
@@ -150,8 +159,6 @@ PRIORITY_WINDOW = [
     "robots_wildcard_match",
     "semantic_contamination",
     "semdedup_prune",
-    "sequence_pack_chop",
-    "simhash_near_dup_pairs",
 ]
 
 

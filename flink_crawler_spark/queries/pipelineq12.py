@@ -102,15 +102,17 @@ d AS (
 ),
 c AS (
   SELECT user_id, dayn, k,
-         sum(d) OVER (PARTITION BY user_id ORDER BY dayn
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         CAST(sum(d) OVER (PARTITION BY user_id ORDER BY dayn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(28,6)) AS cc
   FROM d
 ),
 s AS (
   SELECT user_id, dayn, k,
-         cc - least(CAST(0 AS DECIMAL(28,6)),
+         CAST(cc - least(CAST(0 AS DECIMAL(28,6)),
                     min(cc) OVER (PARTITION BY user_id ORDER BY dayn
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS DECIMAL(28,6)) AS ss
   FROM c
 )
 SELECT user_id,
@@ -160,11 +162,21 @@ def event_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dayn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.withColumn("cc", F.sum("d").over(w))
+    # r10 (caught by the first full sf0.1 oracle gate): both window
+    # results are pinned back to DECIMAL(28,6). Without the down-cast,
+    # sum() widens to DECIMAL(38,6) and the cc - least(...) subtraction
+    # needs width 39 — over DuckDB's 38-digit maximum, so IT silently
+    # promotes the whole ss expression to DOUBLE (Spark stays decimal),
+    # and the ulp-level drift reorders equal-to-6dp ties at sf0.1
+    # magnitudes. Values fit (28,6) by orders of magnitude, so the cast
+    # is lossless and ss stays exact decimal algebra in both engines.
+    c = d.withColumn("cc", F.sum("d").over(w).cast("decimal(28,6)"))
     s = c.withColumn(
         "ss",
-        F.col("cc")
-        - F.least(F.lit(0).cast("decimal(28,6)"), F.min("cc").over(w)),
+        (
+            F.col("cc")
+            - F.least(F.lit(0).cast("decimal(28,6)"), F.min("cc").over(w))
+        ).cast("decimal(28,6)"),
     )
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_days"),

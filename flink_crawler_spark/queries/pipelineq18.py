@@ -300,8 +300,14 @@ EWMA_WINDOW = 30
 # boundary; this formulation has no quotient at all)
 _EWMA_RAW = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(EWMA_WINDOW)]
 _EWMA_NW = [w / sum(_EWMA_RAW) for w in _EWMA_RAW]
+# weights as E-NOTATION literals: both engines parse exponent literals
+# straight to DOUBLE (correctly-rounded strtod -> identical bits),
+# whereas a bare decimal literal parses as DECIMAL with engine-specific
+# scale capping first — an ulp-level weight skew that at sf0.1
+# magnitudes lands floor(x*1e6 + 0.5) astride integer boundaries
+# (caught by the first full sf0.1 oracle gate, r10)
 _EWMA_CASE = "CASE " + " ".join(
-    f"WHEN lagk = {k} THEN {w!r}" for k, w in enumerate(_EWMA_NW)
+    f"WHEN lagk = {k} THEN {w:.17e}" for k, w in enumerate(_EWMA_NW)
 ) + " END"
 
 
@@ -320,12 +326,12 @@ pairs AS (
 ),
 wsum AS (
   SELECT day_idx, min(rev) AS rev,
-         sum(CAST(round(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE), 6)
-                  AS DECIMAL(38,6))) AS s
+         sum(CAST(floor(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE) * 1e6 + 0.5)
+                  AS DECIMAL(38,0))) AS s
   FROM pairs GROUP BY day_idx
 )
 SELECT day_idx, CAST(rev AS DOUBLE) AS revenue,
-       round(CAST(s AS DOUBLE), 6) AS ewma
+       CAST(s AS DOUBLE) / 1e6 AS ewma
 FROM wsum
 """,
 )
@@ -364,18 +370,29 @@ def ewma_smoothed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day_b") <= F.col("day_idx"))
         & (F.col("day_b") > F.col("day_idx") - EWMA_WINDOW),
     ).selectExpr("day_idx", "rev", "day_idx - day_b AS lagk", "rev_b")
+    # r10 (caught by the first full sf0.1 oracle gate): per-term
+    # rounding is floor(x*1e6 + 0.5) — every op IEEE-identical across
+    # engines — instead of round(x, 6), whose engine implementations
+    # (BigDecimal HALF_UP vs multiply-then-nearbyint) disagree when
+    # x*1e6 sits within a few ulps of a half-integer; at sf0.1
+    # magnitudes (~4.5e12 scaled) that band is wide enough to draw one
+    # term per ~70k and flip the 6th decimal of a day's sum. The final
+    # value is the exact integer sum divided by 1e6 once (s <= 1.35e14
+    # < 2^53, so both the floor integers and the quotient are exact /
+    # correctly-rounded doubles in both engines — no final round()).
     wsum = pairs.groupBy("day_idx").agg(
         F.min("rev").alias("rev"),
         F.sum(
             F.expr(
-                f"CAST(round(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE), 6) AS DECIMAL(38,6))"
+                f"CAST(floor(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE) * 1e6 + 0.5)"
+                " AS DECIMAL(38,0))"
             )
         ).alias("s"),
     )
     return wsum.selectExpr(
         "day_idx",
         "CAST(rev AS DOUBLE) AS revenue",
-        "round(CAST(s AS DOUBLE), 6) AS ewma",
+        "CAST(s AS DOUBLE) / 1e6 AS ewma",
     )
 
 
