@@ -76,89 +76,74 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r10 rotation (round-9 verdict tasks 1+2): slots 1-8 are the
-    # queries CHANGED this round — the 5 former rows-only entries
-    # upgraded to full value oracles (ANN trio rebuilt on the
-    # reproducible signature_expr/_ivf_exact_centroids twins; HLL +
-    # quantile sketches re-framed as exact-side + bounded-error verdict
-    # columns), plus ann_recall_report (now shares the _IVF_CENT_CACHE
-    # centroids and the extracted _ivf_chain_sql oracle text) and the
-    # two pair-mining queries whose size guard moved to
-    # base.ann_exact_path (parquet-footer count + env override). Each is
-    # bit-exact on the local gate (full sf0.001 sweep + targeted
-    # sf0.01).
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "embedding_near_dup_lsh",
-    "hll_distinct_users",
-    "approx_percentile_prices",
-    "ann_recall_report",
-    "margin_mnn_pairs",
-    "hard_negative_mining",
-    # slot 9: graph_jaccard adopted the signed-weight sentinel fold
-    # after the variance-shrink A/B/C (round-9 verdict task 3;
-    # tools/jaccard_variance_ab.py, series in SCALE.md r10) — the code
-    # change voids its r9 green row.
-    "graph_jaccard_link_prediction",
-    # slots 10-11: engine-rounding portability fixes caught by the
-    # first-ever FULL sf0.1 oracle gate (280/282 -> 282/282; SCALE.md
-    # r10): cusum's oracle silently promoted ss to DOUBLE past DuckDB's
-    # 38-digit decimal cap; ewma's weight literals parsed as DECIMAL
-    # (engine-capped scale) instead of DOUBLE. Both voided their green
-    # rows.
-    "event_cusum_alarms",
+    # --- r11 rotation (round-10 verdict task 1; plan was written here
+    # in r10 and is executed verbatim, changed-queries-first rule
+    # applied): slots 1-2 are the two queries CHANGED this round —
+    # both gained loud magnitude guards (r10 ADVICE): ewma asserts the
+    # 2^53 floor(x*1e6+0.5) exactness bound per row; cusum fails loudly
+    # instead of Spark's silent non-ANSI NULL when a window sum would
+    # overflow the pinned DECIMAL(28,6). Results are unchanged where
+    # the guards pass (re-verified sf0.001 + sf0.01 + full sf0.1 gate),
+    # but the code change voids their r10 green rows.
     "ewma_smoothed_revenue",
-    # --- re-verification: the 39 stalest green rows — all 12 r3-vintage
-    # rows + the 27 alphabetically-first r4-vintage rows (none changed
-    # since their vintage; pure freshness rotation so the cumulative
-    # ledger carries no row older than r4 after this round).
-    #
-    # r11 rotation plan: the 12 r4-vintage rows left over
-    # (sequence_pack_chop, simhash_near_dup_pairs, status_counts,
-    # stream_dedup, stream_doc_dedup_stats, stream_sessionize,
-    # stream_stream_join, stream_window_counts, tfidf_top_terms,
-    # trimmed_mean_price_udaf, tsv_content_lines, video_frame_sample) +
-    # the 38 stalest r5 rows fill the next 50-slot window; queries
-    # changed in r11 (if any) take slots first.
-    "domain_avg_of_avgs",
-    "html_outlink_extract",
-    "new_urls_anti_join",
-    "outlink_cap",
-    "politeness_lag",
-    "robots_longest_match",
-    "sitemap_xml_roundtrip",
-    "surt_cdx_lookup",
-    "union_outlinks_merge",
-    "url_lengthen_resolve",
-    "url_normalize_lite",
-    "url_validate",
-    "benchmark_contamination",
-    "bloom_bucket_prefilter",
-    "char_dup_spans",
-    "corpus_shuffle_shard",
-    "cosine_topk_bruteforce",
-    "data_quality_report",
-    "doc_quality_score",
-    "doc_token_count",
-    "dsir_importance_weights",
-    "gopher_quality_filter",
-    "incremental_ingest_dedup",
-    "kmeans_embeddings",
-    "kmv_distinct_custkey_monthly",
-    "lsh_candidate_pairs",
-    "media_arrow_byte_stats",
-    "media_content_dedup",
-    "media_stats",
-    "minhash_signatures",
-    "mixture_temperature_sample",
-    "moving_avg_10",
-    "near_dup_clusters",
-    "partitioned_parquet_pruning",
-    "rate_window_30s",
-    "recrawl_schedule",
-    "robots_wildcard_match",
-    "semantic_contamination",
-    "semdedup_prune",
+    "event_cusum_alarms",
+    # --- re-verification: the 48 stalest green rows — the 12 remaining
+    # r4-vintage rows + the 36 alphabetically-first r5-vintage rows
+    # (none changed since their vintage; pure freshness rotation — the
+    # cumulative ledger carries no row older than r5 after this round).
+    "sequence_pack_chop",
+    "simhash_near_dup_pairs",
+    "status_counts",
+    "stream_dedup",
+    "stream_doc_dedup_stats",
+    "stream_sessionize",
+    "stream_stream_join",
+    "stream_window_counts",
+    "tfidf_top_terms",
+    "trimmed_mean_price_udaf",
+    "tsv_content_lines",
+    "video_frame_sample",
+    # (r5 tier from here; the 8 alphabetically-last r5 rows —
+    # stream_dedup_within_watermark, stream_quality_gate_counts, stream_rate_gauge
+    # stream_static_join, stream_update_mode_counts, stream_window_counts_append
+    # variant_props_extract, vocab_coverage —
+    # roll into the r12 window together with whatever r12 changes.)
+    "audio_chunk_energy",
+    "cluster_stratified_sample",
+    "copurchase_triangles",
+    "corpus_mix_budget",
+    "crawl_reachability_rcte",
+    "csv_sink_source_roundtrip",
+    "dataset_card_rollup",
+    "doc_bpe_pretoken",
+    "doc_chunk_sliding",
+    "doc_filter_pipeline",
+    "doc_fingerprint",
+    "doc_pii_redact",
+    "doc_quality_features",
+    "doc_repetition_filter",
+    "doc_simhash",
+    "fuzzy_name_pairs",
+    "grouping_sets_priority_status",
+    "hash_stratified_sample",
+    "html_outlink_extract_udtf",
+    "html_tree_parse",
+    "json_props_extract",
+    "json_sink_source_roundtrip",
+    "media_decode_stats",
+    "media_feature_fold",
+    "media_resize_stub",
+    "model_quality_classifier",
+    "ngram_jaccard_pairs",
+    "orc_sink_source_roundtrip",
+    "order_gap_islands",
+    "pagerank_5iter",
+    "quantity_bag_ops",
+    "scd2_versioned_revenue",
+    "segment_boilerplate_filter",
+    "sessionize_session_window_batch",
+    "sitemap_failed_report",
+    "skew_salted_join",
 ]
 
 

@@ -170,13 +170,36 @@ def event_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the ulp-level drift reorders equal-to-6dp ties at sf0.1
     # magnitudes. Values fit (28,6) by orders of magnitude, so the cast
     # is lossless and ss stays exact decimal algebra in both engines.
-    c = d.withColumn("cc", F.sum("d").over(w).cast("decimal(28,6)"))
+    # r11 (advice): the down-cast is non-ANSI, so on overflow Spark
+    # yields silent NULLs while the DuckDB twin raises — divergent,
+    # hard-to-diagnose failures. Guard the magnitude before each cast
+    # (per-user cumulative sums are ~1e7 at sf0.1; 1e21 is one digit
+    # inside DECIMAL(28,6)'s 1e22 cap, so the lossless claim holds
+    # wherever the guard passes). One lazy CASE comparison per row.
+    def _pin28(col, what):
+        return (
+            F.when(
+                F.abs(col) >= F.lit(1e21),
+                F.raise_error(
+                    F.lit(
+                        f"event_cusum_alarms: |{what}| >= 1e21 approaches "
+                        "DECIMAL(28,6) overflow (silent NULL in Spark, raise "
+                        "in DuckDB); widen the pinned precision"
+                    )
+                ),
+            )
+            .otherwise(col)
+            .cast("decimal(28,6)")
+        )
+
+    c = d.withColumn("cc", _pin28(F.sum("d").over(w), "cc"))
     s = c.withColumn(
         "ss",
-        (
+        _pin28(
             F.col("cc")
-            - F.least(F.lit(0).cast("decimal(28,6)"), F.min("cc").over(w))
-        ).cast("decimal(28,6)"),
+            - F.least(F.lit(0).cast("decimal(28,6)"), F.min("cc").over(w)),
+            "ss",
+        ),
     )
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_days"),

@@ -380,12 +380,25 @@ def ewma_smoothed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value is the exact integer sum divided by 1e6 once (s <= 1.35e14
     # < 2^53, so both the floor integers and the quotient are exact /
     # correctly-rounded doubles in both engines — no final round()).
+    # r11 (advice): the exactness proof above needs every scaled term —
+    # and, because the normalized weights sum to 1, the day-sum s — to
+    # stay below 2^53. Assert it per row instead of trusting the sf0.1
+    # bound: |rev_b|*1e6 < 4.5e15 keeps s < 4.5e15 + EWMA_WINDOW (half-up
+    # slack) < 2^53 = 9.007e15. At sf0.1 the max is ~4.5e12, so the
+    # guard trips around sf~100 — loudly, naming the scheme — instead of
+    # surfacing as an unexplained oracle hash mismatch. One codegen
+    # comparison per row; the ELSE branch is the r10 expression verbatim.
     wsum = pairs.groupBy("day_idx").agg(
         F.min("rev").alias("rev"),
         F.sum(
             F.expr(
-                f"CAST(floor(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE) * 1e6 + 0.5)"
+                "CASE WHEN abs(CAST(rev_b AS DOUBLE)) * 1e6 >= 4.5e15 THEN"
+                " CAST(raise_error('ewma_smoothed_revenue: |rev|*1e6 >= 4.5e15"
+                " breaches the 2^53 floor(x*1e6+0.5) exactness bound"
+                " (proven to ~sf100); rescale the fixed-point factor')"
                 " AS DECIMAL(38,0))"
+                f" ELSE CAST(floor(({_EWMA_CASE}) * CAST(rev_b AS DOUBLE) * 1e6 + 0.5)"
+                " AS DECIMAL(38,0)) END"
             )
         ).alias("s"),
     )

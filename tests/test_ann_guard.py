@@ -24,6 +24,15 @@ from flink_crawler_spark.queries.pipelineq17 import _hard_negative_impl
 from flink_crawler_spark.queries.pipelineq19 import _margin_mnn_impl
 
 
+@pytest.fixture(autouse=True)
+def _unpin_ann_candidates(monkeypatch):
+    # ann_exact_path reads FCS_ANN_CANDIDATES at call time, so a leaked
+    # "exact" pin (verify_local sets one in ITS process; a shared shell
+    # could export it) would override max_exact_rows=0 below and turn
+    # every bucketed-vs-exact property into exact-vs-exact (r10 advice).
+    monkeypatch.delenv("FCS_ANN_CANDIDATES", raising=False)
+
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 

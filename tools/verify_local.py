@@ -31,6 +31,24 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
+# Queries whose oracle pins a probabilistic-sketch error bound through a
+# 0/1 verdict column (oracle side hardcodes literal 1). A mismatch there
+# is usually a BOUND FLIP on a new corpus, not an arithmetic regression —
+# name the column so the failure isn't misdiagnosed (r10 advice).
+VERDICT_NOTES = {
+    "hll_distinct_users": (
+        "verdict column est_within_5pct: oracle hardcodes 1; a mismatch can "
+        "mean the HLL estimate legitimately exceeded the 5% bound on this "
+        "corpus, not that the exact counts diverged — inspect _hll_frame"
+    ),
+    "approx_percentile_prices": (
+        "verdict column approx_within_rank_bound: oracle hardcodes 1; a "
+        "mismatch can mean the sketch's rank-error bound flipped on this "
+        "corpus, not an arithmetic regression — inspect "
+        "_approx_percentile_frame"
+    ),
+}
+
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -133,6 +151,8 @@ def main() -> int:
             print(f"FAIL  {name}: rows={len(sdf)}/{len(ddf)} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            if name in VERDICT_NOTES:
+                print(f"      note: {VERDICT_NOTES[name]}")
             failures.append(name)
         else:
             print(f"ok    {name}: rows={len(sdf)} match [{time.time()-t0:.1f}s]")
