@@ -73,6 +73,14 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         # interpret nanos as seconds — garbage epochs far from the cause.
         # Without it, such a physical-type change fails fast at scan time.
     )
+    # A/B-probe / deployment seam: extra confs from the environment, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.speculation=true;spark.speculation.quantile=0.9"
+    # (";"-separated — conf VALUES may contain commas). Builder confs only
+    # bind when this process launches the JVM, same caveat as above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     _log_code_cache_size(spark)
     return spark

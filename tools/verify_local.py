@@ -5,7 +5,16 @@ parquet tables, then compares row count + column names + values
 (column-name-sorted, row-sorted, exact). Stricter than a value hash: any
 pass here implies the driver's hash matches.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage:
+  python tools/verify_local.py [sf_dir] [query ...]
+  python tools/verify_local.py --full-gate
+
+``--full-gate`` is the closing-checklist mode (r10 lesson, r11 verdict
+task 6): the FULL registry at sf0.1 — 10x the driver's gate scale —
+which is the sweep that caught the two magnitude-dependent
+engine-rounding bugs small SFs structurally cannot see. It prints a
+final one-line JSON record (query count, failures, wall runtime) for
+SCALE.md; expect ~25-35 min on an idle local[32] host.
 """
 
 from __future__ import annotations
@@ -114,8 +123,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    full_gate = len(sys.argv) > 1 and sys.argv[1] == "--full-gate"
+    if full_gate:
+        sf_dir = "/root/testdata/sf0.1"
+        only = set()
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+        only = set(sys.argv[2:])
+    gate_t0 = time.time()
 
     from flink_crawler_spark import queries as q
     from flink_crawler_spark.session import get_spark
@@ -160,6 +175,21 @@ def main() -> int:
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
     if failures:
         print("failures:", " ".join(failures))
+    if full_gate:
+        import json
+
+        print(
+            json.dumps(
+                {
+                    "gate": "sf0.1-full",
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_match": len(names) - len(failures),
+                    "failures": sorted(failures),
+                    "runtime_sec": round(time.time() - gate_t0, 1),
+                }
+            )
+        )
     return 1 if failures else 0
 
 
