@@ -87,8 +87,17 @@ PRIORITY_WINDOW = [
     # but the code change voids their r10 green rows.
     "ewma_smoothed_revenue",
     "event_cusum_alarms",
-    # --- re-verification: the 48 stalest green rows — the 12 remaining
-    # r4-vintage rows + the 36 alphabetically-first r5-vintage rows
+    # slots 3-5: the dsum_wide fixes — the first sf1.0-equivalent
+    # magnitude gate (tools/gen_full_sf.py corpus, SCALE.md r11) caught
+    # the dsum one-step DECIMAL->DOUBLE cast diverging by 1 ulp between
+    # engines once |sum|*1e6 > 2^53 (revenue sums ~3-6e10 at sf1.0);
+    # these three now ride the floor-split wide form on both sides,
+    # re-verified value-exact at sf0.001/sf0.01/sf0.1/x1/x10.
+    "pricing_summary",
+    "revenue_by_region",
+    "revenue_rollup",
+    # --- re-verification: the 45 stalest green rows — the 12 remaining
+    # r4-vintage rows + the 33 alphabetically-first r5-vintage rows
     # (none changed since their vintage; pure freshness rotation — the
     # cumulative ledger carries no row older than r5 after this round).
     "sequence_pack_chop",
@@ -103,11 +112,17 @@ PRIORITY_WINDOW = [
     "trimmed_mean_price_udaf",
     "tsv_content_lines",
     "video_frame_sample",
-    # (r5 tier from here; the 8 alphabetically-last r5 rows —
-    # stream_dedup_within_watermark, stream_quality_gate_counts, stream_rate_gauge
-    # stream_static_join, stream_update_mode_counts, stream_window_counts_append
-    # variant_props_extract, vocab_coverage —
-    # roll into the r12 window together with whatever r12 changes.)
+    # (r5 tier from here; the 11 r5 rows left over —
+    # sessionize_session_window_batch, sitemap_failed_report,
+    # skew_salted_join (displaced by the dsum_wide slots),
+    # stream_dedup_within_watermark, stream_quality_gate_counts,
+    # stream_rate_gauge, stream_static_join, stream_update_mode_counts,
+    # stream_window_counts_append, variant_props_extract, vocab_coverage —
+    # roll into the r12 window together with whatever r12 changes.
+    # r12 plan (SCALE.md r11 magnitude-gate section): migrate the other
+    # 59 dsum oracle sites to the floor-split wide form in ONE sweep —
+    # those changed queries fill most of the r12 window by the
+    # changed-queries-first rule.)
     "audio_chunk_energy",
     "cluster_stratified_sample",
     "copurchase_triangles",
@@ -141,9 +156,6 @@ PRIORITY_WINDOW = [
     "quantity_bag_ops",
     "scd2_versioned_revenue",
     "segment_boilerplate_filter",
-    "sessionize_session_window_batch",
-    "sitemap_failed_report",
-    "skew_salted_join",
 ]
 
 

@@ -86,10 +86,49 @@ def ann_exact_path(sf_dir: str, max_exact_rows: int, *, query: str) -> bool:
 def dsum(col, alias: str):
     """Exact order-independent sum of a double expression: round to 6dp,
     sum as DECIMAL(28,6), expose as DOUBLE — THE decimal discipline every
-    oracle-compared sum uses (single definition; do not copy)."""
+    oracle-compared sum uses (single definition; do not copy).
+
+    ENGINE-IDENTITY BOUND (r11, caught by the first full sf1.0-equivalent
+    magnitude gate): the final DECIMAL(28,6)->DOUBLE cast is bit-identical
+    across engines only while |sum| * 1e6 < 2^53, i.e. |sum| < ~9.007e9.
+    Above that, the scaled integer no longer fits a double: Spark
+    correctly-rounds the true rational once (BigDecimal.doubleValue)
+    while DuckDB rounds twice (int128->double, then /1e6) — a 1-ulp
+    divergence that strikes probabilistically (measured: 3 of 62 sum
+    columns drew it at sf1.0 revenue magnitudes ~3-6e10). Sums that can
+    cross the bound use dsum_wide/DSUM_WIDE_SQL below."""
     from pyspark.sql import functions as F
 
     return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+def dsum_wide(col, alias: str):
+    """dsum for sums that may exceed the 2^53/1e6 one-step-cast bound
+    (revenue-scale aggregates): split the exact decimal sum at floor()
+    — exact DECIMAL floor in BOTH engines (measured, incl. negatives and
+    17-digit values; the decimal->decimal CAST is NOT usable here: Spark
+    rounds HALF_UP, DuckDB truncates) — convert each part to DOUBLE
+    (each conversion is a single correctly-rounded op: the integer part
+    is exact below 2^53, the 6dp fraction is one k/1e6 division with
+    k < 1e6), and combine with ONE shared IEEE add — engine-identical up
+    to |sum| < 2^53 ≈ 9.0e15 (sf ~1e5 at revenue magnitudes). The oracle
+    twin is dsum_wide_sql; both sides must use the same form (the split
+    differs from the one-step cast by double-rounding draws, so mixing
+    forms across engines is itself a bug)."""
+    from pyspark.sql import functions as F
+
+    s = F.sum(F.round(col, 6).cast("decimal(28,6)"))
+    i = F.floor(s)
+    return (i.cast("double") + (s - i).cast("double")).alias(alias)
+
+
+def dsum_wide_sql(expr: str, alias: str) -> str:
+    """DuckDB twin of dsum_wide for oracle f-strings."""
+    s = f"sum(CAST(round({expr}, 6) AS DECIMAL(28,6)))"
+    return (
+        f"CAST(floor({s}) AS DOUBLE)"
+        f" + CAST({s} - floor({s}) AS DOUBLE) AS {alias}"
+    )
 
 
 def ts_lit(s: str):

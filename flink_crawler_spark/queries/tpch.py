@@ -18,17 +18,23 @@ from pyspark.sql import functions as F
 from .base import register, t
 
 from .base import dsum as _dsum  # single decimal-discipline definition
+from .base import dsum_wide as _dsum_wide  # revenue-scale sums (>2^53/1e6 bound)
+from .base import dsum_wide_sql as _dw
 
 
 @register(
     "pricing_summary",
-    oracle="""
+    # r11 (caught by the first sf1.0-equivalent magnitude gate): the
+    # price sums cross dsum's 9.007e9 one-step-cast engine-identity
+    # bound at sf1.0 (~3e11) — all four sums ride the floor-split wide
+    # form on both sides (base.dsum_wide docstring has the proof)
+    oracle=f"""
 SELECT l_returnflag,
        l_linestatus,
-       CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       {_dw('l_quantity', 'sum_qty')},
+       {_dw('l_extendedprice', 'sum_base_price')},
+       {_dw('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_dw('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -46,10 +52,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity"), "sum_qty"),
-            _dsum(F.col("l_extendedprice"), "sum_base_price"),
-            _dsum(disc_price, "sum_disc_price"),
-            _dsum(charge, "sum_charge"),
+            _dsum_wide(F.col("l_quantity"), "sum_qty"),
+            _dsum_wide(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum_wide(disc_price, "sum_disc_price"),
+            _dsum_wide(charge, "sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -57,9 +63,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_region",
-    oracle="""
+    # r11 magnitude-gate fix: per-region revenue ~6e10 at sf1.0 crosses
+    # the dsum one-step-cast bound — wide form (see pricing_summary)
+    oracle=f"""
 SELECT r.r_name,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dw('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -84,7 +92,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     )
     return joined.groupBy("r_name").agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        _dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -231,9 +239,11 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_rollup",
-    oracle="""
+    # r11 magnitude-gate fix: the ROLLUP grand-total row is the whole
+    # corpus revenue (~3e11 at sf1.0) — wide form (see pricing_summary)
+    oracle=f"""
 SELECT r.r_name, n.n_name,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       {_dw('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -257,7 +267,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        _dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
