@@ -96,8 +96,28 @@ PRIORITY_WINDOW = [
     "pricing_summary",
     "revenue_by_region",
     "revenue_rollup",
-    # --- re-verification: the 45 stalest green rows — the 12 remaining
-    # r4-vintage rows + the 33 alphabetically-first r5-vintage rows
+    # slots 6-8: second wave of sf1.0-gate finds. gumbel/dp_laplace: a
+    # bare 0.5 literal made Spark type the md5-uniform DECIMAL(12,10)
+    # (u truncated to 10 digits) while DuckDB computed the exact double;
+    # the Gumbel key's 1/(u ln u) amplification near u->1 turned that
+    # into 6dp flips at 50k docs. Now e0 literals -> exact identical u.
+    # dbscan: the != pair join streamed a 1-partition localCheckpoint
+    # through BroadcastNestedLoopJoin (the r5 single-split trap) -> the
+    # 400M-pair kernel ran ONE task at 20k vectors; ensure_parallelism
+    # fixes it (x10 spark side >16min -> 10.6s). All three re-verified
+    # at sf0.001/sf0.01 (+x10 for gumbel/dp_laplace; dbscan's x10
+    # ORACLE is quadratic-cost, bounded like ppjoin's).
+    "gumbel_topk_sample",
+    "dp_laplace_counts",
+    "dbscan_core_points",
+    # slot 9: third-wave sf1.0 find — burstiness' DECIMAL(38,0)
+    # squared-gap sum cast (hugeint->double is multi-step in DuckDB,
+    # correctly-rounded in the JVM) PLUS a round()-at-3e13 knife edge
+    # on the std; now a per-row hi/lo bigint split + the r10
+    # floor(x*1e6+0.5)/1e6 idiom. Re-verified sf0.001/sf0.01/x10.
+    "user_burstiness_index",
+    # --- re-verification: the 41 stalest green rows — the 12 remaining
+    # r4-vintage rows + the 29 alphabetically-first r5-vintage rows
     # (none changed since their vintage; pure freshness rotation — the
     # cumulative ledger carries no row older than r5 after this round).
     "sequence_pack_chop",
@@ -152,10 +172,6 @@ PRIORITY_WINDOW = [
     "ngram_jaccard_pairs",
     "orc_sink_source_roundtrip",
     "order_gap_islands",
-    "pagerank_5iter",
-    "quantity_bag_ops",
-    "scd2_versioned_revenue",
-    "segment_boilerplate_filter",
 ]
 
 

@@ -450,8 +450,15 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     count runs per-bucket — identical to how near_dup_clusters bounds
     its pair join. Vectors with zero neighbors re-enter via the spine
     left join, so the border/noise split is explicit."""
+    from ..operators import ensure_parallelism
+
+    # r11 (caught by the sf1.0 magnitude gate): the != join below is a
+    # BroadcastNestedLoopJoin that streams THIS side — a single-file
+    # embeddings scan arrives as 1 partition, so without the spread the
+    # 400M-pair kernel at 20k vectors ran on ONE task (the r5
+    # single-split-cross-join trap, this query's instance of it)
     e = (
-        t(spark, sf_dir, "embeddings")
+        ensure_parallelism(t(spark, sf_dir, "embeddings"))
         .selectExpr(
             "vec_id",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",

@@ -349,7 +349,18 @@ GUMBEL_K = 50
 
 
 def _md5_u(key: str, *, duck: bool) -> str:
-    """Uniform in (0,1): (first-6-hex-digits + 0.5) / 16^6, never 0/1."""
+    """Uniform in (0,1): (first-6-hex-digits + 0.5) / 16^6, never 0/1.
+
+    r11 (caught by the sf1.0 magnitude gate): the literals are
+    E-NOTATION so both engines do pure DOUBLE arithmetic — a bare `0.5`
+    made Spark type the whole expression DECIMAL(12,10), TRUNCATING u to
+    10 digits while DuckDB computed the exact double; the Gumbel key's
+    1/(u ln u) amplification near u->1 (exactly the top-k region) turned
+    that 1e-10 skew into up-to-1e-4 key differences at 50k docs and
+    flipped 6dp roundings. With e0 literals u is EXACT in both engines
+    (h < 2^24 and the divisor is a power of two), leaving only ulp-level
+    ln() libm drift, which the amplification bound keeps ~1e-11 relative
+    at 50k docs — far inside the 6dp quantum."""
     fn = "strpos" if duck else "locate"
     args = (
         (lambda i: f"('{_HEX}', substr(md5({key}), {i + 1}, 1))")
@@ -357,7 +368,7 @@ def _md5_u(key: str, *, duck: bool) -> str:
         else (lambda i: f"(substr(md5({key}), {i + 1}, 1), '{_HEX}')")
     )
     h = " + ".join(f"({fn}{args(i)} - 1) * {16 ** (5 - i)}" for i in range(6))
-    return f"((({h}) + 0.5) / {16 ** 6})"
+    return f"((({h}) + 0.5e0) / {16 ** 6}e0)"
 
 
 @register(

@@ -82,7 +82,13 @@ DP_EPSILON = 0.5  # per-release budget; sensitivity of a count is 1
 
 
 def _md5_u01(key: str, *, duck: bool) -> str:
-    """Deterministic uniform in (0,1) from the first 6 md5 hex digits."""
+    """Deterministic uniform in (0,1) from the first 6 md5 hex digits.
+
+    E-notation literals for pure DOUBLE arithmetic in BOTH engines — a
+    bare `0.5` made Spark type this DECIMAL(12,10) and truncate u while
+    DuckDB computed the exact double (the r11 sf1.0-gate gumbel find,
+    pipelineq19._md5_u; same latent skew here feeds the Laplace inverse
+    CDF's ln() near the u->0/1 tails)."""
     fn = "strpos" if duck else "locate"
     args = (
         (lambda i: f"('{_HEX}', substr(md5({key}), {i + 1}, 1))")
@@ -90,7 +96,7 @@ def _md5_u01(key: str, *, duck: bool) -> str:
         else (lambda i: f"(substr(md5({key}), {i + 1}, 1), '{_HEX}')")
     )
     h = " + ".join(f"({fn}{args(i)} - 1) * {16 ** (5 - i)}" for i in range(6))
-    return f"((({h}) + 0.5) / {16 ** 6})"
+    return f"((({h}) + 0.5e0) / {16 ** 6}e0)"
 
 
 def _laplace_noise(u: str, scale: str) -> str:

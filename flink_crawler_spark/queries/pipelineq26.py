@@ -132,23 +132,25 @@ gaps AS (
 s AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
          CAST(sum(gap) AS BIGINT) AS sg,
-         CAST(sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
-              AS DECIMAL(38,0)) AS sgg
+         CAST(sum(gap * gap // 1000000) AS BIGINT) AS sgg_hi,
+         CAST(sum(gap * gap % 1000000) AS BIGINT) AS sgg_lo
   FROM gaps WHERE gap IS NOT NULL
   GROUP BY user_id HAVING count(*) >= {BURST_MIN_EVENTS}
+),
+m AS (
+  SELECT user_id, n_gaps,
+         CAST(sg AS DOUBLE) / n_gaps AS mu,
+         (CAST(sgg_hi AS DOUBLE) * 1000000e0 + CAST(sgg_lo AS DOUBLE)) / n_gaps
+           AS msq
+  FROM s
 )
 SELECT user_id, n_gaps,
-       round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_ms,
-       round(sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
-                  - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps),
-                  0.0)), 6) AS std_gap_ms,
-       round((sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
-                   - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
-              - CAST(sg AS DOUBLE) / n_gaps)
-             / (sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
-                   - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
-              + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
-FROM s
+       floor(mu * 1e6 + 0.5e0) / 1e6 AS mean_gap_ms,
+       floor(sqrt(greatest(msq - mu * mu, 0.0)) * 1e6 + 0.5e0) / 1e6 AS std_gap_ms,
+       floor((sqrt(greatest(msq - mu * mu, 0.0)) - mu)
+             / (sqrt(greatest(msq - mu * mu, 0.0)) + mu) * 1e6 + 0.5e0) / 1e6
+         AS burstiness
+FROM m
 """,
 )
 def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +163,18 @@ def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps come from a KEYED lag window (fully parallel on the user
     key); moments are exact integer/decimal sums per user, so sigma,
     mu, and B are engine-identical. Users with < 5 gaps are dropped in
-    both engines."""
+    both engines.
+
+    r11 (caught by the sf1.0 magnitude gate): the squared-gap sum is
+    carried as TWO bigint sums split at 1e6 per row instead of one
+    DECIMAL(38,0) — at ~4.5e20 the single decimal's DOUBLE cast is
+    multi-step (hugeint hi*2^64+lo) in DuckDB but correctly-rounded in
+    the JVM, a 1-ulp divergence; the hi/lo parts stay below 2^53
+    (exact doubles, good to ~sf20) and recombine with two identical
+    IEEE ops. Per-row gap*gap fits int64 because the events corpus
+    spans 30 days (max gap 2.6e9 ms, square 6.7e18 < 2^63; DuckDB
+    would error loudly on a wider span, Spark would wrap — revisit the
+    split factor before pointing this at a multi-year event table)."""
     ev = t(spark, sf_dir, "events").selectExpr("user_id", f"{EV_MS} AS ms", "event_id")
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     gaps = ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w))
@@ -171,22 +184,26 @@ def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_gaps"),
             F.sum("gap").cast("long").alias("sg"),
-            F.sum(
-                F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("sgg"),
+            F.sum(F.expr("gap * gap DIV 1000000")).cast("long").alias("sgg_hi"),
+            F.sum(F.expr("gap * gap % 1000000")).cast("long").alias("sgg_lo"),
         )
         .where(F.col("n_gaps") >= BURST_MIN_EVENTS)
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): std scaled by 1e6
+    # sits at ~3e13 where a double ulp is ~4e-3, so engine round()
+    # implementations (BigDecimal HALF_UP vs multiply-then-nearest)
+    # disagree on real draws at 15k users — the r10 ewma class; the
+    # floor idiom is every-op-IEEE-identical at ANY magnitude
     mu = "CAST(sg AS DOUBLE) / n_gaps"
-    sd = f"sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps - ({mu}) * ({mu}), 0.0))"
+    msq = "(CAST(sgg_hi AS DOUBLE) * 1000000e0 + CAST(sgg_lo AS DOUBLE)) / n_gaps"
+    sd = f"sqrt(greatest({msq} - ({mu}) * ({mu}), 0.0))"
     return s.selectExpr(
         "user_id",
         "n_gaps",
-        f"round({mu}, 6) AS mean_gap_ms",
-        f"round({sd}, 6) AS std_gap_ms",
-        f"round(({sd} - {mu}) / ({sd} + {mu}), 6) AS burstiness",
+        f"floor(({mu}) * 1e6 + 0.5e0) / 1e6 AS mean_gap_ms",
+        f"floor(({sd}) * 1e6 + 0.5e0) / 1e6 AS std_gap_ms",
+        f"floor((({sd}) - ({mu})) / (({sd}) + ({mu})) * 1e6 + 0.5e0) / 1e6"
+        " AS burstiness",
     )
 
 
