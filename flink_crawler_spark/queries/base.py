@@ -102,33 +102,78 @@ def dsum(col, alias: str):
     return F.sum(F.round(col, 6).cast("decimal(28,6)")).cast("double").alias(alias)
 
 
-def dsum_wide(col, alias: str):
-    """dsum for sums that may exceed the 2^53/1e6 one-step-cast bound
-    (revenue-scale aggregates): split the exact decimal sum at floor()
-    — exact DECIMAL floor in BOTH engines (measured, incl. negatives and
-    17-digit values; the decimal->decimal CAST is NOT usable here: Spark
-    rounds HALF_UP, DuckDB truncates) — convert each part to DOUBLE
-    (each conversion is a single correctly-rounded op: the integer part
-    is exact below 2^53, the 6dp fraction is one k/1e6 division with
-    k < 1e6), and combine with ONE shared IEEE add — engine-identical up
-    to |sum| < 2^53 ≈ 9.0e15 (sf ~1e5 at revenue magnitudes). The oracle
-    twin is dsum_wide_sql; both sides must use the same form (the split
-    differs from the one-step cast by double-rounding draws, so mixing
-    forms across engines is itself a bug)."""
+# Engine-identity bound of the floor-split wide sum: the integer part
+# must fit a double exactly (2^53 = 9.007e15); guard with margin so the
+# decimal-vs-double comparison itself can't straddle the true bound.
+DSUM_WIDE_BOUND = 9.0e15
+
+
+def dsum_wide_expr(col, digits: int = 6, prec: int = 28):
+    """Unaliased Column form of ``dsum_wide`` (for ratios / HAVING /
+    divide-by-count composites). Semantics and proof in ``dsum_wide``."""
     from pyspark.sql import functions as F
 
-    s = F.sum(F.round(col, 6).cast("decimal(28,6)"))
-    i = F.floor(s)
-    return (i.cast("double") + (s - i).cast("double")).alias(alias)
-
-
-def dsum_wide_sql(expr: str, alias: str) -> str:
-    """DuckDB twin of dsum_wide for oracle f-strings."""
-    s = f"sum(CAST(round({expr}, 6) AS DECIMAL(28,6)))"
-    return (
-        f"CAST(floor({s}) AS DOUBLE)"
-        f" + CAST({s} - floor({s}) AS DOUBLE) AS {alias}"
+    s0 = F.sum(F.round(col, digits).cast(f"decimal({prec},{digits})"))
+    # r12 (verdict task 4): loud raise at the engine-identity bound —
+    # the ewma/cusum guard idiom (lazy CASE, never fires in range;
+    # tests/test_overflow_guards.py pins the raise_error semantics).
+    # The DECIMAL(28,digits) pin after the guard is lossless wherever
+    # the guard passes (|sum| < 9.0e15 = 16 int digits <= 28-digits for
+    # digits <= 12) and keeps the floor-split subtraction below Spark's
+    # 38-digit cap for every scale in use (2/6/8/9/12): floor(D(28,d))
+    # -> D(29-d,0), s - i -> D(30,d) exact — no silent scale reduction.
+    s = (
+        F.when(
+            F.abs(s0) >= F.lit(DSUM_WIDE_BOUND),
+            F.raise_error(
+                F.lit(
+                    "dsum_wide: |sum| >= 9.0e15 breaches the 2^53 "
+                    "floor-split engine-identity bound; rescale the input"
+                )
+            ),
+        )
+        .otherwise(s0)
+        .cast(f"decimal(28,{digits})")
     )
+    i = F.floor(s)
+    return i.cast("double") + (s - i).cast("double")
+
+
+def dsum_wide(col, alias: str, digits: int = 6, prec: int = 28):
+    """dsum for sums that may exceed the 2^53/10^digits one-step-cast
+    bound (revenue-scale aggregates): split the exact decimal sum at
+    floor() — exact DECIMAL floor in BOTH engines (measured, incl.
+    negatives and 17-digit values; the decimal->decimal CAST is NOT
+    usable here: Spark rounds HALF_UP, DuckDB truncates) — convert each
+    part to DOUBLE (each conversion is a single correctly-rounded op:
+    the integer part is exact below 2^53, the scaled fraction is one
+    k/10^digits division with k < 10^digits <= 1e12 < 2^53), and
+    combine with ONE shared IEEE add — engine-identical up to
+    |sum| < 2^53 ≈ 9.0e15 (sf ~1e5 at revenue magnitudes), and loudly
+    guarded there (r12). ``digits``/``prec`` mirror each site's
+    original per-row rounding discipline so per-row behavior is
+    unchanged by the r12 sweep. The oracle twin is dsum_wide_sql; both
+    sides must use the same form (the split differs from the one-step
+    cast by double-rounding draws, so mixing forms across engines is
+    itself a bug)."""
+    return dsum_wide_expr(col, digits, prec).alias(alias)
+
+
+def dsum_wide_expr_sql(expr: str, digits: int = 6, prec: int = 28) -> str:
+    """DuckDB twin of dsum_wide_expr (unaliased, parenthesized)."""
+    s0 = f"sum(CAST(round({expr}, {digits}) AS DECIMAL({prec},{digits})))"
+    s = (
+        f"CAST(CASE WHEN abs({s0}) >= 9.0e15 THEN error("
+        f"'dsum_wide: |sum| >= 9.0e15 breaches the 2^53 floor-split "
+        f"engine-identity bound; rescale the input') "
+        f"ELSE {s0} END AS DECIMAL(28,{digits}))"
+    )
+    return f"(CAST(floor({s}) AS DOUBLE) + CAST({s} - floor({s}) AS DOUBLE))"
+
+
+def dsum_wide_sql(expr: str, alias: str, digits: int = 6, prec: int = 28) -> str:
+    """DuckDB twin of dsum_wide for oracle f-strings."""
+    return f"{dsum_wide_expr_sql(expr, digits, prec)} AS {alias}"
 
 
 def ts_lit(s: str):
