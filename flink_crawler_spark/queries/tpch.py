@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 from .base import register, t
 
-from .base import dsum as _dsum  # single decimal-discipline definition
 from .base import dsum_wide as _dsum_wide  # revenue-scale sums (>2^53/1e6 bound)
 from .base import dsum_wide_sql as _dw
+from .base import dsum_wide_expr as _dwe  # unaliased (composites)
+from .base import dsum_wide_expr_sql as _dwes
 
 
 @register(
@@ -133,11 +134,13 @@ def new_urls_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_priority_rollup",
-    oracle="""
+    # r12 sweep: every oracle sum rides the guarded floor-split wide
+    # form (base.dsum_wide) so engine identity holds to |sum| < 9.0e15
+    oracle=f"""
 SELECT o_orderpriority,
        o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+       {_dw('o_totalprice', 'total')}
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
 GROUP BY o_orderpriority, o_orderstatus
@@ -148,15 +151,15 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.filter(F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum_wide(F.col("o_totalprice"), "total"))
     )
 
 
 @register(
     "shipping_priority_q3",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dw('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -185,7 +188,7 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -194,9 +197,9 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "returned_items_q10",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dw('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
        round(c.c_acctbal, 6) AS c_acctbal, n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -228,7 +231,7 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select(
             "c_custkey", "c_name", "revenue", F.round("c_acctbal", 6).alias("c_acctbal"), "n_name"
         )
@@ -273,12 +276,13 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "large_orders_q18",
-    oracle="""
+    # r12: HAVING compares the SAME wide double both engines filter on
+    oracle=f"""
 SELECT o.o_orderkey, o.o_custkey,
-       CAST(sum(CAST(round(l.l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+       {_dw('l.l_quantity', 'total_qty')}
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_custkey
-HAVING sum(CAST(round(l.l_quantity, 6) AS DECIMAL(28,6))) > 250
+HAVING {_dwes('l.l_quantity')} > 250
 ORDER BY total_qty DESC, o.o_orderkey ASC
 LIMIT 100
 """,
@@ -291,7 +295,7 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("o_orderkey", "o_custkey")
-        .agg(_dsum(F.col("l_quantity"), "total_qty"))
+        .agg(_dsum_wide(F.col("l_quantity"), "total_qty"))
         .filter(F.col("total_qty") > 250)
     )
     return g.orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc()).limit(100)
@@ -299,11 +303,11 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "small_quantity_revenue_q17",
-    oracle="""
+    oracle=f"""
 WITH pa AS (
   SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(sum(CAST(round(l.l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT {_dwes('l.l_extendedprice')} / 7.0 AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < 0.5 * pa.avg_qty
@@ -315,9 +319,8 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     j = li.join(pa, "l_partkey").filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-    total = F.sum(F.round("l_extendedprice", 6).cast("decimal(28,6)")).cast("double")
     return j.agg(
-        (total / 7.0).alias("avg_yearly"),
+        (_dwe(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

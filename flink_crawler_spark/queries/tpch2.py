@@ -6,9 +6,10 @@ Each shape exercises a distinct planner/operator capability the reference
 engine never had (SURVEY §4.1 "free upgrades"): correlated EXISTS,
 scalar subqueries, conditional aggregation, disjunctive predicate
 pushdown, window-argmax, count-distinct grouping sets, and
-anti-join-with-aggregate. All sums of doubles go through the
-round→DECIMAL(28,6)→DOUBLE discipline so Spark and DuckDB hash
-identically regardless of aggregation order.
+anti-join-with-aggregate. All sums of doubles go through the guarded
+floor-split wide discipline (base.dsum_wide, r12 sweep) so Spark and
+DuckDB hash identically regardless of aggregation order up to
+|sum| < 9.0e15 — and fail loudly past it.
 """
 
 from __future__ import annotations
@@ -19,7 +20,10 @@ from pyspark.sql import functions as F
 from .base import register, t
 
 
-from .base import dsum as _dsum  # single decimal-discipline definition
+from .base import dsum_wide as _dsum_wide  # single decimal-discipline definition
+from .base import dsum_wide_expr as _dwe
+from .base import dsum_wide_expr_sql as _dwes
+from .base import dsum_wide_sql as _dw
 from .base import ts_lit as _ts
 
 
@@ -61,8 +65,8 @@ def order_priority_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The whole WHERE clause must reach the parquet reader as PushedFilters.
 @register(
     "forecast_revenue_q6",
-    oracle="""
-SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    oracle=f"""
+SELECT {_dw('l_extendedprice * l_discount', 'revenue')},
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -82,7 +86,7 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            _dsum_wide(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -93,9 +97,9 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (supplier-nation and customer-nation) with a symmetric pair predicate.
 @register(
     "volume_shipping_q7",
-    oracle="""
+    oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       {_dw('volume', 'revenue')}
 FROM (
   SELECT n1.n_name AS supp_nation,
          n2.n_name AS cust_nation,
@@ -138,7 +142,7 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
 
@@ -148,10 +152,10 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of two decimal-disciplined sums.
 @register(
     "market_share_q8",
-    oracle="""
+    oracle=f"""
 SELECT o_year,
-       CAST(CAST(sum(CAST(round(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END, 6) AS DECIMAL(28,6))) AS DOUBLE)
-          / CAST(sum(CAST(round(volume, 6) AS DECIMAL(28,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+       CAST({_dwes("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END")}
+          / {_dwes('volume')} AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -197,8 +201,8 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            _dsum(nat_vol, "nat"),
-            _dsum(vol, "tot"),
+            _dsum_wide(nat_vol, "nat"),
+            _dsum_wide(vol, "tot"),
         )
         .select(
             "o_year", (F.col("nat") / F.col("tot")).cast("double").alias("mkt_share")
@@ -211,9 +215,9 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit-cost substitute; same join/agg topology).
 @register(
     "profit_by_nation_q9",
-    oracle="""
+    oracle=f"""
 SELECT nation, o_year,
-       CAST(sum(CAST(round(amount, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+       {_dw('amount', 'sum_profit')}
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -250,7 +254,7 @@ def profit_by_nation_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(_dsum(F.col("amount"), "sum_profit"))
+        .agg(_dsum_wide(F.col("amount"), "sum_profit"))
     )
 
 
@@ -319,10 +323,9 @@ def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — promo revenue share in one month: conditional agg + exact division.
 @register(
     "promo_revenue_q14",
-    oracle="""
-SELECT CAST(100.0 * CAST(sum(CAST(round(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END, 6) AS DECIMAL(28,6))) AS DOUBLE)
-          / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    oracle=f"""
+SELECT CAST(100.0 * {_dwes("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+          / {_dwes('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE) AS promo_revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -339,7 +342,7 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
-        .agg(_dsum(promo, "promo"), _dsum(vol, "total"))
+        .agg(_dsum_wide(promo, "promo"), _dsum_wide(vol, "total"))
         .select(
             (F.lit(100.0) * F.col("promo") / F.col("total"))
             .cast("double")
@@ -354,10 +357,10 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equality is safe because revenues are decimal-disciplined.
 @register(
     "top_supplier_q15",
-    oracle="""
+    oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+         {_dw('l_extendedprice * (1 - l_discount)', 'total_revenue')}
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -375,7 +378,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+        _dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
     # scalar max + broadcast join instead of a global (single-partition)
     # window: at 100 TB the per-supplier aggregate is still millions of
@@ -424,8 +427,8 @@ def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalyst must still push the common part join and prune columns.
 @register(
     "disjunctive_revenue_q19",
-    oracle="""
-SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+    oracle=f"""
+SELECT {_dw('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -454,7 +457,7 @@ def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        _dsum_wide(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -555,13 +558,13 @@ def last_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical across engines.
 @register(
     "idle_customers_q22",
-    oracle="""
+    oracle=f"""
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(round(c.c_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+       {_dw('c.c_acctbal', 'totacctbal')}
 FROM customer c
 WHERE c.c_acctbal > (
-        SELECT CAST(sum(CAST(round(c2.c_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        SELECT {_dwes('c2.c_acctbal')}
                / CAST(count(*) AS DOUBLE)
         FROM customer c2 WHERE c2.c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -572,17 +575,14 @@ GROUP BY c.c_mktsegment
 def idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = t(spark, sf_dir, "customer")
     pos = cu.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("thr")
+        (_dwe(F.col("c_acctbal")) / F.count(F.lit(1)).cast("double")).alias("thr")
     )
     od = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     rich = cu.join(F.broadcast(pos)).filter(F.col("c_acctbal") > F.col("thr"))
     no_orders = rich.join(od, rich.c_custkey == od.o_custkey, "left_anti")
     return no_orders.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        _dsum(F.col("c_acctbal"), "totacctbal"),
+        _dsum_wide(F.col("c_acctbal"), "totacctbal"),
     )
 
 
@@ -625,14 +625,14 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # account balance with a scalar-subquery HAVING threshold.
 @register(
     "nation_balance_share_q11",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       CAST(sum(CAST(round(s.s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE) AS balance
+       {_dw('s.s_acctbal', 'balance')}
 FROM supplier s
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY n.n_name
-HAVING CAST(sum(CAST(round(s.s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE) >
-       (SELECT CAST(sum(CAST(round(s2.s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE) * 0.04
+HAVING {_dwes('s.s_acctbal')} >
+       (SELECT {_dwes('s2.s_acctbal')} * 0.04
         FROM supplier s2)
 """,
 )
@@ -642,14 +642,9 @@ def nation_balance_share_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_nation = (
         su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy("n_name")
-        .agg(_dsum(F.col("s_acctbal"), "balance"))
+        .agg(_dsum_wide(F.col("s_acctbal"), "balance"))
     )
-    total = su.agg(
-        (
-            F.sum(F.round(F.col("s_acctbal"), 6).cast("decimal(28,6)")).cast("double")
-            * F.lit(0.04)
-        ).alias("thr")
-    )
+    total = su.agg((_dwe(F.col("s_acctbal")) * F.lit(0.04)).alias("thr"))
     return per_nation.join(F.broadcast(total)).filter(
         F.col("balance") > F.col("thr")
     ).select("n_name", "balance")
