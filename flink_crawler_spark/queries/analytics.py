@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from .base import EV_MS, register, t
 
 
-from .base import dsum as _dsum  # single decimal-discipline definition
+from .base import dec_to_double_wide as _d2dw  # guarded floor-split cast
+from .base import dec_to_double_wide_sql as _d2dws
+from .base import dsum_wide as _dsum_wide  # single decimal-discipline definition
+from .base import dsum_wide_sql as _dw
 
 
 @register(
@@ -46,10 +49,10 @@ def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_cube",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dw('o.o_totalprice', 'revenue')},
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -70,7 +73,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", F.year("o_orderdate").cast("long").alias("o_year"), "o_totalprice")
     )
     return j.cube("n_name", "o_year").agg(
-        _dsum(F.col("o_totalprice"), "revenue"),
+        _dsum_wide(F.col("o_totalprice"), "revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -121,13 +124,18 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_WIN = (
+    "sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
 @register(
     "orders_running_total",
-    oracle="""
+    oracle=f"""
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       {_d2dws(_RUNNING_WIN)} AS running_total
 FROM orders
 WHERE o_custkey % 100 = 0
 """,
@@ -146,10 +154,9 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        _d2dw(
+            F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).over(w)
+        ).alias("running_total"),
     )
 
 
@@ -214,7 +221,7 @@ def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_bands",
-    oracle="""
+    oracle=f"""
 WITH bands AS (
   SELECT n_nationkey AS band_id,
          n_nationkey * 4.0 AS lo,
@@ -222,7 +229,7 @@ WITH bands AS (
   FROM nation
 )
 SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+       {_dw('e.value', 'total')}
 FROM events e
 JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band_id
@@ -247,17 +254,17 @@ def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("value"), "total"),
+        _dsum_wide(F.col("value"), "total"),
     )
 
 
 @register(
     "hierarchical_time_rollup",
-    oracle="""
+    oracle=f"""
 SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+       {_dw('value', 'total')}
 FROM events GROUP BY 1, 2
 """,
 )
@@ -286,7 +293,7 @@ def hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_ms", "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("total_dec").cast("double").alias("total"),
+            _d2dw(F.sum("total_dec")).alias("total"),
         )
     )
 
@@ -296,10 +303,10 @@ _SALT_N = 8
 
 @register(
     "skew_salted_join",
-    oracle="""
+    oracle=f"""
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       {_dw('e.value', 'total_value')}
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """,

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import EV_MS, register, t
-from .base import dsum as _dsum
+from .base import dsum_wide as _dsum_wide
+from .base import dsum_wide_sql as _dws
 from .base import ts_lit as _ts
 
 _DAY_MS = 86_400_000
@@ -81,12 +82,12 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the full-outer join is co-partitioned (no extra exchange under AQE).
 @register(
     "customer_snapshot_diff",
-    oracle="""
+    oracle=f"""
 WITH a AS (SELECT o_custkey, count(*) AS n,
-                  CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS amt
+                  {_dws('o_totalprice', 'amt')}
            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY o_custkey),
 b AS (SELECT o_custkey, count(*) AS n,
-             CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS amt
+             {_dws('o_totalprice', 'amt')}
       FROM orders GROUP BY o_custkey)
 SELECT CAST(coalesce(b.o_custkey, a.o_custkey) AS BIGINT) AS custkey,
        CASE WHEN a.o_custkey IS NULL THEN 'new'
@@ -103,7 +104,7 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def snap(df):
         return df.groupBy("o_custkey").agg(
-            F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "amt")
+            F.count(F.lit(1)).alias("n"), _dsum_wide(F.col("o_totalprice"), "amt")
         )
 
     a = snap(od.filter(F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))).alias("a")
@@ -133,15 +134,15 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-sum the moments, finish scalar.
 @register(
     "corr_qty_price_exact",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(round(l_quantity*l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(round(l_extendedprice*l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(round(l_quantity*l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         {_dws('l_quantity', 'sx')},
+         {_dws('l_extendedprice', 'sy')},
+         {_dws('l_quantity*l_quantity', 'sxx')},
+         {_dws('l_extendedprice*l_extendedprice', 'syy', prec=38)},
+         {_dws('l_quantity*l_extendedprice', 'sxy', prec=38)}
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -154,9 +155,7 @@ def corr_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
 
     def ds(col, prec, alias):
-        return (
-            F.sum(F.round(col, 6).cast(f"decimal({prec},6)")).cast("double").alias(alias)
-        )
+        return _dsum_wide(col, alias, prec=prec)
 
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -108,12 +108,14 @@ def dsum(col, alias: str):
 DSUM_WIDE_BOUND = 9.0e15
 
 
-def dsum_wide_expr(col, digits: int = 6, prec: int = 28):
-    """Unaliased Column form of ``dsum_wide`` (for ratios / HAVING /
-    divide-by-count composites). Semantics and proof in ``dsum_wide``."""
+def dec_to_double_wide(s0, digits: int = 6):
+    """Guarded floor-split DECIMAL->DOUBLE conversion of an aggregate
+    (or window-aggregate, or re-aggregated-partial) decimal Column —
+    the engine-identical replacement for ``.cast("double")`` on any
+    decimal whose magnitude can cross 2^53/10^digits. Semantics and
+    proof in ``dsum_wide``; twin: ``dec_to_double_wide_sql``."""
     from pyspark.sql import functions as F
 
-    s0 = F.sum(F.round(col, digits).cast(f"decimal({prec},{digits})"))
     # r12 (verdict task 4): loud raise at the engine-identity bound —
     # the ewma/cusum guard idiom (lazy CASE, never fires in range;
     # tests/test_overflow_guards.py pins the raise_error semantics).
@@ -139,6 +141,29 @@ def dsum_wide_expr(col, digits: int = 6, prec: int = 28):
     return i.cast("double") + (s - i).cast("double")
 
 
+def dec_to_double_wide_sql(s0: str, digits: int = 6) -> str:
+    """DuckDB twin of dec_to_double_wide: ``s0`` is the SQL text of the
+    decimal aggregate / window expression (engines dedupe the repeated
+    identical aggregate)."""
+    s = (
+        f"CAST(CASE WHEN abs({s0}) >= 9.0e15 THEN error("
+        f"'dsum_wide: |sum| >= 9.0e15 breaches the 2^53 floor-split "
+        f"engine-identity bound; rescale the input') "
+        f"ELSE {s0} END AS DECIMAL(28,{digits}))"
+    )
+    return f"(CAST(floor({s}) AS DOUBLE) + CAST({s} - floor({s}) AS DOUBLE))"
+
+
+def dsum_wide_expr(col, digits: int = 6, prec: int = 28):
+    """Unaliased Column form of ``dsum_wide`` (for ratios / HAVING /
+    divide-by-count composites). Semantics and proof in ``dsum_wide``."""
+    from pyspark.sql import functions as F
+
+    return dec_to_double_wide(
+        F.sum(F.round(col, digits).cast(f"decimal({prec},{digits})")), digits
+    )
+
+
 def dsum_wide(col, alias: str, digits: int = 6, prec: int = 28):
     """dsum for sums that may exceed the 2^53/10^digits one-step-cast
     bound (revenue-scale aggregates): split the exact decimal sum at
@@ -162,13 +187,7 @@ def dsum_wide(col, alias: str, digits: int = 6, prec: int = 28):
 def dsum_wide_expr_sql(expr: str, digits: int = 6, prec: int = 28) -> str:
     """DuckDB twin of dsum_wide_expr (unaliased, parenthesized)."""
     s0 = f"sum(CAST(round({expr}, {digits}) AS DECIMAL({prec},{digits})))"
-    s = (
-        f"CAST(CASE WHEN abs({s0}) >= 9.0e15 THEN error("
-        f"'dsum_wide: |sum| >= 9.0e15 breaches the 2^53 floor-split "
-        f"engine-identity bound; rescale the input') "
-        f"ELSE {s0} END AS DECIMAL(28,{digits}))"
-    )
-    return f"(CAST(floor({s}) AS DOUBLE) + CAST({s} - floor({s}) AS DOUBLE))"
+    return dec_to_double_wide_sql(s0, digits)
 
 
 def dsum_wide_sql(expr: str, alias: str, digits: int = 6, prec: int = 28) -> str:

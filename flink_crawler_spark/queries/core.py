@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import merge_crawl_state
 from .base import EV_MS, EV_SEC, register, t, ts_millis
+from .base import dsum_wide as _dsum_wide
+from .base import dsum_wide_sql as _dws
 
 # --------------------------------------------------------------------------
 # shared crawl-observation view
@@ -363,7 +365,7 @@ def domain_avg_of_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "union_outlinks_merge",
-    oracle="""
+    oracle=f"""
 WITH o1 AS (
   SELECT 'http://d' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/p/'
              || CAST(l_partkey % 5000 AS VARCHAR) AS url,
@@ -378,7 +380,7 @@ o2 AS (
 ),
 u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2)
 SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
-       CAST(sum(CAST(round(score, 8) AS DECIMAL(28,8))) AS DOUBLE) AS total_score
+       {_dws('score', 'total_score', digits=8)}
 FROM u GROUP BY url
 """,
 )
@@ -412,7 +414,7 @@ def union_outlinks_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.sum(F.round("score", 8).cast("decimal(28,8)")).cast("double").alias("total_score"),
+            _dsum_wide(F.col("score"), "total_score", digits=8),
         )
     )
 

@@ -20,12 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import register, t
-from .base import dsum as _dsum
+from .base import dsum_wide as _dsum_wide
+from .base import dsum_wide_sql as _dws
 
-_ORACLE = """
+_ORACLE = f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dws('o_totalprice', 'revenue')},
        CAST(min(o_orderkey) AS BIGINT) AS min_key,
        CAST(max(o_orderkey) AS BIGINT) AS max_key
 FROM orders GROUP BY o_orderpriority
@@ -35,7 +36,7 @@ FROM orders GROUP BY o_orderpriority
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     return df.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("o_totalprice"), "revenue"),
+        _dsum_wide(F.col("o_totalprice"), "revenue"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
@@ -104,10 +105,10 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "variant_props_extract",
-    oracle="""
+    oracle=f"""
 SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       {_dws('value', 'sum_value')}
 FROM events GROUP BY k_bucket
 """,
 )
@@ -127,7 +128,7 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _dsum(F.col("value"), "sum_value"),
+            _dsum_wide(F.col("value"), "sum_value"),
         )
     )
 
@@ -149,10 +150,10 @@ def orc_sink_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "partitioned_parquet_pruning",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total
+       {_dws('o_totalprice', 'total')}
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
@@ -174,7 +175,7 @@ def partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("total"),
+        _dsum_wide(F.col("o_totalprice"), "total"),
     )
 
 

@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import EV_MS, register, t
-from .base import dsum as _dsum
+from .base import dsum_wide as _dsum_wide
+from .base import dsum_wide_sql as _dws
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
@@ -26,11 +27,11 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 # Spark expands the sets map-side, so the fact table is still scanned once.
 @register(
     "grouping_sets_priority_status",
-    oracle="""
+    oracle=f"""
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       {_dws('o_totalprice', 'revenue')}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                         (o_orderpriority, o_orderstatus), ())
@@ -44,7 +45,7 @@ def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderstatus",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("o_totalprice"), "revenue"),
+        _dsum_wide(F.col("o_totalprice"), "revenue"),
     )
     return g.select(
         F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -125,12 +126,12 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline needs; missing days are invisible to a plain groupBy.
 @register(
     "gap_fill_daily_revenue",
-    oracle="""
+    oracle=f"""
 WITH bounds AS (SELECT CAST(min(o_orderdate) AS DATE) lo, CAST(max(o_orderdate) AS DATE) hi FROM orders),
 spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds),
 daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
                  count(*) AS n,
-                 CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS rev
+                 {_dws('o_totalprice', 'rev')}
           FROM orders GROUP BY 1)
 SELECT strftime(s.d, '%Y-%m-%d') AS day,
        CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
@@ -145,7 +146,7 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = od.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
     daily = od.groupBy("d").agg(
-        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "rev")
+        F.count(F.lit(1)).alias("n"), _dsum_wide(F.col("o_totalprice"), "rev")
     )
     return spine.join(daily, "d", "left").select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
@@ -320,7 +321,7 @@ def order_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_versioned_revenue",
-    oracle="""
+    oracle=f"""
 WITH vq AS (
   SELECT DISTINCT l_partkey AS pk,
          CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT) AS qi
@@ -348,7 +349,7 @@ j AS (
 )
 SELECT ship_year,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(round(l_quantity * p_retailprice * price_mult, 6) AS DECIMAL(28,6))) AS DOUBLE) AS versioned_revenue
+       {_dws('l_quantity * p_retailprice * price_mult', 'versioned_revenue')}
 FROM j GROUP BY ship_year
 """,
 )
@@ -391,13 +392,10 @@ def scd2_versioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("ship_year").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(
-            F.round(F.col("l_quantity") * F.col("p_retailprice") * F.col("price_mult"), 6).cast(
-                "decimal(28,6)"
-            )
-        )
-        .cast("double")
-        .alias("versioned_revenue"),
+        _dsum_wide(
+            F.col("l_quantity") * F.col("p_retailprice") * F.col("price_mult"),
+            "versioned_revenue",
+        ),
     )
 
 
@@ -441,11 +439,11 @@ def price_range_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unpivot_priority_metrics",
-    oracle="""
+    oracle=f"""
 WITH agg AS (
   SELECT o_orderpriority,
          CAST(count(*) AS DOUBLE) AS n_orders,
-         CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         {_dws('o_totalprice', 'revenue')},
          CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
   FROM orders GROUP BY o_orderpriority
 )
@@ -466,7 +464,7 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t(spark, sf_dir, "orders")
     agg = od.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("revenue"),
+        _dsum_wide(F.col("o_totalprice"), "revenue"),
         F.countDistinct("o_custkey").cast("double").alias("n_customers"),
     )
     return agg.unpivot(
@@ -569,10 +567,10 @@ def order_quantity_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekday_revenue_profile",
-    oracle="""
+    oracle=f"""
 SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       {_dws('o_totalprice', 'revenue')},
        CAST(count(*) FILTER (WHERE date_diff('day', o_orderdate, last_day(o_orderdate)) <= 2)
             AS BIGINT) AS month_end_orders
 FROM orders
@@ -591,7 +589,7 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("weekday(o_orderdate)") + 1).cast("bigint").alias("iso_weekday")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.round("o_totalprice", 6).cast("decimal(28,6)")).cast("double").alias("revenue"),
+        _dsum_wide(F.col("o_totalprice"), "revenue"),
         F.sum(
             F.when(
                 F.datediff(F.last_day("o_orderdate"), F.col("o_orderdate")) <= 2, 1
