@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import register, t, ts_lit
+from .base import dsum_wide as _dsum_wide
+from .base import dsum_wide_expr_sql as _dwes
+from .base import dsum_wide_sql as _dws
 from .simq import DIM, _dot_sql, _norm_sql
 
 # ---------------------------------------------------------------------------
@@ -134,18 +137,18 @@ purged AS (
 )
 SELECT 'train' AS split, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+       {_dws('value', 'value_sum')}
 FROM train
 UNION ALL
 SELECT 'embargo', CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM emb
+       {_dwes('value')} FROM emb
 UNION ALL
 SELECT 'test', CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM test
+       {_dwes('value')} FROM test
 UNION ALL
 SELECT 'test_purged', CAST(count(*) AS BIGINT),
        CAST(count(DISTINCT user_id) AS BIGINT),
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM purged
+       {_dwes('value')} FROM purged
 """,
 )
 def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,9 +181,7 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("split"),
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("value_sum"),
+            _dsum_wide(F.col("value"), "value_sum"),
         )
 
     return (

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_row_number
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .simq import _dot_sql, _norm_sql
 
 # ---------------------------------------------------------------------------
@@ -200,12 +202,12 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_incremental_mv",
-    oracle="""
+    oracle=f"""
 SELECT o_custkey,
        CAST(EXTRACT(year FROM o_orderdate) * 100
             + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       {_d2dws("sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6)))")}
          AS revenue
 FROM orders
 GROUP BY o_custkey, ym
@@ -308,7 +310,7 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "ym",
         F.col("n").alias("n_orders"),
-        F.col("rev").cast("double").alias("revenue"),
+        _d2dw(F.col("rev")).alias("revenue"),
     )
 
 
@@ -347,7 +349,7 @@ sc AS (
   FROM r
 )
 SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
-       round(CAST(sum(monetary) AS DOUBLE) / count(*), 6) AS avg_monetary
+       round({_d2dws('sum(monetary)')} / count(*), 6) AS avg_monetary
 FROM sc GROUP BY r_q, f_q, m_q
 """,
 )
@@ -388,7 +390,7 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sc.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(F.sum("monetary").cast("double") / F.count(F.lit(1)), 6).alias(
+        F.round(_d2dw(F.sum("monetary")) / F.count(F.lit(1)), 6).alias(
             "avg_monetary"
         ),
     )

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_running_max
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import register, t
 
 # ---------------------------------------------------------------------------
@@ -92,7 +94,7 @@ WITH daily AS (
   FROM events GROUP BY user_id, dayn
 ),
 kk AS (
-  SELECT CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(28,6)) AS k
+  SELECT CAST(round({_d2dws('sum(x)')} / count(*), 6) AS DECIMAL(28,6)) AS k
   FROM daily
 ),
 d AS (
@@ -117,7 +119,7 @@ s AS (
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_days,
-       CAST(max(ss) AS DOUBLE) AS max_s,
+       {_d2dws('max(ss)')} AS max_s,
        CAST(coalesce(min(CASE WHEN ss > 2 * k THEN dayn END), -1) AS BIGINT)
          AS alarm_day
 FROM s GROUP BY user_id
@@ -150,7 +152,7 @@ def event_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin so the events scan + shuffle run once
     ).localCheckpoint(eager=True)
     kk = daily.agg(
-        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6)
+        F.round(_d2dw(F.sum("x")) / F.count(F.lit(1)), 6)
         .cast("decimal(28,6)")
         .alias("k")
     )
@@ -203,7 +205,7 @@ def event_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.max("ss").cast("double").alias("max_s"),
+        _d2dw(F.max("ss")).alias("max_s"),
         F.coalesce(
             F.min(F.when(F.col("ss") > 2 * F.col("k"), F.col("dayn"))), F.lit(-1)
         )

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_expr
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import REGISTRY, register, t
 from .pipelineq9 import bm25_search_topk  # noqa: F401  (registers its oracle)
 from .textops import QUALITY_CTES, QUALITY_SELECT
@@ -309,17 +311,17 @@ tr AS (
   WINDOW w7 AS (ORDER BY dayn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ),
 dt AS (
-  SELECT dayn, rev, round(CAST(s7 AS DOUBLE) / 7, 6) AS trend,
-         round(CAST(rev AS DOUBLE) - round(CAST(s7 AS DOUBLE) / 7, 6), 6) AS detr
+  SELECT dayn, rev, round({_d2dws('s7', 2)} / 7, 6) AS trend,
+         round({_d2dws('rev', 2)} - round({_d2dws('s7', 2)} / 7, 6), 6) AS detr
   FROM tr WHERE c7 = 7
 ),
 se AS (
   SELECT dayn % 7 AS phase,
-         round(CAST(sum(CAST(detr AS DECIMAL(28,6))) AS DOUBLE)
+         round({_d2dws('sum(CAST(detr AS DECIMAL(28,6)))')}
                / count(*), 6) AS seasonal
   FROM dt GROUP BY phase
 )
-SELECT dt.dayn, CAST(dt.rev AS DOUBLE) AS revenue, dt.trend, se.seasonal,
+SELECT dt.dayn, {_d2dws('dt.rev', 2)} AS revenue, dt.trend, se.seasonal,
        round(dt.detr - se.seasonal, 6) AS residual
 FROM dt JOIN se ON se.phase = dt.dayn % 7
 """,
@@ -359,16 +361,16 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = tr.filter(F.col("c7") == 7).select(
         "dayn",
         "rev",
-        F.round(F.col("s7").cast("double") / 7, 6).alias("trend"),
+        F.round(_d2dw(F.col("s7"), 2) / 7, 6).alias("trend"),
         F.round(
-            F.col("rev").cast("double") - F.round(F.col("s7").cast("double") / 7, 6), 6
+            _d2dw(F.col("rev"), 2) - F.round(_d2dw(F.col("s7"), 2) / 7, 6), 6
         ).alias("detr"),
         # day-level table feeding the seasonal means AND the final join;
         # pin so the fact rollup + trend window run once
     ).localCheckpoint(eager=True)
     se = dt.groupBy((F.col("dayn") % 7).alias("phase")).agg(
         F.round(
-            F.sum(F.col("detr").cast("decimal(28,6)")).cast("double")
+            _d2dw(F.sum(F.col("detr").cast("decimal(28,6)")))
             / F.count(F.lit(1)),
             6,
         ).alias("seasonal")
@@ -377,7 +379,7 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.join(F.broadcast(se), dt["dayn"] % 7 == se["phase"])
         .select(
             "dayn",
-            F.col("rev").cast("double").alias("revenue"),
+            _d2dw(F.col("rev"), 2).alias("revenue"),
             "trend",
             "seasonal",
             F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),

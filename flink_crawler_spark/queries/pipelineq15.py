@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 DAY_MS = 86_400_000
 _HEX = "0123456789abcdef"
@@ -413,7 +415,7 @@ WITH daily AS (
   FROM orders GROUP BY dayn
 ),
 pairs AS (
-  SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.dayn - a.dayn) AS slope
+  SELECT {_d2dws('b.rev - a.rev', 2)} / (b.dayn - a.dayn) AS slope
   FROM daily a JOIN daily b ON b.dayn > a.dayn
 ),
 rp AS (
@@ -429,7 +431,7 @@ sl AS (
 )
 SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
        sl.n_pairs, sl.slope,
-       round(quantile_cont(CAST(d.rev AS DOUBLE) - sl.slope * d.dayn, 0.5), 6)
+       round(quantile_cont({_d2dws('d.rev', 2)} - sl.slope * d.dayn, 0.5), 6)
          AS intercept
 FROM daily d CROSS JOIN sl
 GROUP BY sl.n_pairs, sl.slope
@@ -478,7 +480,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("b.dayn") > F.col("a.dayn"))
         .select(
             (
-                (F.col("b.rev") - F.col("a.rev")).cast("double")
+                _d2dw(F.col("b.rev") - F.col("a.rev"), 2)
                 / (F.col("b.dayn") - F.col("a.dayn"))
             ).alias("slope")
         )
@@ -511,12 +513,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
-        daily.crossJoin(F.broadcast(sl))
+        daily.withColumn("rev_d", _d2dw(F.col("rev"), 2))
+        .crossJoin(F.broadcast(sl))
         .crossJoin(F.broadcast(nd))
         .groupBy("n_days", "n_pairs", "slope")
         .agg(
             F.round(
-                F.expr("percentile(cast(rev as double) - slope * dayn, 0.5)"), 6
+                F.expr("percentile(rev_d - slope * dayn, 0.5)"), 6
             ).alias("intercept")
         )
     )

@@ -140,15 +140,18 @@ def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> DataF
 
 
 from .base import register  # noqa: E402
+from .base import dec_to_double_wide as _d2dw  # noqa: E402
+from .base import dsum_wide as _dsum_wide  # noqa: E402
+from .base import dsum_wide_sql as _dws  # noqa: E402
 
 
 @register(
     "stream_window_counts",
-    oracle="""
+    oracle=f"""
 SELECT epoch_ms(ts) // 300000 * 300000 AS window_start_ms,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       {_dws('value', 'total_value')}
 FROM events
 GROUP BY 1, 2
 """,
@@ -162,7 +165,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_t", "5 minutes"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
+            _dsum_wide(F.col("value"), "total_value"),
         )
     )
     out = _run_to_memory(agg, "stream_out_")
@@ -441,10 +444,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_join",
-    oracle="""
+    oracle=f"""
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(e.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       {_dws('e.value', 'total_value')},
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -476,18 +479,18 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(agg, "stream_static_")
     return out.groupBy("c_mktsegment").agg(
         F.sum("n_e").alias("n_events"),
-        F.sum("v_dec").cast("double").alias("total_value"),
+        _d2dw(F.sum("v_dec")).alias("total_value"),
         F.count(F.lit(1)).alias("n_users"),
     )
 
 
 @register(
     "stream_window_counts_append",
-    oracle="""
+    oracle=f"""
 SELECT epoch_ms(ts) // 300000 * 300000 AS window_start_ms,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       {_dws('value', 'total_value')}
 FROM events
 GROUP BY 1, 2
 """,
@@ -526,7 +529,7 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts_t", "5 minutes"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
+            _dsum_wide(F.col("value"), "total_value"),
         )
     )
     out = _run_to_memory(agg, "stream_swa_", mode="append")
