@@ -132,6 +132,11 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines (IEEE sqrt/division are correctly rounded, so the result is
 # bit-identical). The pattern for any derived statistic at scale:
 # exact-sum the moments, finish scalar.
+# r12: price moments are computed in KILODOLLARS — correlation is
+# unit-invariant, and the rescale keeps the squared-price sum (the
+# largest moment, ~2e16 per group at sf1.0 in dollars) ~1e6 below the
+# dsum_wide 9.0e15 guard through the sf1.0/x10 magnitude gate; past
+# ~sf1e5 the guard still fires loudly instead of diverging silently.
 @register(
     "corr_qty_price_exact",
     oracle=f"""
@@ -139,10 +144,10 @@ WITH s AS (
   SELECT l_returnflag,
          CAST(count(*) AS BIGINT) AS n,
          {_dws('l_quantity', 'sx')},
-         {_dws('l_extendedprice', 'sy')},
+         {_dws('l_extendedprice / 1000', 'sy')},
          {_dws('l_quantity*l_quantity', 'sxx')},
-         {_dws('l_extendedprice*l_extendedprice', 'syy', prec=38)},
-         {_dws('l_quantity*l_extendedprice', 'sxy', prec=38)}
+         {_dws('(l_extendedprice / 1000)*(l_extendedprice / 1000)', 'syy', prec=38)},
+         {_dws('l_quantity*(l_extendedprice / 1000)', 'sxy', prec=38)}
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -152,7 +157,7 @@ FROM s
 )
 def corr_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice") / 1000
 
     def ds(col, prec, alias):
         return _dsum_wide(col, alias, prec=prec)

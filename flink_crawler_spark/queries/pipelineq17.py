@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles_expr
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import ann_exact_path, register, t
 from .simq import _dot_sql, _norm_sql
 
@@ -313,26 +315,25 @@ WITH d AS (
 ),
 st AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(rev) AS DOUBLE) / count(*) AS mean_rev
+         {_d2dws('sum(rev)', 2)} / count(*) AS mean_rev
   FROM d
 ),
-den AS (
-  SELECT CAST(sum(CAST(round((CAST(rev AS DOUBLE) - mean_rev)
-                             * (CAST(rev AS DOUBLE) - mean_rev), 6)
-                      AS DECIMAL(38,6))) AS DOUBLE) AS den
+dd AS (
+  SELECT day_idx, ({_d2dws('rev', 2)} - st.mean_rev) / 1000 AS dev
   FROM d CROSS JOIN st
+),
+den AS (
+  SELECT {_d2dws('sum(CAST(round(dev * dev, 6) AS DECIMAL(38,6)))')} AS den
+  FROM dd
 ),
 lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
 num AS (
   SELECT lags.lag,
          CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(sum(CAST(round((CAST(a.rev AS DOUBLE) - st.mean_rev)
-                             * (CAST(b.rev AS DOUBLE) - st.mean_rev), 6)
-                      AS DECIMAL(38,6))) AS DOUBLE) AS num
+         {_d2dws('sum(CAST(round(a.dev * b.dev, 6) AS DECIMAL(38,6)))')} AS num
   FROM lags
-  CROSS JOIN d a
-  JOIN d b ON b.day_idx = a.day_idx + lags.lag
-  CROSS JOIN st
+  CROSS JOIN dd a
+  JOIN dd b ON b.day_idx = a.day_idx + lags.lag
   GROUP BY lags.lag
 )
 SELECT num.lag, num.n_pairs,
@@ -368,33 +369,33 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("mean_rev"),
+        (_d2dw(F.sum("rev"), 2) / F.count(F.lit(1))).alias("mean_rev"),
     )
-    dev2 = (
-        "CAST(round((CAST(rev AS DOUBLE) - mean_rev)"
-        " * (CAST(rev AS DOUBLE) - mean_rev), 6) AS DECIMAL(38,6))"
+    # r12: deviations in KILODOLLARS — acf is unit-invariant (the 1e-6
+    # factor cancels in num/den) and the rescale keeps the co-moment
+    # sums ~1e6 under the dsum_wide 9.0e15 guard at sf1.0 magnitudes.
+    dd = d.crossJoin(F.broadcast(st)).select(
+        "day_idx", ((_d2dw(F.col("rev"), 2) - F.col("mean_rev")) / 1000).alias("dev")
     )
-    den = (
-        d.crossJoin(F.broadcast(st))
-        .selectExpr(f"{dev2} AS dd")
-        .agg(F.sum("dd").cast("double").alias("den"))
-    )
+    den = dd.select(
+        F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(38,6)").alias("dd2")
+    ).agg(_d2dw(F.sum("dd2")).alias("den"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
-    a = d.selectExpr("day_idx", "rev AS rev_a")
-    b = d.selectExpr("day_idx AS day_b", "rev AS rev_b")
-    prod = (
-        "CAST(round((CAST(rev_a AS DOUBLE) - mean_rev)"
-        " * (CAST(rev_b AS DOUBLE) - mean_rev), 6) AS DECIMAL(38,6))"
-    )
+    a = dd.selectExpr("day_idx", "dev AS dev_a")
+    b = dd.selectExpr("day_idx AS day_b", "dev AS dev_b")
     num = (
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("day_b") == F.col("day_idx") + F.col("lag"))
-        .crossJoin(F.broadcast(st))
-        .selectExpr("lag", f"{prod} AS pp")
+        .select(
+            "lag",
+            F.round(F.col("dev_a") * F.col("dev_b"), 6)
+            .cast("decimal(38,6)")
+            .alias("pp"),
+        )
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("pp").cast("double").alias("num"),
+            _d2dw(F.sum("pp")).alias("num"),
         )
     )
     return num.crossJoin(F.broadcast(den)).selectExpr(

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import register, t
 from .simq import _dot_sql, _norm_sql
 
@@ -181,6 +183,19 @@ def _ig_union(exprs: list[tuple[str, str]]) -> str:
     )
 
 
+_COND_TERM_SUM = (
+    "sum(CAST(round("
+    "(CAST(cell.n AS DOUBLE)/CAST(hy.tn AS DOUBLE)) * ("
+    "-(CASE WHEN cell.pos = 0 THEN 0.0"
+    " ELSE (CAST(cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE))"
+    " * ln(CAST(cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE)) END)"
+    " -(CASE WHEN cell.pos = cell.n THEN 0.0"
+    " ELSE (CAST(cell.n - cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE))"
+    " * ln(CAST(cell.n - cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE)) END)"
+    "), 12) AS DECIMAL(38,12)))"
+)
+
+
 @register(
     "info_gain_feature_rank",
     oracle=f"""
@@ -204,15 +219,7 @@ hy AS (
 ),
 cond AS (
   SELECT cell.feature,
-         CAST(sum(CAST(round(
-           (CAST(cell.n AS DOUBLE)/CAST(hy.tn AS DOUBLE)) * (
-             -(CASE WHEN cell.pos = 0 THEN 0.0
-                    ELSE (CAST(cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE))
-                         * ln(CAST(cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE)) END)
-             -(CASE WHEN cell.pos = cell.n THEN 0.0
-                    ELSE (CAST(cell.n - cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE))
-                         * ln(CAST(cell.n - cell.pos AS DOUBLE)/CAST(cell.n AS DOUBLE)) END)
-           ), 12) AS DECIMAL(38,12))) AS DOUBLE) AS h_cond
+         {_d2dws(_COND_TERM_SUM, 12)} AS h_cond
   FROM cell JOIN hy ON hy.feature = cell.feature
   GROUP BY cell.feature
 )
@@ -270,7 +277,7 @@ def info_gain_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "), 12) AS DECIMAL(38,12)) AS term",
         )
         .groupBy("feature")
-        .agg(F.sum("term").cast("double").alias("h_cond"))
+        .agg(_d2dw(F.sum("term"), 12).alias("h_cond"))
     )
     joined = hy.join(cond, "feature").withColumn(
         "info_gain", F.round(F.col("h_y") - F.col("h_cond"), 9)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import ann_exact_path, register, t
 from .simq import _norm_sql
 
@@ -41,8 +43,8 @@ WITH x AS (
 ),
 s AS (
   SELECT dim, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv,
-         CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS svv,
+         {_d2dws('sum(CAST(round(v, 9) AS DECIMAL(38,9)))', 9)} AS sv,
+         {_d2dws('sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))', 12)} AS svv,
          min(v) AS vmin, max(v) AS vmax
   FROM x GROUP BY dim
 )
@@ -69,10 +71,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("dim", "CAST(vf AS DOUBLE) AS v")
     s = x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.expr("CAST(round(v, 9) AS DECIMAL(38,9))")).cast("double").alias("sv"),
-        F.sum(F.expr("CAST(round(v * v, 12) AS DECIMAL(38,12))"))
-        .cast("double")
-        .alias("svv"),
+        _d2dw(F.sum(F.expr("CAST(round(v, 9) AS DECIMAL(38,9))")), 9).alias("sv"),
+        _d2dw(F.sum(F.expr("CAST(round(v * v, 12) AS DECIMAL(38,12))")), 12).alias(
+            "svv"
+        ),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )
@@ -276,6 +278,12 @@ def _margin_mnn_impl(
 HILL_K = 100
 
 
+_LN_EXCESS_SUM = (
+    "sum(CAST(round(ln(CAST(topv.xc AS DOUBLE) / CAST(thr.xk1 AS DOUBLE)), 12)"
+    " AS DECIMAL(38,12)))"
+)
+
+
 @register(
     "hill_tail_index",
     oracle=f"""
@@ -285,8 +293,7 @@ WITH topv AS (
 ),
 thr AS (SELECT min(xc) AS xk1 FROM topv),
 lnsum AS (
-  SELECT CAST(sum(CAST(round(ln(CAST(topv.xc AS DOUBLE) / CAST(thr.xk1 AS DOUBLE)), 12)
-                  AS DECIMAL(38,12))) AS DOUBLE) AS s,
+  SELECT {_d2dws(_LN_EXCESS_SUM, 12)} AS s,
          CAST(count(*) AS BIGINT) AS m
   FROM topv CROSS JOIN thr WHERE topv.xc > thr.xk1
 )
@@ -320,14 +327,15 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         topv.withColumn("xk1", F.min("xc").over(wall))
         .where(F.col("xc") > F.col("xk1"))
         .agg(
-            F.sum(
-                F.expr(
-                    "CAST(round(ln(CAST(xc AS DOUBLE) / CAST(xk1 AS DOUBLE)), 12)"
-                    " AS DECIMAL(38,12))"
-                )
-            )
-            .cast("double")
-            .alias("s"),
+            _d2dw(
+                F.sum(
+                    F.expr(
+                        "CAST(round(ln(CAST(xc AS DOUBLE) / CAST(xk1 AS DOUBLE)), 12)"
+                        " AS DECIMAL(38,12))"
+                    )
+                ),
+                12,
+            ).alias("s"),
             F.count(F.lit(1)).cast("long").alias("m"),
             F.min("xk1").alias("xk1"),
         )

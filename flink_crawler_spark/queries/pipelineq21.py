@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_keyed_running_sum
 from .base import EV_MS, register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 # ---------------------------------------------------------------------------
 # cdc_changelog_apply
@@ -215,14 +217,14 @@ scored AS (
 ),
 b AS (
   SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(CAST(round(s, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ssum,
+         {_d2dws('sum(CAST(round(s, 9) AS DECIMAL(38,9)))', 9)} AS ssum,
          CAST(sum(y) AS BIGINT) AS pos,
          sum(CAST(round((s - y) * (s - y), 12) AS DECIMAL(38,12))) AS se
   FROM scored GROUP BY bin
 ),
 tot AS (
   SELECT CAST(sum(n_rows) AS BIGINT) AS n,
-         CAST(sum(se) AS DOUBLE) AS se_all
+         {_d2dws('sum(se)', 12)} AS se_all
   FROM b
 )
 SELECT b.bin, b.n_rows,
@@ -258,13 +260,13 @@ def brier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = scored.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.expr("CAST(round(s, 9) AS DECIMAL(38,9))")).cast("double").alias("ssum"),
+        _d2dw(F.sum(F.expr("CAST(round(s, 9) AS DECIMAL(38,9))")), 9).alias("ssum"),
         F.sum("y").cast("long").alias("pos"),
         F.sum(F.expr("CAST(round((s - y) * (s - y), 12) AS DECIMAL(38,12))")).alias("se"),
     ).localCheckpoint(eager=True)
     tot = b.agg(
         F.sum("n_rows").cast("long").alias("n"),
-        F.sum("se").cast("double").alias("se_all"),
+        _d2dw(F.sum("se"), 12).alias("se_all"),
     )
     return (
         b.crossJoin(F.broadcast(tot))

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_row_number
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import register, t
 from .pipelineq22 import _dotn, _normn
 
@@ -344,6 +346,13 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
+_SHANNON_SUM = (
+    "sum(CAST(round(-(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+    " * ln(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 12)"
+    " AS DECIMAL(38,12)))"
+)
+
+
 @register(
     "source_diversity_indices",
     oracle=f"""
@@ -357,9 +366,7 @@ tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
 h AS (
   SELECT c.source,
          CAST(count(*) AS BIGINT) AS vocab,
-         CAST(sum(CAST(round(-(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
-                    * ln(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 12)
-                  AS DECIMAL(38,12))) AS DOUBLE) AS shannon,
+         {_d2dws(_SHANNON_SUM, 12)} AS shannon,
          CAST(sum(c.c * c.c) AS BIGINT) AS sum_c2
   FROM c JOIN tot ON tot.source = c.source
   GROUP BY c.source
@@ -394,15 +401,16 @@ def source_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("vocab"),
-            F.sum(
-                F.expr(
-                    "CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
-                    " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)"
-                    " AS DECIMAL(38,12))"
-                )
-            )
-            .cast("double")
-            .alias("shannon"),
+            _d2dw(
+                F.sum(
+                    F.expr(
+                        "CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)"
+                        " AS DECIMAL(38,12))"
+                    )
+                ),
+                12,
+            ).alias("shannon"),
             F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
         )
     )

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .dedupq import BANDS, DUCK_SHINGLES, DUCK_TOKS, NUM_HASHES, _buckets_sql, _sigs_sql
 
 # ---------------------------------------------------------------------------
@@ -26,6 +28,12 @@ from .dedupq import BANDS, DUCK_SHINGLES, DUCK_TOKS, NUM_HASHES, _buckets_sql, _
 
 _MH_MATCH = " + ".join(
     f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)" for k in range(NUM_HASHES)
+)
+
+
+_MAE_SUM = (
+    "sum(CAST(round(abs(jaccard_est - jaccard_exact), 9)"
+    " AS DECIMAL(38,9)))"
 )
 
 
@@ -57,8 +65,7 @@ cal AS (
   JOIN shs b ON b.doc_id = p.id_b
 ),
 mae AS (
-  SELECT round(CAST(sum(CAST(round(abs(jaccard_est - jaccard_exact), 9)
-                    AS DECIMAL(38,9))) AS DOUBLE) / count(*), 9) AS mae
+  SELECT round({_d2dws(_MAE_SUM, 9)} / count(*), 9) AS mae
   FROM cal
 )
 SELECT cal.id_a, cal.id_b, cal.n_match, cal.jaccard_est, cal.jaccard_exact,
@@ -108,11 +115,15 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = est.join(exact, ["id_a", "id_b"]).localCheckpoint(eager=True)
     mae = cal.agg(
         F.round(
-            F.sum(
-                F.expr(
-                    "CAST(round(abs(jaccard_est - jaccard_exact), 9) AS DECIMAL(38,9))"
-                )
-            ).cast("double")
+            _d2dw(
+                F.sum(
+                    F.expr(
+                        "CAST(round(abs(jaccard_est - jaccard_exact), 9)"
+                        " AS DECIMAL(38,9))"
+                    )
+                ),
+                9,
+            )
             / F.count(F.lit(1)),
             9,
         ).alias("mae")
@@ -247,16 +258,16 @@ WITH d AS (
 bands AS (
   SELECT a.day_idx, min(a.rev) AS rev,
          CAST(count(*) AS BIGINT) AS n_window,
-         quantile_cont(CAST(b.rev AS DOUBLE), {BAND_LO}) AS p_lo,
-         quantile_cont(CAST(b.rev AS DOUBLE), {BAND_HI}) AS p_hi
+         quantile_cont({_d2dws('b.rev', 2)}, {BAND_LO}) AS p_lo,
+         quantile_cont({_d2dws('b.rev', 2)}, {BAND_HI}) AS p_hi
   FROM d a JOIN d b
     ON b.day_idx < a.day_idx AND b.day_idx >= a.day_idx - {BAND_WINDOW}
   GROUP BY a.day_idx
 )
-SELECT day_idx, CAST(rev AS DOUBLE) AS revenue, n_window,
+SELECT day_idx, {_d2dws('rev', 2)} AS revenue, n_window,
        round(p_lo, 6) AS band_lo, round(p_hi, 6) AS band_hi,
-       CASE WHEN CAST(rev AS DOUBLE) < p_lo THEN -1
-            WHEN CAST(rev AS DOUBLE) > p_hi THEN 1 ELSE 0 END AS alarm
+       CASE WHEN {_d2dws('rev', 2)} < p_lo THEN -1
+            WHEN {_d2dws('rev', 2)} > p_hi THEN 1 ELSE 0 END AS alarm
 FROM bands
 """,
 )
@@ -287,7 +298,9 @@ def rolling_quantile_band_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = d.selectExpr("day_idx", "rev")
-    b = d.selectExpr("day_idx AS day_b", "CAST(rev AS DOUBLE) AS rev_b")
+    b = d.select(
+        F.col("day_idx").alias("day_b"), _d2dw(F.col("rev"), 2).alias("rev_b")
+    )
     bands = (
         a.join(
             b,
@@ -302,12 +315,15 @@ def rolling_quantile_band_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(rev_b, {BAND_HI})").alias("p_hi"),
         )
     )
-    return bands.selectExpr(
+    rev_d = _d2dw(F.col("rev"), 2)
+    return bands.select(
         "day_idx",
-        "CAST(rev AS DOUBLE) AS revenue",
+        rev_d.alias("revenue"),
         "n_window",
-        "round(p_lo, 6) AS band_lo",
-        "round(p_hi, 6) AS band_hi",
-        "CASE WHEN CAST(rev AS DOUBLE) < p_lo THEN -1"
-        " WHEN CAST(rev AS DOUBLE) > p_hi THEN 1 ELSE 0 END AS alarm",
+        F.round("p_lo", 6).alias("band_lo"),
+        F.round("p_hi", 6).alias("band_hi"),
+        F.when(rev_d < F.col("p_lo"), -1)
+        .when(rev_d > F.col("p_hi"), 1)
+        .otherwise(0)
+        .alias("alarm"),
     )
