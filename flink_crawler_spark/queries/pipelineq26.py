@@ -18,12 +18,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import EV_MS, register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 # ---------------------------------------------------------------------------
 # zipf_fit_slope
 # ---------------------------------------------------------------------------
 
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+_ZIPF_SXX = (
+    "sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)"
+    " AS DECIMAL(38,12)))"
+)
+_ZIPF_SXY = (
+    "sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)"
+    " AS DECIMAL(38,12)))"
+)
 
 
 @register(
@@ -38,12 +50,10 @@ r AS (
 ),
 m AS (
   SELECT CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
-         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)
-                  AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)
-                  AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         {_d2dws("sum(CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12)))", 12)} AS sx,
+         {_d2dws("sum(CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12)))", 12)} AS sy,
+         {_d2dws(_ZIPF_SXX, 12)} AS sxx,
+         {_d2dws(_ZIPF_SXY, 12)} AS sxy
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS vocab,
@@ -80,28 +90,36 @@ def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rnk", F.col("rnk").cast("long"))
     m = r.agg(
         F.count(F.lit(1)).cast("long").cast("double").alias("n"),
-        F.sum(F.expr("CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12))"))
-        .cast("double")
-        .alias("sx"),
-        F.sum(F.expr("CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))"))
-        .cast("double")
-        .alias("sy"),
-        F.sum(
-            F.expr(
-                "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)"
-                " AS DECIMAL(38,12))"
-            )
-        )
-        .cast("double")
-        .alias("sxx"),
-        F.sum(
-            F.expr(
-                "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)"
-                " AS DECIMAL(38,12))"
-            )
-        )
-        .cast("double")
-        .alias("sxy"),
+        _d2dw(
+            F.sum(
+                F.expr("CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12))")
+            ),
+            12,
+        ).alias("sx"),
+        _d2dw(
+            F.sum(
+                F.expr("CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(38,12))")
+            ),
+            12,
+        ).alias("sy"),
+        _d2dw(
+            F.sum(
+                F.expr(
+                    "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12)"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            12,
+        ).alias("sxx"),
+        _d2dw(
+            F.sum(
+                F.expr(
+                    "CAST(round(ln(CAST(rnk AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 12)"
+                    " AS DECIMAL(38,12))"
+                )
+            ),
+            12,
+        ).alias("sxy"),
     )
     slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
     return m.selectExpr(

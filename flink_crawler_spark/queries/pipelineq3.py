@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dsum_wide_expr_sql as _dwes
+from .base import dec_to_double_wide_sql as _d2dws
 from .simq import PAIR_THRESHOLD, _km_a2_ctes, _norm_sql
 from .simq import _km_final_assignments
 
@@ -184,7 +187,7 @@ _PQ_DIST = " + ".join(
     f"(x.sv[{d}] - c.cv[{d}]) * (x.sv[{d}] - c.cv[{d}])" for d in range(1, PQ_SUB + 1)
 )
 _PQ_MEANS = ", ".join(
-    f"CAST(sum(CAST(round(x.sv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
+    f"{_dwes(f'x.sv[{d}]')} / count(*) AS m{d}"
     for d in range(1, PQ_SUB + 1)
 )
 _PQ_MEAN_LIST = "[" + ", ".join(f"m{d}" for d in range(1, PQ_SUB + 1)) + "]"
@@ -293,7 +296,7 @@ def _pq_core(spark: SparkSession, sf_dir: str):
             F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("m", "cid", "d", (F.col("s").cast("double") / F.col("n")).alias("cd"))
+        .select("m", "cid", "d", (_d2dw(F.col("s")) / F.col("n")).alias("cd"))
         .groupBy("m", "cid")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
         .select("m", "cid", F.transform("p", lambda q: q["cd"]).alias("cv"))
@@ -344,7 +347,7 @@ q AS (
 ),
 adc AS (
   SELECT a2.vec_id,
-         CAST(sum(CAST(round({_PQ_QDIST}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS adc
+         {_dwes(_PQ_QDIST)} AS adc
   FROM a2
   JOIN c1l c ON a2.m = c.m AND a2.cid = c.cid
   JOIN q ON q.m = a2.m
@@ -390,7 +393,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(qd, 6).alias("sd"))
     )
     adc = per_m.groupBy("vec_id").agg(
-        F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc")
+        _d2dw(F.sum(F.col("sd").cast("decimal(28,6)"))).alias("adc")
     )
     return adc.orderBy("adc", "vec_id").limit(20)
 
@@ -716,7 +719,7 @@ ratio AS (
 )
 SELECT f.doc_id,
        CAST(count(*) AS BIGINT) AS n_feats,
-       CAST(sum(CAST(ratio.lr AS DECIMAL(28,6))) AS DOUBLE) AS weight
+       {_d2dws("sum(CAST(ratio.lr AS DECIMAL(28,6)))")} AS weight
 FROM feats f JOIN ratio USING (b)
 GROUP BY f.doc_id
 """.replace("{toks}", "list_filter(string_split_regex(lower(text), '[^a-z0-9À-ɏ一-鿿]+'), x -> x <> '')"),
@@ -773,6 +776,6 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.col("lr").cast("decimal(28,6)")).cast("double").alias("weight"),
+            _d2dw(F.sum(F.col("lr").cast("decimal(28,6)"))).alias("weight"),
         )
     )

@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from ..operators.dedup import near_dup_pairs
 from ..operators.partitioning import distributed_keyed_row_number
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
+from .base import dsum_wide_expr_sql as _dwes
 from .crawlq import EDGES_SQL, _edges
 from .dedupq import (
     BANDS,
@@ -244,7 +247,7 @@ def _eo_xcols() -> str:
 
 def _eo_mean_cols() -> str:
     return ", ".join(
-        f"CAST(sum(CAST(round(x{d}, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS c{d}"
+        f"{_dwes(f'x{d}')} / count(*) AS c{d}"
         for d in range(1, DIM + 1)
     )
 
@@ -263,8 +266,8 @@ c AS (SELECT label, {_eo_mean_cols()} FROM x GROUP BY label),
 dd AS (SELECT x.vec_id, x.label, round({_eo_dist_sql()}, 6) AS rd
        FROM x JOIN c USING (label)),
 st AS (SELECT label,
-              CAST(sum(CAST(rd AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m,
-              CAST(sum(CAST(round(rd * rd, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m2
+              {_d2dws("sum(CAST(rd AS DECIMAL(28,6)))")} / count(*) AS m,
+              {_d2dws("sum(CAST(round(rd * rd, 6) AS DECIMAL(38,6)))")} / count(*) AS m2
        FROM dd GROUP BY label)
 SELECT dd.vec_id, dd.label, dd.rd AS dist,
        dd.rd > st.m + {OUT_Z} * sqrt(greatest(st.m2 - st.m * st.m, 0.0)) AS is_outlier
@@ -302,7 +305,7 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("label", "d", (F.col("s").cast("double") / F.col("n")).alias("cd"))
+        .select("label", "d", (_d2dw(F.col("s")) / F.col("n")).alias("cd"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
         .select("label", F.transform("p", lambda q: q["cd"]).alias("cv"))
@@ -318,14 +321,11 @@ def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "rd")
     )
     st = dd.groupBy("label").agg(
+        (_d2dw(F.sum(F.col("rd").cast("decimal(28,6)"))) / F.count(F.lit(1))).alias(
+            "m"
+        ),
         (
-            F.sum(F.col("rd").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m"),
-        (
-            F.sum(F.round(F.col("rd") * F.col("rd"), 6).cast("decimal(38,6)")).cast(
-                "double"
-            )
+            _d2dw(F.sum(F.round(F.col("rd") * F.col("rd"), 6).cast("decimal(38,6)")))
             / F.count(F.lit(1))
         ).alias("m2"),
     )

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_expr
 from ..operators.partitioning import distributed_row_number
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .textops import DUCK_TOKS
 
 # ---------------------------------------------------------------------------
@@ -259,7 +261,7 @@ e AS (
 SELECT CAST(d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
        round(max(maxabs), 6) AS maxabs,
        CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
-       round(CAST(sum(CAST(round(err * err, 12) AS DECIMAL(38,12))) AS DOUBLE)
+       round({_d2dws("sum(CAST(round(err * err, 12) AS DECIMAL(38,12)))", 12)}
              / count(*), 9) AS mse
 FROM e GROUP BY d
 """,
@@ -310,8 +312,12 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("maxabs"), 6).alias("maxabs"),
         F.sum((F.abs(F.col("q")) == 127).cast("long")).alias("n_sat"),
         F.round(
-            F.sum(F.round(F.col("err") * F.col("err"), 12).cast("decimal(38,12)"))
-            .cast("double")
+            _d2dw(
+                F.sum(
+                    F.round(F.col("err") * F.col("err"), 12).cast("decimal(38,12)")
+                ),
+                12,
+            )
             / F.count(F.lit(1)),
             9,
         ).alias("mse"),
@@ -385,7 +391,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
        CAST(sum(is_tri) AS BIGINT) AS n_tri_hits,
        CAST(sum(is_bi) AS BIGINT) AS n_bi_backoffs,
        CAST(sum(is_uni) AS BIGINT) AS n_uni_backoffs,
-       round(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+       round({_d2dws("sum(CAST(round(s, 12) AS DECIMAL(38,12)))", 12)}
              / count(*), 9) AS score
 FROM scored GROUP BY doc_id
 """,
@@ -554,10 +560,13 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_bi").alias("n_bi_backoffs"),
         F.sum("is_uni").alias("n_uni_backoffs"),
         F.round(
-            F.sum(
-                F.round(F.col("s"), 12).cast("decimal(14,12)")
-                * F.col("cnt").cast("decimal(19,0)")
-            ).cast("double")
+            _d2dw(
+                F.sum(
+                    F.round(F.col("s"), 12).cast("decimal(14,12)")
+                    * F.col("cnt").cast("decimal(19,0)")
+                ),
+                12,
+            )
             / F.sum("cnt"),
             9,
         ).alias("score"),

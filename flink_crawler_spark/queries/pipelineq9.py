@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from ..functions.text import quality_score_expr, tokens_expr
 from ..operators.partitioning import distributed_row_number
 from .base import register, t, ts_lit
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .textops import DUCK_TOKS, QUALITY_CTES, QUALITY_SELECT
 
 # ---------------------------------------------------------------------------
@@ -69,7 +71,7 @@ per AS (
 ),
 sc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
-         round(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE), 6)
+         round({_d2dws("sum(CAST(round(s, 12) AS DECIMAL(38,12)))", 12)}, 6)
            AS score
   FROM per GROUP BY doc_id
 )
@@ -131,7 +133,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit_terms"),
         F.round(
-            F.sum(F.round(F.col("s"), 12).cast("decimal(38,12)")).cast("double"), 6
+            _d2dw(F.sum(F.round(F.col("s"), 12).cast("decimal(38,12)")), 12), 6
         ).alias("score"),
     )
     return sc.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
@@ -219,7 +221,7 @@ SELECT o_custkey,
        CAST(EXTRACT(year FROM o_orderdate) * 100
             + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       {_d2dws("sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6)))")}
          AS revenue
 FROM orders
 GROUP BY o_custkey, ym
@@ -274,10 +276,11 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("o.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
             ).alias("n_orders"),
             (
-                F.coalesce(F.col("o.rev"), zero) + F.coalesce(F.col("d.rev"), zero)
-            )
-            .cast("double")
-            .alias("revenue"),
+                _d2dw(
+                    F.coalesce(F.col("o.rev"), zero)
+                    + F.coalesce(F.col("d.rev"), zero)
+                )
+            ).alias("revenue"),
         )
     )
 
