@@ -19,6 +19,8 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
 )
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dsum_wide_expr_sql as _dwes
 
 DIM = 64
 TOPK = 20
@@ -144,7 +146,7 @@ def _ivf_chain_sql() -> str:
     Term-for-term the DuckDB twin of _ivf_exact_centroids +
     _argmax_sim."""
     means = ", ".join(
-        f"CAST(sum(CAST(round(s.xv[{d}], 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m{d}"
+        f"{_dwes(f's.xv[{d}]')} / count(*) AS m{d}"
         for d in range(1, DIM + 1)
     )
     mlist = "[" + ", ".join(f"m{d}" for d in range(1, DIM + 1)) + "]"
@@ -249,7 +251,7 @@ def _ivf_exact_centroids(spark: SparkSession, emb: DataFrame, xn: DataFrame) -> 
                     F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
                     F.count(F.lit(1)).alias("n"),
                 )
-                .select("cid", "d", (F.col("s").cast("double") / F.col("n")).alias("md"))
+                .select("cid", "d", (_d2dw(F.col("s")) / F.col("n")).alias("md"))
                 .groupBy("cid")
                 .agg(F.array_sort(F.collect_list(F.struct("d", "md"))).alias("p"))
                 .select("cid", F.transform("p", lambda q: q["md"]).alias("mv"))
@@ -432,7 +434,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qsub), "m")
         .select("qid", "vec_id", F.round(qd, 6).alias("sd"))
         .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("sd").cast("decimal(28,6)")).cast("double").alias("adc"))
+        .agg(_d2dw(F.sum(F.col("sd").cast("decimal(28,6)"))).alias("adc"))
     )
     adcw = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
     adc_hits = (
@@ -502,7 +504,7 @@ pqq AS (SELECT vec_id AS qid, m,
         FROM embeddings, (SELECT unnest(generate_series(1, {pq_m})) AS m)
         WHERE vec_id IN {_QID_IN}),
 padc AS (SELECT q.qid, a2.vec_id,
-                CAST(sum(CAST(round({qd}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS adc
+                {_dwes(qd)} AS adc
          FROM a2 JOIN c1l c ON a2.m = c.m AND a2.cid = c.cid JOIN pqq q ON q.m = a2.m
          GROUP BY q.qid, a2.vec_id),
 padct AS (SELECT qid, vec_id FROM (
@@ -714,7 +716,7 @@ def _km_a2_ctes() -> str:
     pipelineq3 (same clustering, different consumer)."""
     c0_cols = ", ".join(f"CAST(embedding[{d}] AS DOUBLE) AS c{d}" for d in range(1, DIM + 1))
     mean_cols = ", ".join(
-        f"CAST(sum(CAST(round(x.x{d}, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS c{d}"
+        f"{_dwes(f'x.x{d}')} / count(*) AS c{d}"
         for d in range(1, DIM + 1)
     )
     return f"""x AS (SELECT vec_id, {_km_xcols('embedding')} FROM embeddings),
@@ -739,7 +741,7 @@ def _km_oracle() -> str:
     return f"""
 WITH {_km_a2_ctes()}
 SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
-       CAST(sum(CAST(round(dist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+       {_dwes('dist')} AS inertia
 FROM a2 GROUP BY cid
 """
 
@@ -796,7 +798,7 @@ def _km_final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("xd"), 6).cast("decimal(28,6)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("cid", "d", (F.col("s").cast("double") / F.col("n")).alias("cd"))
+        .select("cid", "d", (_d2dw(F.col("s")) / F.col("n")).alias("cd"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
         .select("cid", F.transform("p", lambda q: q["cd"]).alias("cv"))
@@ -821,15 +823,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = _km_final_assignments(spark, sf_dir)
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.sum(F.round("dist", 6).cast("decimal(28,6)")).cast("double").alias("inertia"),
+        _d2dw(F.sum(F.round("dist", 6).cast("decimal(28,6)"))).alias("inertia"),
     )
 
 
 @register(
     "cluster_stratified_sample",
     oracle=_km_oracle().replace(
-        """SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
-       CAST(sum(CAST(round(dist, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+        f"""SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+       {_dwes('dist')} AS inertia
 FROM a2 GROUP BY cid""",
         """SELECT cid, vec_id FROM (
   SELECT cid, vec_id,
