@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from .base import register, t, ts_lit
 from .base import dsum_wide as _dsum_wide
 from .base import dsum_wide_expr_sql as _dwes
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .base import dsum_wide_sql as _dws
 from .simq import DIM, _dot_sql, _norm_sql
 
@@ -56,7 +58,7 @@ mx AS (SELECT label, qid, max(cos) AS mc FROM cs GROUP BY label, qid),
 sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
        FROM embeddings GROUP BY label)
 SELECT CAST(mx.label AS BIGINT) AS label, sz.n_members,
-       CAST(sum(CAST(mc AS DECIMAL(18,9))) AS DOUBLE) AS maxsim_score
+       {_d2dws('sum(CAST(mc AS DECIMAL(18,9)))', 9)} AS maxsim_score
 FROM mx JOIN sz ON sz.label = mx.label
 GROUP BY mx.label, sz.n_members
 """,
@@ -107,9 +109,9 @@ def maxsim_label_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx.join(sz, "label")
         .groupBy(F.col("label").cast("long").alias("label"), "n_members")
         .agg(
-            F.sum(F.col("mc").cast("decimal(18,9)"))
-            .cast("double")
-            .alias("maxsim_score")
+            _d2dw(F.sum(F.col("mc").cast("decimal(18,9)")), 9).alias(
+                "maxsim_score"
+            )
         )
     )
 

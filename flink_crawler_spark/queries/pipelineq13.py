@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_keyed_running_sum
 from .base import EV_MS, register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 DAY_MS = 86_400_000
 
@@ -189,7 +191,7 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weighted_median_price",
-    oracle="""
+    oracle=f"""
 WITH li AS (
   SELECT l_returnflag AS flag,
          CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS price,
@@ -210,7 +212,7 @@ c AS (
 tt AS (SELECT flag, CAST(sum(w) AS DECIMAL(28,2)) AS tot FROM g GROUP BY flag)
 SELECT c.flag AS l_returnflag,
        CAST(min(c.price) AS DOUBLE) AS w_median,
-       CAST(min(tt.tot) AS DOUBLE) AS total_w
+       {_d2dws('min(tt.tot)', 2)} AS total_w
 FROM c JOIN tt USING (flag)
 WHERE 2 * c.cum >= tt.tot
 GROUP BY c.flag
@@ -250,7 +252,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             F.min("price").cast("double").alias("w_median"),
-            F.min("tot").cast("double").alias("total_w"),
+            _d2dw(F.min("tot"), 2).alias("total_w"),
         )
     )
 

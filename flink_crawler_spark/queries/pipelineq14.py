@@ -192,7 +192,7 @@ REGISTRY["rrf_rank_fusion"].oracle = REGISTRY["rrf_rank_fusion"].oracle.replace(
 
 @register(
     "anova_f_event_values",
-    oracle="""
+    oracle=f"""
 WITH ev AS (
   SELECT event_type AS g, CAST(round(value, 6) AS DECIMAL(28,6)) AS x
   FROM events
@@ -209,21 +209,26 @@ tot AS (
   FROM grp
 ),
 terms AS (
-  SELECT CAST(round(n_g * power(CAST(s_g AS DOUBLE) / n_g
-                                - CAST(s AS DOUBLE) / n, 2), 12)
+  SELECT CAST(round(n_g * power({_d2dws('s_g')} / n_g
+                                - {_d2dws('s')} / n, 2), 12)
               AS DECIMAL(38,12)) AS ssb_t,
-         CAST(round(CAST(q_g AS DOUBLE)
-                    - n_g * power(CAST(s_g AS DOUBLE) / n_g, 2), 12)
+         CAST(round({_d2dws('q_g', 12)}
+                    - n_g * power({_d2dws('s_g')} / n_g, 2), 12)
               AS DECIMAL(38,12)) AS ssw_t,
          n, k
   FROM grp CROSS JOIN tot
+),
+fin AS (
+  SELECT CAST(min(k) AS BIGINT) AS k, CAST(min(n) AS BIGINT) AS n,
+         {_d2dws('sum(ssb_t)', 12)} AS ssb_d,
+         {_d2dws('sum(ssw_t)', 12)} AS ssw_d
+  FROM terms
 )
-SELECT CAST(min(k) AS BIGINT) AS k, CAST(min(n) AS BIGINT) AS n,
-       round(CAST(sum(ssb_t) AS DOUBLE), 6) AS ssb,
-       round(CAST(sum(ssw_t) AS DOUBLE), 6) AS ssw,
-       round((CAST(sum(ssb_t) AS DOUBLE) / (min(k) - 1))
-             / (CAST(sum(ssw_t) AS DOUBLE) / (min(n) - min(k))), 6) AS f_stat
-FROM terms
+SELECT k, n,
+       round(ssb_d, 6) AS ssb,
+       round(ssw_d, 6) AS ssw,
+       round((ssb_d / (k - 1)) / (ssw_d / (n - k)), 6) AS f_stat
+FROM fin
 """,
 )
 def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,8 +263,8 @@ def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_g")
             * F.pow(
-                F.col("s_g").cast("double") / F.col("n_g")
-                - F.col("s").cast("double") / F.col("n"),
+                _d2dw(F.col("s_g")) / F.col("n_g")
+                - _d2dw(F.col("s")) / F.col("n"),
                 F.lit(2),
             ),
             12,
@@ -267,8 +272,8 @@ def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,12)")
         .alias("ssb_t"),
         F.round(
-            F.col("q_g").cast("double")
-            - F.col("n_g") * F.pow(F.col("s_g").cast("double") / F.col("n_g"), F.lit(2)),
+            _d2dw(F.col("q_g"), 12)
+            - F.col("n_g") * F.pow(_d2dw(F.col("s_g")) / F.col("n_g"), F.lit(2)),
             12,
         )
         .cast("decimal(38,12)")
@@ -276,16 +281,18 @@ def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "k",
     )
-    return terms.agg(
+    fin = terms.agg(
         F.min("k").cast("long").alias("k"),
         F.min("n").cast("long").alias("n"),
-        F.round(F.sum("ssb_t").cast("double"), 6).alias("ssb"),
-        F.round(F.sum("ssw_t").cast("double"), 6).alias("ssw"),
-        F.round(
-            (F.sum("ssb_t").cast("double") / (F.min("k") - 1))
-            / (F.sum("ssw_t").cast("double") / (F.min("n") - F.min("k"))),
-            6,
-        ).alias("f_stat"),
+        _d2dw(F.sum("ssb_t"), 12).alias("ssb_d"),
+        _d2dw(F.sum("ssw_t"), 12).alias("ssw_d"),
+    )
+    return fin.selectExpr(
+        "k",
+        "n",
+        "round(ssb_d, 6) AS ssb",
+        "round(ssw_d, 6) AS ssw",
+        "round((ssb_d / (k - 1)) / (ssw_d / (n - k)), 6) AS f_stat",
     )
 
 

@@ -323,7 +323,7 @@ SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members,
        round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
          AS dup_rate,
-       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9)
+       round({_d2dws("sum(CAST(quality AS DECIMAL(18,6)))")} / count(*), 9)
          AS mean_quality
 FROM b GROUP BY decile
 """
@@ -370,7 +370,7 @@ def quality_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_dup").cast("long")).cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
         F.round(
-            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            _d2dw(F.sum(F.col("quality").cast("decimal(18,6)")))
             / F.count(F.lit(1)),
             9,
         ).alias("mean_quality"),
