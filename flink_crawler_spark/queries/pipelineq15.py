@@ -85,13 +85,13 @@ w AS (
 ),
 m AS (
   SELECT b,
-         round(CAST(sum(CAST(w * x AS DECIMAL(38,2))) AS DOUBLE)
+         round({_d2dws('sum(CAST(w * x AS DECIMAL(38,2)))', 2)}
                / CAST(sum(w) AS BIGINT), 6) AS mean_b
   FROM w GROUP BY b
 ),
 full_m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_price
+         round({_d2dws('sum(x)', 2)} / count(*), 6) AS mean_price
   FROM o
 )
 SELECT full_m.n AS n_orders, full_m.mean_price,
@@ -127,14 +127,14 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = r.withColumn("w", F.expr(_pois_case(u)))
     m = w.groupBy("b").agg(
         F.round(
-            F.sum((F.col("w") * F.col("x")).cast("decimal(38,2)")).cast("double")
+            _d2dw(F.sum((F.col("w") * F.col("x")).cast("decimal(38,2)")), 2)
             / F.sum("w").cast("long"),
             6,
         ).alias("mean_b")
     )
     full_m = o.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("mean_price"),
+        F.round(_d2dw(F.sum("x"), 2) / F.count(F.lit(1)), 6).alias("mean_price"),
     )
     return (
         m.crossJoin(F.broadcast(full_m))

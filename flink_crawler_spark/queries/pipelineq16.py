@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_keyed_running_sum
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 # ---------------------------------------------------------------------------
 # ols_price_on_qty_discount
@@ -59,24 +61,31 @@ _SSE = f"(syy - ({_BETA[0]})*sy - ({_BETA[1]})*sqy - ({_BETA[2]})*sdy)"
 _SST = "(syy - sy*sy/n)"
 _R2 = f"(1.0 - {_SSE}/{_SST})"
 
-_OLS_MOMENT_COLS = """
+# r12: y is in KILODOLLARS (see the register block) and every moment
+# rides the guarded floor-split wide cast; per-moment scales mirror the
+# exact product scales (q,d scale 2 -> q*q scale 4, q*y scale 7, y*y
+# scale 10), keeping each sum ~1e5-1e6 under the 9.0e15 guard at sf1.0.
+_OLS_MOMENT_COLS = f"""
          CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
-         CAST(sum(q) AS DOUBLE)  AS sq,
-         CAST(sum(d) AS DOUBLE)  AS sd,
-         CAST(sum(y) AS DOUBLE)  AS sy,
-         CAST(sum(CAST(q*q AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
-         CAST(sum(CAST(q*d AS DECIMAL(38,4))) AS DOUBLE) AS sqd,
-         CAST(sum(CAST(d*d AS DECIMAL(38,4))) AS DOUBLE) AS sdd,
-         CAST(sum(CAST(q*y AS DECIMAL(38,4))) AS DOUBLE) AS sqy,
-         CAST(sum(CAST(d*y AS DECIMAL(38,4))) AS DOUBLE) AS sdy,
-         CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+         {_d2dws('sum(q)', 2)}  AS sq,
+         {_d2dws('sum(d)', 2)}  AS sd,
+         {_d2dws('sum(y)', 5)}  AS sy,
+         {_d2dws('sum(CAST(q*q AS DECIMAL(38,4)))', 4)} AS sqq,
+         {_d2dws('sum(CAST(q*d AS DECIMAL(38,4)))', 4)} AS sqd,
+         {_d2dws('sum(CAST(d*d AS DECIMAL(38,4)))', 4)} AS sdd,
+         {_d2dws('sum(CAST(q*y AS DECIMAL(38,7)))', 7)} AS sqy,
+         {_d2dws('sum(CAST(d*y AS DECIMAL(38,7)))', 7)} AS sdy,
+         {_d2dws('sum(CAST(y*y AS DECIMAL(38,10)))', 10)} AS syy
 """
 
+# betas are fit against y in kilodollars; multiply by 1000 (one exact-
+# operand IEEE multiply, identical in both engines) to report dollars.
+# r_squared is unit-invariant.
 _OLS_OUT_COLS = [
     "CAST(n AS BIGINT) AS n_rows",
-    f"round({_BETA[0]}, 6) AS beta_intercept",
-    f"round({_BETA[1]}, 6) AS beta_quantity",
-    f"round({_BETA[2]}, 6) AS beta_discount",
+    f"round(1000 * {_BETA[0]}, 6) AS beta_intercept",
+    f"round(1000 * {_BETA[1]}, 6) AS beta_quantity",
+    f"round(1000 * {_BETA[2]}, 6) AS beta_discount",
     f"round({_R2}, 6) AS r_squared",
 ]
 
@@ -87,7 +96,7 @@ _OLS_OUT_COLS = [
 WITH x AS (
   SELECT CAST(round(l_quantity, 2)      AS DECIMAL(18,2)) AS q,
          CAST(round(l_discount, 2)      AS DECIMAL(18,2)) AS d,
-         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS y
+         CAST(round(l_extendedprice / 1000, 5) AS DECIMAL(18,5)) AS y
   FROM lineitem
 ),
 m AS (SELECT {_OLS_MOMENT_COLS} FROM x)
@@ -106,13 +115,23 @@ def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         F.round("l_quantity", 2).cast("decimal(18,2)").alias("q"),
         F.round("l_discount", 2).cast("decimal(18,2)").alias("d"),
-        F.round("l_extendedprice", 2).cast("decimal(18,2)").alias("y"),
+        F.round(F.col("l_extendedprice") / 1000, 5).cast("decimal(18,5)").alias("y"),
     )
-    moment_exprs = [
-        c.strip().rstrip(",")
-        for c in _OLS_MOMENT_COLS.strip().split(",\n")
-    ]
-    m = li.selectExpr("*").agg(*[F.expr(e) for e in moment_exprs])
+    # moments via the Column-API wide helper (the SQL template above is
+    # DuckDB-dialect: its guard spells error(); Spark's is raise_error)
+    q, d, y = F.col("q"), F.col("d"), F.col("y")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").cast("double").alias("n"),
+        _d2dw(F.sum(q), 2).alias("sq"),
+        _d2dw(F.sum(d), 2).alias("sd"),
+        _d2dw(F.sum(y), 5).alias("sy"),
+        _d2dw(F.sum((q * q).cast("decimal(38,4)")), 4).alias("sqq"),
+        _d2dw(F.sum((q * d).cast("decimal(38,4)")), 4).alias("sqd"),
+        _d2dw(F.sum((d * d).cast("decimal(38,4)")), 4).alias("sdd"),
+        _d2dw(F.sum((q * y).cast("decimal(38,7)")), 7).alias("sqy"),
+        _d2dw(F.sum((d * y).cast("decimal(38,7)")), 7).alias("sdy"),
+        _d2dw(F.sum((y * y).cast("decimal(38,10)")), 10).alias("syy"),
+    )
     return m.selectExpr(*_OLS_OUT_COLS)
 
 

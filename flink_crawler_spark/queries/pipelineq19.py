@@ -130,13 +130,13 @@ p AS (
   FROM x CROSS JOIN y
 ),
 kx AS (
-  SELECT x_id, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / {MNN_K} AS mx
+  SELECT x_id, {_d2dws('sum(CAST(cos AS DECIMAL(18,6)))')} / {MNN_K} AS mx
   FROM (SELECT x_id, cos,
                row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id ASC) AS rn
         FROM p) WHERE rn <= {MNN_K} GROUP BY x_id
 ),
 ky AS (
-  SELECT y_id, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / {MNN_K} AS my
+  SELECT y_id, {_d2dws('sum(CAST(cos AS DECIMAL(18,6)))')} / {MNN_K} AS my
   FROM (SELECT y_id, cos,
                row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id ASC) AS rn
         FROM p) WHERE rn <= {MNN_K} GROUP BY y_id
@@ -239,9 +239,7 @@ def _margin_mnn_impl(
         .where(F.col("rn") <= MNN_K)
         .groupBy("x_id")
         .agg(
-            (F.sum(F.col("cos").cast("decimal(18,6)")).cast("double") / MNN_K).alias(
-                "mx"
-            )
+            (_d2dw(F.sum(F.col("cos").cast("decimal(18,6)"))) / MNN_K).alias("mx")
         )
     )
     wy = Window.partitionBy("y_id").orderBy(F.desc("cos"), F.asc("x_id"))
@@ -250,9 +248,7 @@ def _margin_mnn_impl(
         .where(F.col("rn") <= MNN_K)
         .groupBy("y_id")
         .agg(
-            (F.sum(F.col("cos").cast("decimal(18,6)")).cast("double") / MNN_K).alias(
-                "my"
-            )
+            (_d2dw(F.sum(F.col("cos").cast("decimal(18,6)"))) / MNN_K).alias("my")
         )
     )
     m = (

@@ -105,7 +105,7 @@ def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ipw_treatment_effect",
-    oracle="""
+    oracle=f"""
 WITH o AS (
   SELECT o_orderstatus AS x,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
@@ -128,15 +128,15 @@ tot AS (
 ),
 terms AS (
   SELECT CAST(round(
-           CAST(sy_t AS DOUBLE) * CAST(n_x AS DOUBLE) / CAST(n_t AS DOUBLE)
-           - CAST(sy_c AS DOUBLE) * CAST(n_x AS DOUBLE) / CAST(n_x - n_t AS DOUBLE), 6)
+           {_d2dws('sy_t', 2)} * CAST(n_x AS DOUBLE) / CAST(n_t AS DOUBLE)
+           - {_d2dws('sy_c', 2)} * CAST(n_x AS DOUBLE) / CAST(n_x - n_t AS DOUBLE), 6)
          AS DECIMAL(38,6)) AS term
   FROM s WHERE n_t > 0 AND n_t < n_x
 )
 SELECT tot.n AS n_orders, tot.nt AS n_treated,
-       round(CAST(sum(terms.term) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS ate_ipw,
-       round(CAST(tot.syt AS DOUBLE) / CAST(tot.nt AS DOUBLE)
-             - CAST(tot.syc AS DOUBLE) / CAST(tot.n - tot.nt AS DOUBLE), 6) AS naive_diff
+       round({_d2dws('sum(terms.term)', 6)} / CAST(tot.n AS DOUBLE), 6) AS ate_ipw,
+       round({_d2dws('tot.syt', 2)} / CAST(tot.nt AS DOUBLE)
+             - {_d2dws('tot.syc', 2)} / CAST(tot.n - tot.nt AS DOUBLE), 6) AS naive_diff
 FROM terms CROSS JOIN tot
 GROUP BY tot.n, tot.nt, tot.syt, tot.syc
 """,
@@ -170,22 +170,32 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy_t").cast("decimal(38,2)").alias("syt"),
         F.sum("sy_c").cast("decimal(38,2)").alias("syc"),
     )
-    terms = s.where((F.col("n_t") > 0) & (F.col("n_t") < F.col("n_x"))).selectExpr(
-        "CAST(round("
-        "CAST(sy_t AS DOUBLE) * CAST(n_x AS DOUBLE) / CAST(n_t AS DOUBLE)"
-        " - CAST(sy_c AS DOUBLE) * CAST(n_x AS DOUBLE) / CAST(n_x - n_t AS DOUBLE), 6)"
-        " AS DECIMAL(38,6)) AS term"
+    n_x, n_t = F.col("n_x").cast("double"), F.col("n_t").cast("double")
+    terms = s.where((F.col("n_t") > 0) & (F.col("n_t") < F.col("n_x"))).select(
+        F.round(
+            _d2dw(F.col("sy_t"), 2) * n_x / n_t
+            - _d2dw(F.col("sy_c"), 2) * n_x / (n_x - n_t),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("term")
     )
     return (
         terms.crossJoin(F.broadcast(tot))
         .groupBy("n", "nt", "syt", "syc")
         .agg(F.sum("term").alias("st"))
-        .selectExpr(
-            "n AS n_orders",
-            "nt AS n_treated",
-            "round(CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ate_ipw",
-            "round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)"
-            " - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE), 6) AS naive_diff",
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("nt").alias("n_treated"),
+            F.round(
+                _d2dw(F.col("st"), 6) / F.col("n").cast("double"), 6
+            ).alias("ate_ipw"),
+            F.round(
+                _d2dw(F.col("syt"), 2) / F.col("nt").cast("double")
+                - _d2dw(F.col("syc"), 2)
+                / (F.col("n") - F.col("nt")).cast("double"),
+                6,
+            ).alias("naive_diff"),
         )
     )
 

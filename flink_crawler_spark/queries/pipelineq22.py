@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles_expr
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .simq import _norm_sql
 
 # ---------------------------------------------------------------------------
@@ -231,16 +233,20 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "welch_t_test_price",
-    oracle="""
+    # r12: y in KILODOLLARS (t_stat and welch_df are unit-invariant;
+    # mean_diff rescales back by one exact-operand multiply) so the
+    # squared-price moment stays ~1e6 under the 9.0e15 wide-form guard
+    # at sf1.0 instead of tripping it.
+    oracle=f"""
 WITH x AS (
   SELECT l_returnflag AS flag,
-         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS y
+         CAST(round(l_extendedprice / 1000, 5) AS DECIMAL(18,5)) AS y
   FROM lineitem WHERE l_returnflag IN ('R', 'N')
 ),
 s AS (
   SELECT flag, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(CAST(y*y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+         {_d2dws('sum(y)', 5)} AS sy,
+         {_d2dws('sum(CAST(y*y AS DECIMAL(38,10)))', 10)} AS syy
   FROM x GROUP BY flag
 ),
 w AS (
@@ -254,7 +260,7 @@ w AS (
   FROM s
 )
 SELECT n1, n2,
-       round(sy1/n1 - sy2/n2, 6) AS mean_diff,
+       round(1000 * (sy1/n1 - sy2/n2), 6) AS mean_diff,
        round((sy1/n1 - sy2/n2)
              / sqrt((syy1 - sy1*sy1/n1)/(n1 - 1)/n1
                     + (syy2 - sy2*sy2/n2)/(n2 - 1)/n2), 6) AS t_stat,
@@ -281,13 +287,13 @@ def welch_t_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_returnflag").isin("R", "N"))
         .selectExpr(
             "l_returnflag AS flag",
-            "CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS y",
+            "CAST(round(l_extendedprice / 1000, 5) AS DECIMAL(18,5)) AS y",
         )
     )
     s = x.groupBy("flag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.expr("CAST(y*y AS DECIMAL(38,4))")).cast("double").alias("syy"),
+        _d2dw(F.sum("y"), 5).alias("sy"),
+        _d2dw(F.sum(F.expr("CAST(y*y AS DECIMAL(38,10))")), 10).alias("syy"),
     )
     w = s.agg(
         F.max(F.when(F.col("flag") == "R", F.col("n"))).alias("n1"),
@@ -302,7 +308,7 @@ def welch_t_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.selectExpr(
         "n1",
         "n2",
-        "round(sy1/n1 - sy2/n2, 6) AS mean_diff",
+        "round(1000 * (sy1/n1 - sy2/n2), 6) AS mean_diff",
         f"round((sy1/n1 - sy2/n2) / sqrt({v1} + {v2}), 6) AS t_stat",
         f"round(({v1} + {v2}) * ({v1} + {v2})"
         f" / ( ({v1}) * ({v1}) / (n1 - 1) + ({v2}) * ({v2}) / (n2 - 1)), 6) AS welch_df",

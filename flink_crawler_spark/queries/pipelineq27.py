@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from ..operators.partitioning import distributed_row_number
 from .base import register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 from .dedupq import (
     DUCK_SHINGLES,
     DUCK_TOKS,
@@ -141,7 +143,7 @@ def coverage_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entropy_rate_markov",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
@@ -161,8 +163,8 @@ terms AS (
 )
 SELECT tot.n AS n_transitions,
        (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n_states,
-       round(CAST(sum(term) AS DOUBLE), 9) AS entropy_rate_nats,
-       round(exp(CAST(sum(term) AS DOUBLE)), 6) AS perplexity
+       round({_d2dws('sum(term)', 12)}, 9) AS entropy_rate_nats,
+       round(exp({_d2dws('sum(term)', 12)}), 6) AS perplexity
 FROM terms CROSS JOIN tot
 GROUP BY tot.n
 """,
@@ -204,8 +206,14 @@ def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "n AS n_transitions",
             "n_states",
-            "round(CAST(h AS DOUBLE), 9) AS entropy_rate_nats",
-            "round(exp(CAST(h AS DOUBLE)), 6) AS perplexity",
+            "h",
+        )
+        .withColumn("hd", _d2dw(F.col("h"), 12))
+        .selectExpr(
+            "n_transitions",
+            "n_states",
+            "round(hd, 9) AS entropy_rate_nats",
+            "round(exp(hd), 6) AS perplexity",
         )
     )
 
@@ -213,6 +221,10 @@ def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup_survivor_quality
 # ---------------------------------------------------------------------------
+
+_Q_KEPT_SUM = "sum(CASE WHEN rn = 1 THEN CAST(quality AS DECIMAL(18,6)) END)"
+_Q_DROP_SUM = "sum(CASE WHEN rn > 1 THEN CAST(quality AS DECIMAL(18,6)) END)"
+
 
 @register(
     "dedup_survivor_quality",
@@ -258,11 +270,9 @@ multi AS (SELECT * FROM j WHERE n_members > 1)
 SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_multi_clusters,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       round(CAST(sum(CASE WHEN rn = 1
-                    THEN CAST(quality AS DECIMAL(18,6)) END) AS DOUBLE)
+       round({_d2dws(_Q_KEPT_SUM)}
              / sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 9) AS mean_q_kept,
-       round(CAST(sum(CASE WHEN rn > 1
-                    THEN CAST(quality AS DECIMAL(18,6)) END) AS DOUBLE)
+       round({_d2dws(_Q_DROP_SUM)}
              / sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 9) AS mean_q_dropped
 FROM multi
 """,
@@ -295,16 +305,20 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
         F.round(
-            F.sum(
-                F.when(F.col("rn") == 1, F.col("quality").cast("decimal(18,6)"))
-            ).cast("double")
+            _d2dw(
+                F.sum(
+                    F.when(F.col("rn") == 1, F.col("quality").cast("decimal(18,6)"))
+                )
+            )
             / F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)),
             9,
         ).alias("mean_q_kept"),
         F.round(
-            F.sum(
-                F.when(F.col("rn") > 1, F.col("quality").cast("decimal(18,6)"))
-            ).cast("double")
+            _d2dw(
+                F.sum(
+                    F.when(F.col("rn") > 1, F.col("quality").cast("decimal(18,6)"))
+                )
+            )
             / F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)),
             9,
         ).alias("mean_q_dropped"),
