@@ -337,5 +337,5 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("double").alias("total_value"),
+        _dsum_wide(F.col("value"), "total_value"),
     )

@@ -141,7 +141,7 @@ def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chi_square_priority_status",
-    oracle="""
+    oracle=f"""
 WITH cells AS (
   SELECT o_orderpriority AS pri, o_orderstatus AS st,
          CAST(count(*) AS BIGINT) AS obs
@@ -165,8 +165,8 @@ terms AS (
 )
 SELECT tot.n AS n_orders,
        (tot.nr - 1) * (tot.nc - 1) AS dof,
-       round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
-       round(sqrt(CAST(sum(term) AS DOUBLE)
+       round({_d2dws('sum(term)', 9)}, 6) AS chi2,
+       round(sqrt({_d2dws('sum(term)', 9)}
                   / (CAST(tot.n AS DOUBLE)
                      * CAST(least(tot.nr, tot.nc) - 1 AS DOUBLE))), 6) AS cramers_v
 FROM terms CROSS JOIN tot
@@ -213,11 +213,12 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("n", "nr", "nc")
         .agg(F.sum("term").alias("s"))
+        .withColumn("sd", _d2dw(F.col("s"), 9))
         .selectExpr(
             "n AS n_orders",
             "(nr - 1) * (nc - 1) AS dof",
-            "round(CAST(s AS DOUBLE), 6) AS chi2",
-            "round(sqrt(CAST(s AS DOUBLE)"
+            "round(sd, 6) AS chi2",
+            "round(sqrt(sd"
             " / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))), 6)"
             " AS cramers_v",
         )
@@ -277,7 +278,7 @@ terms AS (
 )
 SELECT bucket, n_base, n_curr,
        round(CAST(term AS DOUBLE), 10) AS psi_term,
-       round(CAST(sum(term) OVER () AS DOUBLE), 9) AS psi_total
+       round({_d2dws('sum(term) OVER ()', 10)}, 9) AS psi_total
 FROM terms
 """,
 )
@@ -334,7 +335,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    total = terms.agg(F.round(F.sum("term").cast("double"), 9).alias("psi_total"))
+    total = terms.agg(F.round(_d2dw(F.sum("term"), 10), 9).alias("psi_total"))
     return (
         terms.crossJoin(F.broadcast(total))
         .selectExpr(

@@ -202,7 +202,7 @@ def _hard_negative_impl(
 
 @register(
     "benford_price_digits",
-    oracle="""
+    oracle=f"""
 WITH px AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
               AS BIGINT) AS digit
@@ -233,8 +233,8 @@ terms AS (
 )
 SELECT digit, n_obs, p_obs, p_benford,
        round(CAST(dev AS DOUBLE), 10) AS abs_dev,
-       round(CAST(sum(dev) OVER () AS DOUBLE) / 9, 9) AS mad,
-       round(CAST(sum(chi2_term) OVER () AS DOUBLE), 6) AS chi2
+       round({_d2dws('sum(dev) OVER ()', 10)} / 9, 9) AS mad,
+       round({_d2dws('sum(chi2_term) OVER ()', 9)}, 6) AS chi2
 FROM terms
 """,
 )
@@ -281,8 +281,8 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tots = terms.agg(
-        F.round(F.sum("dev").cast("double") / 9, 9).alias("mad"),
-        F.round(F.sum("chi2_term").cast("double"), 6).alias("chi2"),
+        F.round(_d2dw(F.sum("dev"), 10) / 9, 9).alias("mad"),
+        F.round(_d2dw(F.sum("chi2_term"), 9), 6).alias("chi2"),
     )
     return (
         terms.crossJoin(F.broadcast(tots))

@@ -163,7 +163,7 @@ w AS (
 SELECT CAST(count(*) AS BIGINT) AS n,
        round((SELECT lo FROM q) / 100, 6) AS p05,
        round((SELECT hi FROM q) / 100, 6) AS p95,
-       round(CAST(sum(cl) AS DOUBLE) / count(*), 6) AS winsorized_mean
+       round({_d2dws('sum(cl)')} / count(*), 6) AS winsorized_mean
 FROM w
 """,
 )
@@ -227,7 +227,7 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.groupBy("lo", "hi").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum("cl").cast("double") / F.count(F.lit(1)), 6).alias(
+        F.round(_d2dw(F.sum("cl")) / F.count(F.lit(1)), 6).alias(
             "winsorized_mean"
         ),
     ).selectExpr(

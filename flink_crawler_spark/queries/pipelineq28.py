@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import EV_MS, register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 # ---------------------------------------------------------------------------
 # conformal_prediction_interval
@@ -46,7 +48,7 @@ WITH o AS (
   FROM orders
 ),
 model AS (
-  SELECT cat, round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pred
+  SELECT cat, round({_d2dws('sum(y)', 2)} / count(*), 6) AS pred
   FROM o WHERE split = 'train' GROUP BY cat
 ),
 cal AS (
@@ -103,7 +105,7 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     model = (
         o.where(F.col("split") == "train")
         .groupBy("cat")
-        .agg(F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pred"))
+        .agg(F.round(_d2dw(F.sum("y"), 2) / F.count(F.lit(1)), 6).alias("pred"))
     )
     from ..operators.partitioning import distributed_row_number
 
@@ -160,6 +162,20 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
 CUPED_SPLIT_DAY = 15  # Jan 1-15 = pre-period, rest = experiment period
 
 
+_CUPED_XX = (
+    "sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))"
+    " AS DECIMAL(38,12)))"
+)
+_CUPED_XY = (
+    "sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))"
+    " AS DECIMAL(38,12)))"
+)
+_CUPED_YY = (
+    "sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))"
+    " AS DECIMAL(38,12)))"
+)
+
+
 @register(
     "cuped_variance_reduction",
     oracle=f"""
@@ -182,13 +198,10 @@ u AS (
 ),
 m AS (
   SELECT CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
-         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
-                  AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
-                  AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
-                  AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         {_d2dws('sum(x)')} AS sx, {_d2dws('sum(y)')} AS sy,
+         {_d2dws(_CUPED_XX, 12)} AS sxx,
+         {_d2dws(_CUPED_XY, 12)} AS sxy,
+         {_d2dws(_CUPED_YY, 12)} AS syy
   FROM u
 )
 SELECT CAST(n AS BIGINT) AS n_users,
@@ -231,11 +244,11 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = u.agg(
         F.count(F.lit(1)).cast("long").cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.expr("CAST(x*x AS DECIMAL(38,12))")).cast("double").alias("sxx"),
-        F.sum(F.expr("CAST(x*y AS DECIMAL(38,12))")).cast("double").alias("sxy"),
-        F.sum(F.expr("CAST(y*y AS DECIMAL(38,12))")).cast("double").alias("syy"),
+        _d2dw(F.sum("x")).alias("sx"),
+        _d2dw(F.sum("y")).alias("sy"),
+        _d2dw(F.sum(F.expr("CAST(x*x AS DECIMAL(38,12))")), 12).alias("sxx"),
+        _d2dw(F.sum(F.expr("CAST(x*y AS DECIMAL(38,12))")), 12).alias("sxy"),
+        _d2dw(F.sum(F.expr("CAST(y*y AS DECIMAL(38,12))")), 12).alias("syy"),
     )
     return m.selectExpr(
         "CAST(n AS BIGINT) AS n_users",

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import EV_MS, register, t
+from .base import dec_to_double_wide as _d2dw
+from .base import dec_to_double_wide_sql as _d2dws
 
 # ---------------------------------------------------------------------------
 # purchase_attribution_models
@@ -56,7 +58,7 @@ credit AS (
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv_attributed
         FROM (SELECT DISTINCT conv_id FROM sized))
 SELECT credit.channel, credit.last_touch,
-       round(CAST(credit.linear_raw AS DOUBLE), 6) AS linear_credit,
+       round({_d2dws('credit.linear_raw', 9)}, 6) AS linear_credit,
        tot.n_conv_attributed,
        round(CAST(credit.last_touch AS DOUBLE) / CAST(tot.n_conv_attributed AS DOUBLE), 9)
          AS last_touch_share
@@ -109,10 +111,12 @@ def purchase_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = sized.select("conv_id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_conv_attributed")
     )
-    return credit.crossJoin(F.broadcast(tot)).selectExpr(
+    return credit.crossJoin(F.broadcast(tot)).withColumn(
+        "lr_d", _d2dw(F.col("linear_raw"), 9)
+    ).selectExpr(
         "channel",
         "last_touch",
-        "round(CAST(linear_raw AS DOUBLE), 6) AS linear_credit",
+        "round(lr_d, 6) AS linear_credit",
         "n_conv_attributed",
         "round(CAST(last_touch AS DOUBLE) / CAST(n_conv_attributed AS DOUBLE), 9)"
         " AS last_touch_share",
