@@ -142,10 +142,17 @@ BURST_MIN_EVENTS = 5
 WITH ev AS (
   SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id FROM events
 ),
+gaps0 AS (
+  SELECT user_id,
+         ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap0
+  FROM ev
+),
 gaps AS (
   SELECT user_id,
-         ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
-  FROM ev
+         CAST(CASE WHEN gap0 >= 3000000000 THEN error(
+           'user_burstiness: gap >= 3e9 ms breaches the int64 gap*gap bound; widen the split factor')
+           ELSE gap0 END AS BIGINT) AS gap
+  FROM gaps0
 ),
 s AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
@@ -195,7 +202,23 @@ def user_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     split factor before pointing this at a multi-year event table)."""
     ev = t(spark, sf_dir, "events").selectExpr("user_id", f"{EV_MS} AS ms", "event_id")
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    gaps = ev.withColumn("gap", F.col("ms") - F.lag("ms").over(w))
+    gap0 = F.col("ms") - F.lag("ms").over(w)
+    # r12 (ADVICE): loud guard at the int64 gap*gap bound — Spark's
+    # non-ANSI gap*gap wraps silently past 3e9 ms while the DuckDB twin
+    # errors; the lazy CASE (cusum/ewma idiom) makes both engines fail
+    # identically instead of diverging. Never fires on the 30-day corpus.
+    gaps = ev.withColumn(
+        "gap",
+        F.when(
+            gap0 >= F.lit(3_000_000_000),
+            F.raise_error(
+                F.lit(
+                    "user_burstiness: gap >= 3e9 ms breaches the int64 "
+                    "gap*gap bound; widen the split factor"
+                )
+            ).cast("long"),
+        ).otherwise(gap0),
+    )
     s = (
         gaps.where(F.col("gap").isNotNull())
         .groupBy("user_id")

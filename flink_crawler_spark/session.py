@@ -79,7 +79,14 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
     # bind when this process launches the JVM, same caveat as above.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in filter(None, (s.strip() for s in extra.split(";"))):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            # r12 (ADVICE): a segment without '=' used to be applied as
+            # config(key, "") — a typo'd A/B probe silently set an
+            # empty-string conf instead of surfacing. Fail loudly.
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF segment {kv!r} is not key=value"
+            )
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     _log_code_cache_size(spark)

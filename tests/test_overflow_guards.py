@@ -51,3 +51,35 @@ def test_sql_case_raise_error_coerces_to_decimal(spark):
     )
     with pytest.raises(Exception, match="bound breached"):
         bad.collect()
+
+
+def test_burstiness_gap_guard_raises_past_int64_square_bound(spark, tmp_path):
+    # r12 (ADVICE): gap*gap on BIGINT wraps silently in non-ANSI Spark
+    # while the DuckDB twin errors on int64 overflow; the query now
+    # guards gap >= 3e9 ms with raise_error so both engines fail loudly
+    # and identically on event spans wider than the corpus.
+    import datetime as dt
+
+    from flink_crawler_spark.queries import REGISTRY
+
+    rows = [
+        (1, i, "view", dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=int(g)))
+        for i, g in enumerate([0, 1e9, 2e9, 6e9, 7e9, 8e9])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp_ntz"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["user_burstiness_index"].fn(spark, str(tmp_path))
+    with pytest.raises(Exception, match="gap >= 3e9 ms"):
+        out.collect()
+
+
+def test_extra_conf_segment_without_equals_raises(monkeypatch):
+    # r12 (ADVICE): a SPARK_GRAFT_EXTRA_CONF segment lacking '=' used to
+    # be applied as config(key, "") — surface the typo instead.
+    from flink_crawler_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", "spark.speculation")
+    with pytest.raises(ValueError, match="not key=value"):
+        get_spark("extra_conf_guard_test")
