@@ -155,7 +155,17 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot drift from the rankings it aggregates."""
     from ..operators.windows import bounded_row_number
 
-    bm = bm25_search_topk(spark, sf_dir).select("doc_id", "score")
+    # r12 (guide §2.4): pin both 20-row top-k heads before the triangular
+    # rank joins. bounded_row_number references its input TWICE (left +
+    # broadcast right), so an unpinned bm here re-ran the ENTIRE BM25
+    # plan per reference — the r12 before-plan shows 20 documents scans
+    # (2x bm25's 8 + 2x the quality chain). Two eager 20-row checkpoints
+    # cut that to one evaluation of each side.
+    bm = (
+        bm25_search_topk(spark, sf_dir)
+        .select("doc_id", "score")
+        .localCheckpoint(eager=True)
+    )
     # the BM25 side is its own top-20 result: rank the 20-row frame with
     # the triangular join, not an unpartitioned WindowExec (r7 task 7)
     br = bounded_row_number(
@@ -164,7 +174,11 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t(spark, sf_dir, "documents").select(
         "doc_id", quality_score_expr(F.col("text")).alias("quality")
     )
-    top = q.orderBy(F.col("quality").desc(), F.col("doc_id")).limit(RRF_TOP)
+    top = (
+        q.orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+        .localCheckpoint(eager=True)
+    )
     qr = bounded_row_number(
         top, [("quality", False), ("doc_id", True)], out="r_q"
     ).select("doc_id", F.col("r_q").cast("long").alias("r_q"))

@@ -464,12 +464,23 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (mwl <= CF_MAX_MWL)
         ).alias("q_keep"),
     )
+    # r12 (guide §2.4/§3.3): the funnel's two reused stage outputs were
+    # recomputed per consumer — the r12 before-plan scans documents 12
+    # times (the quality gate's word-split aggregate re-evaluated each
+    # time, and the exact-dedup window re-run for each of es' FOUR
+    # consumers: shingling, components, nd flags, final join). Pin the
+    # slim flag frame (the final join needs no text) and the exact-dedup
+    # survivor set once each; documents is now scanned exactly twice. At
+    # 100 TB these are the once-per-snapshot materializations a real
+    # funnel persists between stages.
+    qflags = q.select("doc_id", "source", "q_keep").localCheckpoint(eager=True)
     qs = q.filter("q_keep")
     e = qs.withColumn("dig", F.md5(F.encode(F.col("text"), "UTF-8")))
     es = (
         e.withColumn("__min", F.min("doc_id").over(Window.partitionBy("dig")))
         .filter(F.col("doc_id") == F.col("__min"))
         .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
     )
     edges = near_dup_pairs(
         es, threshold=CF_JACCARD, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=3
@@ -515,7 +526,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        q.select("doc_id", "source", "q_keep")
+        qflags
         .join(es.select("doc_id", F.lit(True).alias("__e")), "doc_id", "left")
         .join(nd.select("doc_id", "nd_keep"), "doc_id", "left")
         .join(sampled, "doc_id", "left")

@@ -101,15 +101,33 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = t(spark, sf_dir, "documents").select(
         "doc_id", tokens_expr(F.col("text")).alias("tk")
     )
-    dl = d0.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    # r12 (guide §2.3/§2.4): ONE tokenize pass feeds dl, st, tf and dfx.
+    # The previous shape re-scanned + re-tokenized documents per consumer
+    # (dl twice — st and the per join — and tf separately: 8 scan leaves
+    # in the r12 before-plan). Fold everything into one exploded
+    # aggregation keyed (doc_id, term-or-null): the null group's count is
+    # the non-term token count, so sum over the group = dl EXACTLY
+    # (explode_outer keeps empty/null-token docs as a c=0 null group —
+    # dl, n_docs and sum_dl are value-identical to the size(tk) form).
+    # Map-side partial agg means the shuffle carries <=4 rows per doc per
+    # partition — at 100 TB this halves the heaviest pass of the query.
+    # Pinned: the tiny (docs x <=4) table has 3 consumers on different
+    # keys (static ReuseExchange can't dedupe them).
+    g = (
+        d0.select("doc_id", F.explode_outer("tk").alias("w"))
+        .groupBy(
+            "doc_id",
+            F.when(F.col("w").isin(*BM25_TERMS), F.col("w")).alias("w3"),
+        )
+        .agg(F.count("w").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dl = g.groupBy("doc_id").agg(F.sum("c").cast("long").alias("dl"))
     st = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
-        d0.select("doc_id", F.explode("tk").alias("w"))
-        .filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = g.filter(F.col("w3").isNotNull()).select(
+        "doc_id", F.col("w3").alias("w"), F.col("c").alias("tf")
     )
     dfx = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

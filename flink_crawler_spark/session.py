@@ -67,6 +67,24 @@ def get_spark(app_name: str = "flink_crawler_spark", cpus: int | None = None) ->
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12 (optimization round, guide §3.1): let the planner pick
+        # shuffled-hash over sort-merge when its size conditions hold
+        # (build side < shuffle-partition-count x threshold), and let AQE
+        # rewrite a planned SMJ to SHJ at runtime when every post-shuffle
+        # partition is under 64 MB — skipping both sort passes. Measured
+        # (tools/spot_bench.py, 3-rep min, sf0.1): hits_hub_authority
+        # 5.66->4.46 s, rfm_user_segments 4.03->3.14, graph_jaccard
+        # 9.95->8.44, ppjoin_pairs 5.31->4.54, weighted_median 3.65->3.25;
+        # -10.6% over the 8-query join-heavy A/B set, no regressions
+        # outside noise. Scale-safe: both knobs are size-GATED (the 64 MB
+        # per-partition bound caps build-side hash maps exactly like a
+        # broadcast threshold does), not local-core tuning; override via
+        # SPARK_GRAFT_EXTRA_CONF on memory-tight clusters.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # NOTE: deliberately NOT setting spark.sql.legacy.parquet.nanosAsLong.
         # With it, a TIMESTAMP(NANOS) testdata regeneration would silently
         # read ts as BIGINT nanos and every cast(ts as timestamp_ltz) would
