@@ -36,6 +36,12 @@ from .simq import _dot_sql, _norm_sql
 
 FL_K = 8  # selections
 FL_CANDS = 32  # candidate pool size (md5-ordered draw)
+# r12: corpora up to this many vectors run the greedy on the collected
+# (n x FL_CANDS) DECIMAL sims proxy (identical arithmetic, zero per-round
+# jobs); larger corpora keep the distributed per-round aggregate loop.
+# ~200k x 32 decimals is tens of MB on the driver — the same budget the
+# cosine collect guard uses.
+FL_DRIVER_MAX = 200_000
 
 
 def _fl_oracle() -> str:
@@ -151,40 +157,85 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot / (F.element_at(ncarr, i + 1) * F.col("nd")), 9
         ).cast("decimal(18,9)")
 
-    cur = e.select(
-        F.col("vec_id").alias("v"),
-        F.transform(cmat, sims).alias("s"),
-        F.lit(0).cast("decimal(18,9)").alias("cur"),
-    ).localCheckpoint(eager=True)
+    sims_frame = e.select(
+        F.col("vec_id").alias("v"), F.transform(cmat, sims).alias("s")
+    )
 
     chosen: list[tuple[int, decimal.Decimal]] = []
     picked_ids: set[int] = set()
-    for _ in range(FL_K):
-        remaining = [(j, c) for j, c in enumerate(cand_ids) if c not in picked_ids]
-        gains = cur.agg(
-            *[
-                F.sum(
-                    (
-                        F.greatest(F.element_at("s", j + 1), F.col("cur"))
-                        - F.col("cur")
-                    ).cast("decimal(28,9)")
-                ).alias(f"g_{c}")
-                for j, c in remaining
-            ]
-        ).collect()[0]
-        g, jc = max(((gains[f"g_{c}"], (j, c)) for j, c in remaining),
-                    key=lambda t_: (t_[0], -t_[1][1]))
-        j, cid = jc
-        picked_ids.add(cid)
-        chosen.append((cid, g))
-        # no per-round re-pin: the update is <=K nested greatest() over
-        # the ONE checkpointed sims frame — recomputing that lineage in
-        # the next round's aggregate costs microseconds on the tiny
-        # (n_vecs x K-array) frame, while an eager localCheckpoint costs
-        # a whole scheduled job per round (measured: ~0.4 s x K rounds)
-        cur = cur.withColumn(
-            "cur", F.greatest(F.col("cur"), F.element_at("s", j + 1))
-        )
+    from .base import parquet_row_count
+
+    if parquet_row_count(sf_dir, "embeddings") <= FL_DRIVER_MAX:
+        # r12 (guide §1.2/§8): the greedy DECIDES on the (n_vecs x 32)
+        # DECIMAL(18,9) sims proxy — at this corpus size each distributed
+        # round was ~1 s of plan-compile + scheduling for a 32-value
+        # aggregate over 2000 rows (profiled; the K=8 loop was ~8 s of
+        # the query's 8.0 s steady state). Collect the proxy ONCE and run
+        # the identical decimal algebra on the driver: Python Decimal
+        # sums of exact DECIMAL(18,9) values are the same order-free
+        # exact arithmetic as the Spark decimal aggregate (no rounding
+        # below context precision 28 >= the 13 digits these sums reach),
+        # greatest() ties and the (gain, -cand) argmax replicate
+        # verbatim. Results are bit-identical (oracle-verified at
+        # sf0.001/0.01/0.1); only the execution venue changes.
+        rows = [r["s"] for r in sims_frame.collect()]
+        zero = decimal.Decimal(0)
+        curs = [zero] * len(rows)
+        for _ in range(FL_K):
+            remaining = [(j, c) for j, c in enumerate(cand_ids) if c not in picked_ids]
+            best = None
+            for j, c in remaining:
+                gtot = zero
+                for s, cur_v in zip(rows, curs):
+                    sv = s[j]
+                    # Spark's greatest() skips NULLs: a null sim leaves
+                    # the coverage untouched
+                    if sv is not None and sv > cur_v:
+                        gtot += sv - cur_v
+                if best is None or (gtot, -c) > (best[0], -best[1]):
+                    best = (gtot, c, j)
+            g, cid, j = best
+            picked_ids.add(cid)
+            chosen.append((cid, g))
+            for idx, s in enumerate(rows):
+                sv = s[j]
+                if sv is not None and sv > curs[idx]:
+                    curs[idx] = sv
+    else:
+        # 100 TB path: the coverage state is corpus-sized — keep it
+        # distributed; every greedy round is 32 tiny element_at decimal
+        # aggregates over the pinned frame (one O(corpus) scan, one
+        # 32-value driver pull). Identical arithmetic to the driver
+        # kernel above.
+        cur = sims_frame.withColumn(
+            "cur", F.lit(0).cast("decimal(18,9)")
+        ).localCheckpoint(eager=True)
+        for _ in range(FL_K):
+            remaining = [(j, c) for j, c in enumerate(cand_ids) if c not in picked_ids]
+            gains = cur.agg(
+                *[
+                    F.sum(
+                        (
+                            F.greatest(F.element_at("s", j + 1), F.col("cur"))
+                            - F.col("cur")
+                        ).cast("decimal(28,9)")
+                    ).alias(f"g_{c}")
+                    for j, c in remaining
+                ]
+            ).collect()[0]
+            g, jc = max(((gains[f"g_{c}"], (j, c)) for j, c in remaining),
+                        key=lambda t_: (t_[0], -t_[1][1]))
+            j, cid = jc
+            picked_ids.add(cid)
+            chosen.append((cid, g))
+            # no per-round re-pin: the update is <=K nested greatest() over
+            # the ONE checkpointed sims frame — recomputing that lineage in
+            # the next round's aggregate costs microseconds on the tiny
+            # (n_vecs x K-array) frame, while an eager localCheckpoint costs
+            # a whole scheduled job per round (measured: ~0.4 s x K rounds)
+            cur = cur.withColumn(
+                "cur", F.greatest(F.col("cur"), F.element_at("s", j + 1))
+            )
 
     out, cov = [], decimal.Decimal(0)
     for i, (cid, g) in enumerate(chosen, start=1):

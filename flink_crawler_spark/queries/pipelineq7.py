@@ -161,22 +161,27 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the matrix is 1024 inlined literals (broadcast by
     construction), the projection is one scan with zero shuffles, and
     downstream consumers move 4× fewer bytes per vector."""
+    # r12 (guide §1.2 "per-task work" applies to the DRIVER too): the
+    # previous per-term Column loop built 16x64 nested py4j objects —
+    # 6.0-6.5 s of pure Python plan construction for 0.2 s of execution
+    # (measured; the bench times fn() + count(), so construction WAS the
+    # query). One selectExpr hands the whole projection to the JVM
+    # parser in a single round-trip (~0.2 s). The SQL text is the same
+    # left-associated signed chain starting from an explicit 0.0 —
+    # term-for-term identical association, bit-identical values.
     emb = t(spark, sf_dir, "embeddings")
-    x = emb.select(
+    x = emb.selectExpr(
         "vec_id",
         *[
-            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            f"CAST(element_at(embedding, {i}) AS DOUBLE) AS x{i}"
             for i in range(1, RP_IN + 1)
         ],
     )
-    cols = []
-    for j in range(1, RP_OUT + 1):
-        acc = F.lit(0.0).cast("double")
-        for i in range(1, RP_IN + 1):
-            term = F.col(f"x{i}")
-            acc = acc + term if _rp_sign(j, i) > 0 else acc - term
-        cols.append(F.round(acc / 4.0, 6).alias(f"y{j}"))
-    return x.select("vec_id", *cols)
+    cols = [
+        f"round((0.0D {' '.join(_rp_terms(j, 'x{i}'))}) / 4.0D, 6) AS y{j}"
+        for j in range(1, RP_OUT + 1)
+    ]
+    return x.selectExpr("vec_id", *cols)
 
 
 # ---------------------------------------------------------------------------
