@@ -162,20 +162,29 @@ def main() -> int:
     # clock) and a 32-slot JVM aggregation over spark.range (codegen +
     # all-core throughput). Compare cpu_calib across BENCH_r{N}.json
     # before comparing totals.
-    ct0 = time.time()
-    acc = 0
-    for i in range(10_000_000):
-        acc = (acc + i * 2654435761) & 0xFFFFFFFF
-    py_calib = round(time.time() - ct0, 3)
+    # r12 (measurement fix, r11 verdict task 3): the probes now run at
+    # START and END of the timed loop so every artifact carries its own
+    # intra-run drift evidence — the r11 driver artifact (568.8 s) could
+    # not defend itself with a start-only sample while the host swung
+    # 0.995->1.545 mid-run. "cpu_calib" keeps its meaning (start probe,
+    # cross-round comparability); "cpu_calib_end" is additive.
+    _calib_expr = "sum(pmod(xxhash64(id), 1000000)) AS h"
+
+    def _run_calib() -> dict:
+        ct0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc = (acc + i * 2654435761) & 0xFFFFFFFF
+        py_calib = round(time.time() - ct0, 3)
+        ct0 = time.time()
+        spark.range(0, 1_600_000_000, 1, 32).selectExpr(_calib_expr).collect()
+        return {"py_1t_sec": py_calib, "jvm_32slot_sec": round(time.time() - ct0, 3)}
+
     # pmod keeps the ANSI-mode sum far from long overflow; the small
     # untimed run compiles the plan so the timed number measures CPU
     # throughput, not Janino
-    _calib_expr = "sum(pmod(xxhash64(id), 1000000)) AS h"
     spark.range(0, 40_000_000, 1, 32).selectExpr(_calib_expr).collect()
-    ct0 = time.time()
-    spark.range(0, 1_600_000_000, 1, 32).selectExpr(_calib_expr).collect()
-    jvm_calib = round(time.time() - ct0, 3)
-    cpu_calib = {"py_1t_sec": py_calib, "jvm_32slot_sec": jvm_calib}
+    cpu_calib = _run_calib()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -210,6 +219,8 @@ def main() -> int:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
 
+    cpu_calib_end = _run_calib()
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
@@ -222,8 +233,10 @@ def main() -> int:
         # kept out of per-query numbers but reported so nothing is hidden.
         "shared_builders": shared_builders,
         # Fixed-work host-speed probes (see above) — normalize totals by
-        # these before calling a cross-round delta a regression.
+        # these before calling a cross-round delta a regression; a large
+        # start/end divergence marks the whole window untrustworthy.
         "cpu_calib": cpu_calib,
+        "cpu_calib_end": cpu_calib_end,
     }
     if failures:
         out["failures"] = failures
@@ -262,6 +275,7 @@ def main() -> int:
         "n_failures": len(failures),
         "slowest": {k: round(v, 2) for k, v in slowest.items()},
         "cpu_calib": cpu_calib,
+        "cpu_calib_end": cpu_calib_end,
         "full_map": "BENCH_FULL_LAST_RUN.json",
     }
     print(json.dumps(compact))

@@ -357,3 +357,27 @@ def normalize_url_lite_expr(url: Column) -> Column:
     # ensure root path on bare authority
     u = F.when(u.rlike(BARE_AUTHORITY_RE), F.concat(u, F.lit("/"))).otherwise(u)
     return u
+
+
+# Process-level memo of the three static Column trees the crawl tick's
+# clean_urls stage rebuilds per call (r12, guide §1.2): the lite
+# normalizer alone is ~15 chained regexp_replaces ≈ dozens of py4j
+# round-trips, measured ~0.14 s of pure plan construction per tick.
+# Keyed by source column name; unresolved Columns are immutable Catalyst
+# trees, safe to reuse across plans and sessions in one JVM.
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def normalize_url_lite_col(name: str = "url") -> Column:
+    return normalize_url_lite_expr(F.col(name))
+
+
+@lru_cache(maxsize=8)
+def is_valid_url_col(name: str = "url") -> Column:
+    return is_valid_url_expr(F.col(name))
+
+
+@lru_cache(maxsize=8)
+def pld_col(name: str = "url") -> Column:
+    return pld_expr(F.col(name))

@@ -34,7 +34,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.urls import is_valid_url_expr, normalize_url_lite_expr, pld_expr
+from ..functions.urls import (
+    is_valid_url_col,
+    normalize_url_lite_col,
+    pld_col,
+    pld_expr,
+)
 from ..operators.fetch import (
     crawldelay_status_updates,
     fetch_status_updates,
@@ -169,9 +174,10 @@ def clean_urls(
     df = raw
     if redirects is not None:
         df = lengthen_urls(df, redirects)
-    df = df.withColumn("url", normalize_url_lite_expr(F.col("url")))
-    df = df.filter(is_valid_url_expr(F.col("url")))
-    df = df.withColumn("pld", pld_expr(F.col("url")))
+    # memoized static Column trees (r12): this runs every tick
+    df = df.withColumn("url", normalize_url_lite_col("url"))
+    df = df.filter(is_valid_url_col("url"))
+    df = df.withColumn("pld", pld_col("url"))
     if single_domain is not None:
         df = df.filter(F.col("pld") == single_domain.lower())
     return df

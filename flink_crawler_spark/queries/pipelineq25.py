@@ -214,8 +214,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("pa") < F.col("pb"))
         .select("pa", "pb")
         .distinct()
+        # r12: pin e, not nbr — the union's two branches each held the
+        # whole self-join+distinct subtree, so checkpointing nbr ran the
+        # edge derivation TWICE in one job (measured: the nbr job was
+        # ~2x the single-derivation cost). nbr stays a cheap projection
+        # union over the pinned edge list for its four consumers.
+        .localCheckpoint(eager=True)
     )
-    nbr = e.unionAll(e.selectExpr("pb AS pa", "pa AS pb")).localCheckpoint(eager=True)
+    nbr = e.unionAll(e.selectExpr("pb AS pa", "pa AS pb"))
     deg = nbr.groupBy("pa").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     anchors = nbr.where(F.expr(_LP_ANCHOR_SPARK)).select("pa").distinct()
     x = nbr.join(F.broadcast(anchors), "pa").selectExpr("pa AS a", "pb AS n")

@@ -103,6 +103,24 @@ def main() -> int:
     # (a) calibration-normalized delta
     calib = _calib_ratio(old, new)
     report["cpu_calib_ratio_new_over_old"] = calib
+
+    # (a') intra-run drift (r12, r11 verdict task 3): artifacts now carry
+    # a START and an END probe; a large divergence between them marks the
+    # artifact's whole window untrustworthy on its own evidence, without
+    # a judge re-measure.
+    for label, art in (("old", old), ("new", new)):
+        cs, ce = art.get("cpu_calib") or {}, art.get("cpu_calib_end") or {}
+        drift = {}
+        for k in ("py_1t_sec", "jvm_32slot_sec"):
+            if cs.get(k) and ce.get(k):
+                drift[k] = round(ce[k] / cs[k], 3)
+        if drift:
+            report[f"intra_run_drift_{label}"] = drift
+            if any(r > 1.15 or r < 0.87 for r in drift.values()):
+                report[f"untrustworthy_window_{label}"] = (
+                    "start/end calib diverge >15% — host drifted DURING "
+                    "this run; per-query numbers from it are suspect"
+                )
     if to and tn:
         raw_ratio = tn / to
         report["total_ratio_raw"] = round(raw_ratio, 3)
