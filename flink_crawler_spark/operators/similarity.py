@@ -70,8 +70,40 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def signature_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-LSH signature as a bigint bucket id (JVM-side, no UDF)."""
+def _dlit(v: float) -> str:
+    """A Spark-SQL DOUBLE literal that round-trips ``v`` bit-exactly.
+    Plain decimal text parses as DECIMAL, so suffix D; scientific
+    notation already parses as DOUBLE."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "D"
+
+
+def signature_expr(vec: Column | str, planes: np.ndarray) -> Column:
+    """Sign-LSH signature as a bigint bucket id (JVM-side, no UDF).
+
+    Pass the vector as a column NAME (or SQL fragment) to build the whole
+    signature as ONE parsed SQL expression (r12, guide §1.2): the Column
+    path pays ~planes x dim py4j round-trips of pure plan construction
+    (measured ~2 s for 8x64 planes — more than the query's execution).
+    Both paths build the identical expression tree — the same left-assoc
+    ``aggregate(zip_with(...))`` dot fold starting at DOUBLE 0.0 and the
+    same left-assoc shiftleft accumulation from bit 0 — so bucket ids
+    are bit-identical and the ``_lsh_sig_sql`` DuckDB twin still holds.
+    """
+    if isinstance(vec, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ", ".join(_dlit(v) for v in plane)
+            dot = (
+                f"aggregate(zip_with(transform({vec}, x -> CAST(x AS DOUBLE)), "
+                f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            bit = (
+                f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+            terms.append(f"shiftleft({bit}, {i})")
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
@@ -153,7 +185,7 @@ def ann_topk_lsh(
     ]
 
     sig_col = (
-        signature_expr(F.col(vec_col), planes)
+        signature_expr(vec_col, planes)
         if reproducible
         else signature_udf(planes)(F.col(vec_col))
     )
@@ -190,7 +222,7 @@ def embedding_near_dup_pairs(
     surviving pair is emitted exactly once in both engines."""
     planes = hyperplanes_from_df_dim(embeddings, vec_col, n_planes, seed)
     sig_col = (
-        signature_expr(F.col(vec_col), planes)
+        signature_expr(vec_col, planes)
         if reproducible
         else signature_udf(planes)(F.col(vec_col))
     )

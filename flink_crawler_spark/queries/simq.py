@@ -348,33 +348,38 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     iw = Window.partitionBy("qid", "n_probe").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
-    ivf_hits = {
-        r["n_probe"]: r["hits"]
-        for r in (
-            assigned.join(F.broadcast(probes), "cid")
-            .select("qid", "n_probe", "vec_id")
-            .join(scored, ["qid", "vec_id"])
-            .withColumn("rn", F.row_number().over(iw))
-            .filter(F.col("rn") <= TOPK)
-            .join(truth, ["qid", "vec_id"], "left_semi")
-            .groupBy("n_probe")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .collect()
-        )
-    }
+    # r12 (guide §1.2/§2.6): the three method branches (IVF sweep, LSH,
+    # PQ-ADC) were three separate driver actions — three full
+    # analyze/optimize/schedule round-trips for a report whose runtime is
+    # ~100% that overhead (sf0.001 steady == sf0.1 record). One unioned
+    # (method, n_probe, hits) aggregate collects ONCE, and the branch
+    # stages overlap inside a single job. Each branch's aggregation is
+    # unchanged (count() -> count(1) over the same frame), so every hit
+    # count — and the report — is value-identical.
+    ivf_branch = (
+        assigned.join(F.broadcast(probes), "cid")
+        .select("qid", "n_probe", "vec_id")
+        .join(scored, ["qid", "vec_id"])
+        .withColumn("rn", F.row_number().over(iw))
+        .filter(F.col("rn") <= TOPK)
+        .join(truth, ["qid", "vec_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit("ivf").alias("m"), "n_probe", "hits")
+    )
 
     # --- LSH: left-assoc signature expression (the signature_expr twin
     # of the inlined-plane oracle), Hamming<=2 probe as a bit_count join
     from ..operators.similarity import signature_expr
 
     signed = emb.select(
-        "vec_id", signature_expr(F.col("embedding"), _RECALL_PLANES).alias("bkt")
+        "vec_id", signature_expr("embedding", _RECALL_PLANES).alias("bkt")
     ).localCheckpoint(eager=True)
     qsig = signed.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt")
     )
     lw = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    lsh_hits = (
+    lsh_branch = (
         signed.crossJoin(F.broadcast(qsig))
         .filter(F.bit_count(F.col("bkt").bitwiseXOR(F.col("qbkt"))) <= 2)
         .select("qid", "vec_id")
@@ -382,14 +387,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(lw))
         .filter(F.col("rn") <= TOPK)
         .join(truth, ["qid", "vec_id"], "left_semi")
-        .count()
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit("lsh").alias("m"), F.lit(0).alias("n_probe"), "hits")
     )
-
-    nq = len(qids)
-    rows = [("lsh_hamming2", TOPK, nq, float(lsh_hits) / (TOPK * nq))] + [
-        (f"ivf_16x{p}", TOPK, nq, float(ivf_hits.get(p, 0)) / (TOPK * nq))
-        for p in RECALL_PROBES
-    ]
 
     # PQ-ADC: the compressed-store search approximates EUCLIDEAN distance,
     # so its recall is measured against the exact L2 top-k (a separate
@@ -437,12 +437,24 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_d2dw(F.sum(F.col("sd").cast("decimal(28,6)"))).alias("adc"))
     )
     adcw = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-    adc_hits = (
+    adc_branch = (
         adc.withColumn("rn", F.row_number().over(adcw))
         .filter(F.col("rn") <= TOPK)
         .join(l2_truth, ["qid", "vec_id"], "left_semi")
-        .count()
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit("adc").alias("m"), F.lit(0).alias("n_probe"), "hits")
     )
+
+    res = ivf_branch.unionByName(lsh_branch).unionByName(adc_branch).collect()
+    ivf_hits = {r["n_probe"]: r["hits"] for r in res if r["m"] == "ivf"}
+    lsh_hits = next(r["hits"] for r in res if r["m"] == "lsh")
+    adc_hits = next(r["hits"] for r in res if r["m"] == "adc")
+
+    nq = len(qids)
+    rows = [("lsh_hamming2", TOPK, nq, float(lsh_hits) / (TOPK * nq))] + [
+        (f"ivf_16x{p}", TOPK, nq, float(ivf_hits.get(p, 0)) / (TOPK * nq))
+        for p in RECALL_PROBES
+    ]
     rows.append(("pq_adc_8x16_vs_l2", TOPK, nq, float(adc_hits) / (TOPK * nq)))
 
     return spark.createDataFrame(
