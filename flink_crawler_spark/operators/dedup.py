@@ -252,21 +252,27 @@ def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")  # 60 bits
-    bits = toks.select(
+    # r12 (guide §1.2): the previous per-bit Column loops (60 bit columns
+    # + 60 sums + a 60-term fold) built ~2000 py4j objects — ~2.5 s of
+    # pure plan construction, more than the query's execution at bench
+    # scale. The same expressions as parsed SQL strings cost a handful of
+    # round-trips; every operation is integer arithmetic with identical
+    # shape ((h>>i & 1)*2-1 votes, sum, sign, left-assoc shiftleft sum),
+    # so fingerprints are bit-identical and the DuckDB twin still holds.
+    h_sql = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"  # 60 bits
+    bits = toks.selectExpr(
         id_col,
-        *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(60)
-        ],
+        *[f"(shiftright({h_sql}, {i}) & 1) * 2 - 1 AS b{i}" for i in range(60)],
     )
-    votes = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"v{i}") for i in range(60)])
-    fp = None
-    for i in range(60):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    votes = bits.groupBy(id_col).agg(
+        F.expr("sum(b0) AS v0"), *[F.expr(f"sum(b{i}) AS v{i}") for i in range(1, 60)]
+    )
+    fp_sql = " + ".join(
+        f"shiftleft(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END, {i})"
+        for i in range(60)
+    )
+    return votes.selectExpr(id_col, f"{fp_sql} AS simhash")
 
 
 def connected_components(
