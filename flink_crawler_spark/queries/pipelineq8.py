@@ -427,7 +427,15 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected FIRST so the lambda captures a column, not a
     recomputation (the interpreted-HOF capture trap).
     """
-    d0 = t(spark, sf_dir, "documents").select(
+    # r12 (guide §2.5 input skew): the sf-corpus parquet is ONE file with
+    # ONE row group, so the scan is a single task and every tokenize +
+    # explode + map-side partial agg below ran single-threaded (measured:
+    # the c3d stream alone 1.72 s, ~4x the parallel cost). Spread the
+    # 5k-row doc table across cores first; at real scale the input is
+    # already wide and this is a no-op.
+    from ..operators import ensure_parallelism
+
+    d0 = ensure_parallelism(t(spark, sf_dir, "documents")).select(
         "doc_id", tokens_expr(F.col("text")).alias("tk")
     )
     tr = d0.select(
