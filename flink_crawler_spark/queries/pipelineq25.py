@@ -206,7 +206,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     At web scale the same query runs per degree-bounded block (hub
     nodes excluded first — the standard LP trick), exactly how the
     triangle counter bounds itself."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.5): the sf lineitem parquet is one file/one row group —
+    # spread the scan so the self-join's shuffle writes aren't one task
+    # per side (no-op once the input is multi-file at scale)
+    li = ensure_parallelism(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     a = li.selectExpr("l_orderkey", "l_partkey AS pa")
     b = li.selectExpr("l_orderkey", "l_partkey AS pb")
     e = (

@@ -199,8 +199,15 @@ def stream_url_db_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.url_db import run_obs_stream_to_state
 
+    from ..operators import ensure_parallelism
+
     obs_dir = tempfile.mkdtemp(prefix="fcs_obs_")
-    crawl_obs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(obs_dir)
+    # r12 (guide §2.5/§6): the obs derivation inherits the single-file
+    # lineitem scan's one partition, so coalesce(1) made the write one
+    # task AND the stream replay read one split. Spread it instead —
+    # availableNow with no maxFilesPerTrigger still replays everything
+    # as ONE batch, so per-url merge grouping is unchanged.
+    ensure_parallelism(crawl_obs(spark, sf_dir)).write.mode("overwrite").parquet(obs_dir)
     sink = run_obs_stream_to_state(
         _stream_session(spark), obs_dir, "urldb_" + uuid.uuid4().hex[:8]
     )

@@ -94,52 +94,109 @@ def merge_one(
     )
 
 
+_OBS_COLS = ["url", "status", "status_time", "score", "next_fetch_time"]
+
+
+def _merge_batch_vectorized(
+    prev: pd.DataFrame | None, batch: pd.DataFrame
+) -> pd.DataFrame:
+    """N-way lattice fold over (state row + batch rows) per url, vectorized
+    in pandas — value-identical to folding ``merge_one`` row by row.
+
+    Why the fold commutes into this shape (the batch lattice's own n-way
+    form, property-pinned in test_merge_lattice_laws):
+
+    * any non-UNFETCHED candidate beats every UNFETCHED one, and among
+      non-UNFETCHED the winner is the argmax on (status_time, merge
+      priority, status, score, next_fetch_time) — a TOTAL order on the
+      value, so the sequential pairwise max equals the global argmax;
+    * a url whose candidates are all UNFETCHED accumulates (max time,
+      summed score, min next_fetch_time); pandas' grouped sum adds in row
+      order with the state row first — the same left-to-right double
+      additions the sequential fold performs.
+    """
+    from ..schemas import FETCH_STATUS_PRIORITY
+
+    pool = batch if prev is None or prev.empty else pd.concat(
+        [prev, batch], ignore_index=True
+    )
+    unf = pool["status"].to_numpy() == UNFETCHED
+    win_non = None
+    if not unf.all():
+        pn = pool[~unf].copy()
+        pn["_prio"] = (
+            pn["status"].map(FETCH_STATUS_PRIORITY).fillna(50).astype("int64")
+        )
+        pn = pn.sort_values(
+            ["url", "status_time", "_prio", "status", "score", "next_fetch_time"],
+            kind="mergesort",
+        )
+        win_non = pn.drop_duplicates("url", keep="last").drop(columns="_prio")
+    win_unf = None
+    if unf.any():
+        pu = pool[unf]
+        if win_non is not None:
+            pu = pu[~pu["url"].isin(win_non["url"])]
+        if len(pu):
+            g = pu.groupby("url", sort=False)
+            win_unf = pd.DataFrame(
+                {
+                    "status_time": g["status_time"].max(),
+                    "score": g["score"].sum(),
+                    "next_fetch_time": g["next_fetch_time"].min(),
+                }
+            ).reset_index()
+            win_unf["status"] = UNFETCHED
+    parts = [p for p in (win_non, win_unf) if p is not None and len(p)]
+    merged = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    return merged.sort_values("url", kind="mergesort")[_OBS_COLS].reset_index(
+        drop=True
+    )
+
+
 def _url_db_fn(
     key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     pld = key[0]
+    chunks = [pdf[_OBS_COLS] for pdf in pdfs]
+    batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+
+    st = None
     if state.exists:
         urls, statuses, times, scores, nfts = state.get
-        db: dict[str, tuple[str, int, float, int]] = {
-            u: (s, t, sc, n) for u, s, t, sc, n in zip(urls, statuses, times, scores, nfts)
-        }
-    else:
-        db = {}
+        st = pd.DataFrame(
+            {
+                "url": urls,
+                "status": statuses,
+                "status_time": times,
+                "score": scores,
+                "next_fetch_time": nfts,
+            }
+        )
 
-    touched: set[str] = set()
-    for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            db[row.url] = merge_one(
-                db.get(row.url),
-                row.status,
-                int(row.status_time),
-                float(row.score),
-                int(row.next_fetch_time),
+    touched = batch["url"].unique()
+    prev = st[st["url"].isin(touched)] if st is not None else None
+    merged = _merge_batch_vectorized(prev, batch)
+
+    full = merged
+    if st is not None:
+        untouched = st[~st["url"].isin(touched)]
+        if len(untouched):
+            full = pd.concat([untouched, merged], ignore_index=True).sort_values(
+                "url", kind="mergesort"
             )
-            touched.add(row.url)
-
-    items = sorted(db.items())
     state.update(
         (
-            [u for u, _ in items],
-            [v[0] for _, v in items],
-            [v[1] for _, v in items],
-            [v[2] for _, v in items],
-            [v[3] for _, v in items],
+            full["url"].tolist(),
+            full["status"].tolist(),
+            full["status_time"].tolist(),
+            full["score"].tolist(),
+            full["next_fetch_time"].tolist(),
         )
     )
-    out = [
-        {
-            "url": u,
-            "pld": pld,
-            "status": db[u][0],
-            "status_time": db[u][1],
-            "score": db[u][2],
-            "next_fetch_time": db[u][3],
-        }
-        for u in sorted(touched)
-    ]
-    yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+    out = merged.copy()
+    out["pld"] = pld
+    yield out[[f.name for f in OUT_SCHEMA.fields]]
 
 
 def url_db_stateful(obs_stream: DataFrame) -> DataFrame:
