@@ -517,6 +517,9 @@ def pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dist arithmetic is exact in both engines.
 
 SSSP_ROUNDS = 8
+# driver-relaxation gate: module-level so the path-equivalence test can
+# force the distributed branch (tests/test_sssp_paths.py)
+SSSP_DRIVER_MAX_EDGES = 5_000_000
 
 # sparse derived graph: ~12k weighted edges over 5000 nodes at sf0.01
 # (l_quantity is integral in this dataset, so Spark's truncating
@@ -579,6 +582,31 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage so each round reads the ~12k-row edge blocks directly
         .localCheckpoint(eager=True)
     )
+    # r12 (guide §1.2/§8, the facility_location precedent): the graph is
+    # MODULO-bounded (nodes < 5000, edges ≤ distinct (src,dst) pairs), so
+    # under SSSP_DRIVER_MAX_EDGES the 8 relaxation rounds run on the
+    # collected edge list in the driver — ALL-INTEGER arithmetic, so the
+    # Python fold is exactly the distributed min-fold (no float rounding
+    # anywhere). The distributed loop (one join+min-fold per round) is
+    # kept for graphs past the gate; equivalence is just min-plus
+    # associativity. Measured 4.4 s (record 3.80) -> ~0.6 s at sf0.1.
+    if edges.count() <= SSSP_DRIVER_MAX_EDGES:
+        rows = edges.collect()
+        dist = {0: 0}
+        for _ in range(SSSP_ROUNDS):
+            new = dict(dist)
+            for row in rows:
+                d = dist.get(row[0])
+                if d is not None:
+                    nd = d + row[2]
+                    cur = new.get(row[1])
+                    if cur is None or nd < cur:
+                        new[row[1]] = nd
+            dist = new
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in sorted(dist.items())],
+            "node bigint, dist bigint",
+        )
     dist = spark.createDataFrame([(0, 0)], "node bigint, dist bigint")
     for r in range(SSSP_ROUNDS):
         relax = dist.join(F.broadcast(edges), dist.node == edges.src).select(

@@ -489,28 +489,53 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expansion runs once
         .localCheckpoint(eager=True)
     )
-    from ..operators.partitioning import distributed_row_number
+    # r12 (guide §1.2/§8, the facility_location precedent): the pair set
+    # is CALENDAR-bounded (~2.9M slopes at every SF — days², not fact
+    # rows), so below TS_DRIVER_MAX the two exact order statistics come
+    # from an O(n) numpy selection on the already-materialized slope
+    # column instead of the two-pass distributed rank (which re-shuffled
+    # and re-sorted all ~3M rows twice). Only the SELECTION moves to the
+    # driver: the selected values re-enter the plan as double literals
+    # and the midpoint/round/intercept arithmetic stays in Spark,
+    # bit-identical. Corpora past the gate keep the distributed rank.
+    TS_DRIVER_MAX = 20_000_000
+    n_pairs = pairs.count()  # one cheap job over the pinned 8-byte column
+    if n_pairs <= TS_DRIVER_MAX:
+        import numpy as np
 
-    ranked = distributed_row_number(pairs, ["slope"], out="rn")
-    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sl = (
-        ranked.crossJoin(F.broadcast(np_))
-        .filter(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("n div 2 + 1"))
+        sp = pairs.toPandas()["slope"].to_numpy()
+        k1, k2 = (n_pairs + 1) // 2, n_pairs // 2 + 1
+        s1 = float(np.partition(sp, k1 - 1)[k1 - 1])
+        s2 = float(np.partition(sp, k2 - 1)[k2 - 1])
+        sl = spark.range(1).select(
+            F.round((F.lit(s1) + F.lit(s2)) / 2, 9).alias("slope"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
         )
-        .agg(
-            F.round(
-                (
-                    F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope")))
-                    + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope")))
-                )
-                / 2,
-                9,
-            ).alias("slope"),
-            F.max("n").cast("long").alias("n_pairs"),
+    else:
+        from ..operators.partitioning import distributed_row_number
+
+        ranked = distributed_row_number(pairs, ["slope"], out="rn")
+        np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        sl = (
+            ranked.crossJoin(F.broadcast(np_))
+            .filter(
+                (F.col("rn") == F.expr("(n + 1) div 2"))
+                | (F.col("rn") == F.expr("n div 2 + 1"))
+            )
+            .agg(
+                F.round(
+                    (
+                        F.max(
+                            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("slope"))
+                        )
+                        + F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("slope")))
+                    )
+                    / 2,
+                    9,
+                ).alias("slope"),
+                F.max("n").cast("long").alias("n_pairs"),
+            )
         )
-    )
     nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     return (
         daily.withColumn("rev_d", _d2dw(F.col("rev"), 2))

@@ -93,13 +93,22 @@ def coverage_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate, flagged by the r5 verdict); adding budget points
     costs one more aggregate column, zero extra shuffles or passes."""
     from ..functions.text import quality_score_expr
+    from ..operators import ensure_parallelism
     from ..operators.dedup import shingles_expr
 
-    docs = t(spark, sf_dir, "documents")
+    # r12 (guide §2.5/§2.4): spread the single-file documents scan so the
+    # regex-heavy quality score isn't one task, and pin the tiny
+    # (doc_id, rnk) table — its two consumers (the count and the shingle
+    # join) each re-ran the quality scan + two-phase rank otherwise.
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     q = docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
-    r = distributed_row_number(
-        q.withColumn("neg_q", -F.col("quality")), ["neg_q", "doc_id"], out="rnk"
-    ).select("doc_id", F.col("rnk").cast("long").alias("rnk"))
+    r = (
+        distributed_row_number(
+            q.withColumn("neg_q", -F.col("quality")), ["neg_q", "doc_id"], out="rnk"
+        )
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"))
+        .localCheckpoint(eager=True)
+    )
     nn = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
     from .base import shingle_tables
 
