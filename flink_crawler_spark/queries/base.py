@@ -26,9 +26,28 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# r12 (guide §1.2): one spark.read.parquet costs 100-260 ms of
+# driver-side work (py4j round trip + file listing + footer schema
+# read) and the registry has ~310 call sites — ~45 s of the sf0.1
+# bench was spent re-deriving the SAME immutable lazy scan handle.
+# Memoize per (session, path): a DataFrame is an immutable logical
+# plan, so reuse across queries changes nothing downstream (no data is
+# cached — every action still scans the parquet), and keying on the
+# session object drops the cache with the session. The corpora are
+# immutable for a bench/oracle run (regenerating testdata means a new
+# process), matching parquet_row_count's cache contract below.
+_TABLE_HANDLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table (plain parquet scan -> full pushdown)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark, path)
+    df = _TABLE_HANDLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _TABLE_HANDLE_CACHE[key] = df
+    return df
 
 
 _ROW_COUNT_CACHE: dict[str, int] = {}

@@ -534,7 +534,13 @@ def bucketed_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.state_table import save_bucketed_state, tick_merge_bucketed
 
-    obs = crawl_obs(spark, sf_dir)
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.4/§2.5): pin the observation derivation once — its two
+    # consumers (the state0 fold and the tick delta) each re-ran the
+    # lineitem scan + url/pld rendering — and spread the single-row-group
+    # scan so both bucketed writes' map sides aren't one task.
+    obs = ensure_parallelism(crawl_obs(spark, sf_dir)).localCheckpoint(eager=True)
     half = F.pmod(F.col("status_time"), F.lit(2)) == 0
     state0 = merge_crawl_state(obs.filter(half))
     tbl = "crawl_state_q_" + uuid.uuid4().hex[:8]

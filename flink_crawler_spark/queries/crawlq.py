@@ -849,9 +849,12 @@ def parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     title/text/outlinks with string ops; the PDF and timeout branches
     are pinned by tests/test_multiformat_parse.py (binary fixtures are
     not SQL-expressible)."""
+    from ..operators import ensure_parallelism
     from ..operators.parse import parse_pages_multiformat
 
-    docs = t(spark, sf_dir, "documents").select(
+    # r12 (guide §2.5): the single-row-group documents scan would run the
+    # whole mapInPandas dispatcher on ONE task — spread before rendering
+    docs = ensure_parallelism(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("nt"),
     )

@@ -101,8 +101,12 @@ def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded once to 12dp and DECIMAL-summed, so the per-class
     scores — and hence the argmax — are bit-identical across engines
     (ties broken by language name)."""
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.5): the tokenize+explode materialization below ran on
+    # the single-row-group scan's ONE task; spread before exploding
     tk = (
-        t(spark, sf_dir, "documents")
+        ensure_parallelism(t(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "lang",

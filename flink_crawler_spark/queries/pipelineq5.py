@@ -319,7 +319,12 @@ def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys inlines the HOF tree into the aggregate's key evaluation —
     measured 159 s vs <1 s at sf0.1; the reduction then groups plain
     attributes."""
-    d = t(spark, sf_dir, "documents")
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.5): single-row-group scan -> the token-HOF gate pass
+    # (materialized by the eager checkpoint below) ran as ONE task
+    # (3.7 s of the query); spread it first (no-op on wide inputs)
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     ws = F.array_sort(tokens_expr(F.col("text")))
     n = F.size(ws)
     n_distinct, _slogs, maxc = _run_stats(ws, n)

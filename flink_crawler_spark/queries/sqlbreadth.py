@@ -199,7 +199,14 @@ def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations. The robust-statistics outlier primitive (quality
     filtering by MAD-z-score is standard in training-data curation);
     two aggregation passes, the medians dim always broadcast-sized."""
-    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.5): both exact-percentile partial aggregations build
+    # their state on the scan's partitioning — ONE task on the
+    # single-row-group sf corpus; spread the 2-column projection first
+    li = ensure_parallelism(
+        t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     m = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
     )

@@ -64,7 +64,9 @@ def _stream_session(spark: SparkSession, n: int = 4) -> SparkSession:
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _stream_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    # r12 (guide §1.2): schema via the memoized table handle — each
+    # spark.read.parquet re-derivation cost 100-260 ms of driver work
+    schema = t(spark, sf_dir, "events").schema
     # FileStreamSource wants a directory — expose the table file through one
     stream_dir = tempfile.mkdtemp(prefix="fcs_stream_src_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
@@ -139,7 +141,7 @@ def _run_to_memory(agg: DataFrame, prefix: str, mode: str = "complete") -> DataF
     return spark.table(name)
 
 
-from .base import register  # noqa: E402
+from .base import register, t  # noqa: E402
 from .base import dec_to_double_wide as _d2dw  # noqa: E402
 from .base import dsum_wide as _dsum_wide  # noqa: E402
 from .base import dsum_wide_sql as _dws  # noqa: E402
@@ -401,10 +403,11 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sspark = _stream_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    ev = t(spark, sf_dir, "events")  # r12: memoized handle (guide §1.2)
+    schema = ev.schema
     stream_dir = tempfile.mkdtemp(prefix="fcs_ssj_left_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    mx = spark.read.parquet(path).agg(F.max("ts"), F.max("event_id")).first()
+    mx = ev.agg(F.max("ts"), F.max("event_id")).first()
     import datetime
     sentinel_ts = mx[0] + datetime.timedelta(hours=3)
     sentinel = [
@@ -471,9 +474,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir)
     # static side MUST come from the stream-replay session — Spark rejects
     # joins that mix plans from two sessions
-    cu = stream.sparkSession.read.parquet(
-        os.path.join(sf_dir, "customer.parquet")
-    ).select("c_custkey", "c_mktsegment")
+    cu = t(stream.sparkSession, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
     joined = stream.join(F.broadcast(cu), stream.user_id == cu.c_custkey)
     # streaming allows ONE aggregation per query: do the stateful
     # (segment, user) level in the stream; the per-segment rollup —
@@ -515,10 +518,11 @@ def stream_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered from the output; the result converges EXACTLY to the batch
     aggregation (oracle)."""
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    ev = t(spark, sf_dir, "events")  # r12: memoized handle (guide §1.2)
+    schema = ev.schema
     stream_dir = tempfile.mkdtemp(prefix="fcs_swa_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    mx = spark.read.parquet(path).agg(F.max("ts"), F.max("event_id")).first()
+    mx = ev.agg(F.max("ts"), F.max("event_id")).first()
     import datetime
 
     sentinel_ts = mx[0] + datetime.timedelta(hours=3)

@@ -17,14 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count_expr
-from .base import register
+from .base import register, t
 from .streamq import _run_to_memory, _stream_session
 
 
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _stream_session(spark)
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    # r12 (guide §1.2): schema via the memoized table handle
+    schema = t(spark, sf_dir, "documents").schema
     stream_dir = tempfile.mkdtemp(prefix="fcs_docstream_")
     os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
     return spark.readStream.schema(schema).parquet(stream_dir)

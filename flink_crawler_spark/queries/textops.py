@@ -310,8 +310,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (then term asc) so 1-ulp ln() differences between engines can
     never flip the top-k cut.
     """
+    from ..operators import ensure_parallelism
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    # r12 (guide §2.5): tokenize+explode+partial-agg ran on the scan's one
+    # task (single-row-group corpus); spread it (no-op on wide inputs)
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
