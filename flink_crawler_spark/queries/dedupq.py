@@ -70,8 +70,17 @@ SELECT * FROM sigs
 """,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    # r12 (guide §2.4): derive from the session-shared shingle base — the
+    # shingle HOF scan is the dominant cost of every query in this family
+    # and is identical across them (multiset-equal explode; the keyed-md5
+    # min is order-independent, so signatures are bit-identical)
+    from ..operators.dedup import _minhash_from_exploded
+    from .base import shingle_tables
+
+    _, ex = shingle_tables(spark, sf_dir, 3)
+    return _minhash_from_exploded(
+        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
+    )
 
 
 def _buckets_sql() -> str:
@@ -98,8 +107,7 @@ WHERE a.doc_id < b.doc_id
 def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: near-dup candidates only materialize inside band
     buckets (equi-join on (band, band_hash)) — never O(n^2)."""
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    sigs = minhash_signatures_q(spark, sf_dir)  # r12: shared shingle base
     return lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
 
 
@@ -128,10 +136,15 @@ JOIN shs b ON p.id_b = b.doc_id
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification of LSH candidates (the verify
     stage of MinHash+LSH near-dup)."""
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    # r12 (guide §2.4): signatures AND the verify side both come from the
+    # session-shared shingle base instead of re-shingling the corpus twice
+    from ..operators.dedup import _jaccard_on_shingles
+    from .base import shingle_tables
+
+    sets, _ = shingle_tables(spark, sf_dir, 3)
+    sigs = minhash_signatures_q(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
-    j = ngram_jaccard(docs, pairs, shingle_n=3)
+    j = _jaccard_on_shingles(sets, pairs, id_col="doc_id")
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -85,10 +85,15 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is identical to production; the estimate is an exact
     integer ratio and the error aggregate is a rounded-once DECIMAL
     sum."""
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3).localCheckpoint(
-        eager=True
-    )
+    # r12 (guide §2.4): signatures + exact verify from the session-shared
+    # shingle base (bit-identical; see ngram_jaccard_pairs)
+    from ..operators.dedup import _jaccard_on_shingles, _minhash_from_exploded
+    from .base import shingle_tables
+
+    sets, ex = shingle_tables(spark, sf_dir, 3)
+    sigs = _minhash_from_exploded(
+        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
+    ).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_HASHES)]
@@ -109,7 +114,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round(CAST({match} AS DOUBLE) / {NUM_HASHES}, 6) AS jaccard_est",
         )
     )
-    exact = ngram_jaccard(docs, pairs, shingle_n=3).select(
+    exact = _jaccard_on_shingles(sets, pairs, id_col="doc_id").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact")
     )
     cal = est.join(exact, ["id_a", "id_b"]).localCheckpoint(eager=True)

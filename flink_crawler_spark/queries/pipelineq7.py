@@ -294,8 +294,14 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles_expr
     from .dedupq import BANDS, NUM_HASHES
 
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES, shingle_n=3)
+    # r12 (guide §2.4): signatures from the session-shared shingle base
+    from ..operators.dedup import _minhash_from_exploded
+    from .base import shingle_tables
+
+    _, ex = shingle_tables(spark, sf_dir, 3)
+    sigs = _minhash_from_exploded(
+        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
+    )
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
     # shared family shingle base (already ensure_parallelism'd and
     # checkpointed once per session+corpus)
