@@ -214,8 +214,13 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     li = ensure_parallelism(
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
-    a = li.selectExpr("l_orderkey", "l_partkey AS pa")
-    b = li.selectExpr("l_orderkey", "l_partkey AS pb")
+    # r12 (guide §2.3): part keys are INT-bounded (p_partkey <= 2e5*SF);
+    # carrying them as int halves the bytes through every exchange of
+    # this plan's six shuffles (edge distinct, degree, anchors, both
+    # wedge-join sides, the candidate aggregation); the output re-casts
+    # to the oracle's BIGINT so result types are unchanged.
+    a = li.selectExpr("l_orderkey", "CAST(l_partkey AS INT) AS pa")
+    b = li.selectExpr("l_orderkey", "CAST(l_partkey AS INT) AS pb")
     e = (
         a.join(b, "l_orderkey")
         .where(F.col("pa") < F.col("pb"))
@@ -270,7 +275,13 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         cand.withColumn("jacc", F.expr(jacc))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= LP_TOPK)
-        .selectExpr("a AS part_a", "c AS predicted_part", "cn AS n_common", "jacc", "rnk")
+        .selectExpr(
+            "CAST(a AS BIGINT) AS part_a",
+            "CAST(c AS BIGINT) AS predicted_part",
+            "cn AS n_common",
+            "jacc",
+            "rnk",
+        )
     )
 
 
