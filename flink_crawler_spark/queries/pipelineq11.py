@@ -143,10 +143,18 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cand_ids = [r["c"] for r in cands]
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in cands]
+    # r12 (guide §1.2, the SimHash/LSH-string precedent): the nested
+    # F.array/F.lit literal paid ~2k py4j round trips (~1.4 s measured);
+    # ONE parsed expression builds the same tree. CAST('<repr>' AS
+    # DOUBLE) goes through Double.parseDouble of Python's shortest
+    # round-trip repr — bit-identical doubles to F.lit(float(x)).
+    _d = lambda x: f"CAST('{float(x)!r}' AS DOUBLE)"  # noqa: E731
+    cmat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_d(x) for x in r["cv"]) + ")" for r in cands
+        ) + ")"
     )
-    ncarr = F.array(*[F.lit(float(r["nc"])) for r in cands])
+    ncarr = F.expr("array(" + ",".join(_d(r["nc"]) for r in cands) + ")")
 
     # nd is a materialized column, so the lambdas below capture cheap
     # refs only (the interpreted-HOF capture trap)
@@ -157,7 +165,12 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot / (F.element_at(ncarr, i + 1) * F.col("nd")), 9
         ).cast("decimal(18,9)")
 
-    sims_frame = e.select(
+    # r12 (guide §2.5): the 32-candidate x 64-dim interpreted-HOF sim
+    # pass ran on the single-row-group scan's ONE task; spread it first
+    # (no-op on multi-file inputs)
+    from ..operators import ensure_parallelism
+
+    sims_frame = ensure_parallelism(e).select(
         F.col("vec_id").alias("v"), F.transform(cmat, sims).alias("s")
     )
 
