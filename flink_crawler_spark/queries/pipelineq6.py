@@ -115,6 +115,67 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HITS_ITERS = 5
 
+# driver-fold gate: module-level so the path-equivalence test can force
+# the distributed branch (tests/test_hits_paths.py, the sssp idiom)
+HITS_DRIVER_MAX_EDGES = 5_000_000
+
+
+def _hits_driver_fold(spark: SparkSession, dedup: DataFrame) -> DataFrame:
+    """The 5 HITS iterations on the collected edge list — exact replica
+    of the distributed half-step arithmetic (r12, guide §1.2/§8; the
+    sssp/facility_location precedent):
+
+      * contribution  = CAST(round(score, 12) AS DECIMAL(38,18)):
+        Spark's Round(double) is BigDecimal.valueOf(x).setScale(12,
+        HALF_UP).toDouble and the double->decimal cast is
+        BigDecimal.valueOf(r); Python's shortest round-trip repr() emits
+        the same digit string as Double.toString, so
+        Decimal(repr(x)).quantize(1e-12, HALF_UP) -> float -> repr ->
+        Decimal reproduces both steps bit-for-bit;
+      * the per-target DECIMAL sum is exact in both engines (<= 17
+        digits, far below context precision);
+      * max + the one double division per node are single
+        correctly-rounded ops in both (BigDecimal.doubleValue ==
+        float(Decimal)).
+
+    The measured cost of the distributed loop was pure driver latency:
+    92 scheduler jobs of <= 0.21 s each (10 half-steps of AQE stage
+    materializations, broadcast builds and checkpoints) for a
+    modulo-bounded graph of <= 2*|part| edges."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12, q6 = Decimal("1e-12"), Decimal("0.000001")
+    pairs = [(r[0], r[1]) for r in dedup.collect()]
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+
+    def half(scores: dict, flip: bool) -> dict:
+        contrib = {}
+        for i, x in scores.items():
+            r = float(Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP))
+            contrib[i] = Decimal(repr(r))
+        raw: dict = {}
+        for s, d in pairs:
+            if flip:
+                s, d = d, s
+            prev = raw.get(d)
+            raw[d] = contrib[s] if prev is None else prev + contrib[s]
+        m = float(max(raw.values()))
+        return {i: float(raw[i]) / m if i in raw else 0.0 for i in nodes}
+
+    h = {i: 1.0 for i in nodes}
+    a: dict = {}
+    for _ in range(HITS_ITERS):
+        a = half(h, flip=False)
+        h = half(a, flip=True)
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    return spark.createDataFrame(
+        [(int(i), r6(h[i]), r6(a[i])) for i in nodes],
+        "id bigint, hub double, auth double",
+    )
+
 
 def _hits_sql(iters: int) -> str:
     """Unrolled HITS iterations, max-normalized, with DECIMAL(38,18)
@@ -183,6 +244,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r12: modulo-bounded graphs fold in the driver (exact-equivalence
+    # proof + latency profile on _hits_driver_fold); larger graphs keep
+    # the distributed per-half-iteration loop below unchanged.
+    if dedup.count() <= HITS_DRIVER_MAX_EDGES:
+        return _hits_driver_fold(spark, dedup)
     nodes = (
         dedup.select(F.col("src").alias("id"))
         .unionByName(dedup.select(F.col("dst").alias("id")))
