@@ -123,6 +123,67 @@ def _materialize_keys(df: DataFrame, key_cols):
     return df, names, added
 
 
+def distributed_order_statistics(
+    df: DataFrame, order_cols, positions, *, nparts: int | None = None
+):
+    """Exact values at the given 1-based global rank ``positions`` of
+    ``df`` ordered by ``order_cols`` — the targeted sibling of
+    ``distributed_row_number`` for when only a handful of order
+    statistics are needed (r12, guide §1.2 step 1: don't compute things
+    you throw away).
+
+    Same two-phase structure (range partition -> per-partition counts ->
+    offset ranks), but the per-partition rank window runs ONLY over the
+    partitions that contain a requested position instead of sorting the
+    whole table (measured on winsorized_mean_price: the full-table sort
+    + full-table gather aggregate were ~2/3 of the query). Returns
+    ``{position: Row}`` with the order columns of each found position;
+    positions beyond the row count are absent (callers replicate the
+    NULL-neighbor blend semantics). Also returns the exact total row
+    count derived from the same partition counts, so callers drop their
+    separate count() pass: ``({pos: Row}, n_rows)``."""
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    nparts = _resolve_nparts(spark, nparts)
+    ranged = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_rows = sum(sizes.values())
+    offsets, running = {}, 0
+    for pid in range(nparts):
+        offsets[pid] = running
+        running += sizes.get(pid, 0)
+    want = sorted(p for p in positions if 1 <= p <= n_rows)
+    pids = set()
+    for p in want:
+        for pid in range(nparts):
+            if offsets[pid] < p <= offsets[pid] + sizes.get(pid, 0):
+                pids.add(pid)
+                break
+    if not pids:
+        return {}, n_rows
+    off = spark.createDataFrame(
+        [(pid, offsets[pid]) for pid in sorted(pids)], "__pid int, __rank_base long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    found = (
+        ranged.filter(F.col("__pid").isin(*[int(p) for p in pids]))
+        .join(F.broadcast(off), "__pid")
+        .withColumn("__rn", F.col("__rank_base") + F.row_number().over(w))
+        .filter(F.col("__rn").isin(*[int(p) for p in want]))
+        .drop("__pid", "__rank_base")
+        .collect()
+    )
+    return {int(r["__rn"]): r for r in found}, n_rows
+
+
 def distributed_keyed_row_number(
     df: DataFrame, key_cols, order_cols, *, out: str = "rank", nparts: int | None = None
 ) -> DataFrame:

@@ -187,58 +187,58 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact interpolated quantiles WITHOUT the percentile() aggregate —
     # its merge concatenates every value into one buffer (the theil_sen
-    # r6 finding: 600k+ values through a single task). Distributed rank
-    # + the same blend percentile() computes: index = p*(n-1),
-    # x[lo]*(ceil-idx) + x[hi]*(idx-floor) — identical doubles, so the
-    # quantile_cont oracle keeps matching bit-for-bit.
-    from ..operators.partitioning import distributed_row_number
+    # r6 finding: 600k+ values through a single task). r12 (guide §1.2
+    # step 1): the previous distributed_row_number form sorted and
+    # gather-scanned the WHOLE table to read 4 order statistics;
+    # distributed_order_statistics ranks only the range partitions that
+    # contain the requested positions, and the same count pass yields n.
+    # The blend is the identical index = p*(n-1), x[lo]*(ceil-idx) +
+    # x[hi]*(idx-floor) double arithmetic percentile() computes — done
+    # on the collected exact integer cents in the SAME IEEE order, so
+    # the quantile_cont oracle keeps matching bit-for-bit (the theil_sen
+    # literal-re-entry precedent).
+    import math
 
-    cnt = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranked = distributed_row_number(x, ["xc"], out="rn").crossJoin(F.broadcast(cnt))
+    from ..operators.partitioning import distributed_order_statistics
+    from .base import parquet_row_count
 
-    def _gather(p: float, tag: str):
-        idx = F.lit(p) * (F.col("n") - 1).cast("double")
-        flo = F.floor(idx).cast("long")
-        # the two neighboring order statistics (1-based rn)
-        return [
-            F.max(F.when(F.col("rn") == flo + 1, F.col("xc").cast("double"))).alias(f"{tag}f"),
-            F.max(F.when(F.col("rn") == flo + 2, F.col("xc").cast("double"))).alias(f"{tag}c"),
-        ]
+    # footer row count (zero Spark jobs): x projects every lineitem row
+    n = parquet_row_count(sf_dir, "lineitem")
+    positions = [
+        math.floor(p * (n - 1)) + k for p in (WINSOR_LO, WINSOR_HI) for k in (1, 2)
+    ]
+    probe, n_check = distributed_order_statistics(x, ["xc"], positions)
+    assert n_check == n  # the footer count and the ranked count must agree
 
-    def _blend(p: float, tag: str):
-        idx = F.lit(p) * (F.col("n") - 1).cast("double")
-        return (
-            F.when(F.ceil(idx) == F.floor(idx), F.col(f"{tag}f"))
-            .otherwise(
-                F.col(f"{tag}f") * (F.ceil(idx).cast("double") - idx)
-                + F.col(f"{tag}c") * (idx - F.floor(idx).cast("double"))
-            )
-            .alias(tag)
-        )
+    def _blend(p: float) -> float:
+        idx = p * float(n - 1)
+        flo = math.floor(idx)
+        vf = float(probe[flo + 1]["xc"])
+        if math.ceil(idx) == flo:
+            return vf
+        vc = float(probe[flo + 2]["xc"])
+        return vf * (float(math.ceil(idx)) - idx) + vc * (idx - float(flo))
 
-    q = (
-        ranked.agg(
-            F.max("n").alias("n"),
-            *_gather(WINSOR_LO, "lo"),
-            *_gather(WINSOR_HI, "hi"),
-        )
-        .select(_blend(WINSOR_LO, "lo"), _blend(WINSOR_HI, "hi"))
+    # CAST('<repr>' AS DOUBLE) re-enters each blend bit-identically
+    # (Double.parseDouble of the shortest round-trip repr — the
+    # facility_location literal idiom); a bare decimal literal would
+    # type as DECIMAL and change the clamp arithmetic.
+    lo, hi = f"CAST('{_blend(WINSOR_LO)!r}' AS DOUBLE)", f"CAST('{_blend(WINSOR_HI)!r}' AS DOUBLE)"
+    w = x.select(
+        F.expr(
+            f"CAST(round(greatest({lo}, least({hi}, CAST(xc AS DOUBLE))) / 100, 6)"
+            " AS DECIMAL(38,6)) AS cl"
+        ),
     )
-    w = x.crossJoin(F.broadcast(q)).selectExpr(
-        "CAST(round(greatest(lo, least(hi, CAST(xc AS DOUBLE))) / 100, 6)"
-        " AS DECIMAL(38,6)) AS cl",
-        "lo",
-        "hi",
-    )
-    return w.groupBy("lo", "hi").agg(
+    return w.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(_d2dw(F.sum("cl")) / F.count(F.lit(1)), 6).alias(
             "winsorized_mean"
         ),
     ).selectExpr(
         "n",
-        "round(lo / 100, 6) AS p05",
-        "round(hi / 100, 6) AS p95",
+        f"round({lo} / 100, 6) AS p05",
+        f"round({hi} / 100, 6) AS p95",
         "winsorized_mean",
     )
 

@@ -185,3 +185,29 @@ def test_keyed_rank_expression_key_aliased_to_existing_name(spark):
         got.subtract(want).count() == 0
         and want.subtract(got).count() == 0
     )
+
+
+def test_distributed_order_statistics_matches_full_rank(spark):
+    """r12: the targeted order-statistics helper must agree with the
+    full two-phase rank on every requested position — including
+    duplicate values straddling partition boundaries (the value at a
+    rank is deterministic even though row_number tie order is not) —
+    report the exact total count, and omit out-of-range positions."""
+    from flink_crawler_spark.operators.partitioning import (
+        distributed_order_statistics,
+        distributed_row_number,
+    )
+
+    # 200 rows with heavy duplication (only 17 distinct values)
+    rows = [((i * 7) % 17,) for i in range(200)]
+    df = spark.createDataFrame(rows, "v int")
+    positions = [1, 2, 50, 51, 120, 199, 200, 201, 0]
+    got, n = distributed_order_statistics(df, ["v"], positions, nparts=8)
+    assert n == 200
+    full = {
+        r["rn"]: r["v"]
+        for r in distributed_row_number(df, ["v"], out="rn", nparts=8).collect()
+    }
+    assert set(got) == {p for p in positions if 1 <= p <= 200}
+    for p, row in got.items():
+        assert row["v"] == full[p], p
