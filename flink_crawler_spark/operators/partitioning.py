@@ -141,7 +141,9 @@ def distributed_order_statistics(
     positions beyond the row count are absent (callers replicate the
     NULL-neighbor blend semantics). Also returns the exact total row
     count derived from the same partition counts, so callers drop their
-    separate count() pass: ``({pos: Row}, n_rows)``."""
+    separate count() pass: ``({pos: Row}, n_rows)``. ``positions`` may
+    be a callable ``n_rows -> [position]`` for ranks that depend on the
+    total (e.g. conformal's ceil((n+1)*0.9)-th residual)."""
     spark = df.sparkSession
     from pyspark.sql import Window
 
@@ -156,6 +158,8 @@ def distributed_order_statistics(
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     n_rows = sum(sizes.values())
+    if callable(positions):
+        positions = positions(n_rows)
     offsets, running = {}, 0
     for pid in range(nparts):
         offsets[pid] = running

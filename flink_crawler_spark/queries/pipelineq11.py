@@ -440,17 +440,54 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("monetary"),
     )
-    u = u.localCheckpoint(eager=True)  # ranked three times + counted
-    n = u.count()
-    r = distributed_row_number(u, [F.col("last_ms"), F.col("user_id")], out="rr")
-    r = distributed_row_number(r, [F.col("freq"), F.col("user_id")], out="rf")
-    r = distributed_row_number(r, [F.col("monetary"), F.col("user_id")], out="rm")
-    sc = r.select(
+    u = u.localCheckpoint(eager=True)  # probed three times + aggregated
+    # r12 (guide §1.2 step 1): quintile ASSIGNMENT does not need a rank
+    # per row — only the 4 boundary keys per dimension. q(rank) >= i
+    # <=> rank >= ceil(i*n/5)+1 <=> (dim, user_id) >= the key at that
+    # rank (the tie-broken order is total), so each user's quintile is
+    # a sum of 4 key comparisons against collected boundary literals.
+    # The previous form chained THREE full two-phase rank towers
+    # (3 range shuffles + checkpoints of the wide frame + windows over
+    # every row); now three slim targeted selections feed one CASE-sum
+    # pass over the pinned user table. Boundaries are 4 rows per
+    # dimension at any corpus size — the standard quantile-cut shape.
+    from ..operators.partitioning import distributed_order_statistics
+
+    def _bounds(dim: str):
+        probe, n = distributed_order_statistics(
+            u.select(dim, "user_id"),
+            [dim, "user_id"],
+            lambda n_: [(i * n_ + 4) // 5 + 1 for i in range(1, RFM_Q)],
+        )
+        return [
+            (probe[(i * n + 4) // 5 + 1][dim], probe[(i * n + 4) // 5 + 1]["user_id"])
+            for i in range(1, RFM_Q)
+        ]
+
+    # the three probes are independent driver barriers over the pinned
+    # user table — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        bounds = dict(
+            zip(("last_ms", "freq", "monetary"),
+                pool.map(_bounds, ("last_ms", "freq", "monetary")))
+        )
+
+    def _q(dim: str, lit: str, out: str):
+        cases = " + ".join(
+            f"(CASE WHEN {dim} > {lit.format(v=v)} OR ({dim} = {lit.format(v=v)}"
+            f" AND user_id >= {uid}L) THEN 1 ELSE 0 END)"
+            for v, uid in bounds[dim]
+        )
+        return F.expr(f"CAST({cases} AS BIGINT)").alias(out)
+
+    sc = u.select(
         "user_id",
         "monetary",
-        F.expr(f"((rr - 1) * {RFM_Q}) div {n}L").cast("long").alias("r_q"),
-        F.expr(f"((rf - 1) * {RFM_Q}) div {n}L").cast("long").alias("f_q"),
-        F.expr(f"((rm - 1) * {RFM_Q}) div {n}L").cast("long").alias("m_q"),
+        _q("last_ms", "{v}L", "r_q"),
+        _q("freq", "{v}L", "f_q"),
+        _q("monetary", "CAST('{v}' AS DECIMAL(38,6))", "m_q"),
     )
     return sc.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),

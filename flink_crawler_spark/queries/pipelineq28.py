@@ -107,48 +107,45 @@ def conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("cat")
         .agg(F.round(_d2dw(F.sum("y"), 2) / F.count(F.lit(1)), 6).alias("pred"))
     )
-    from ..operators.partitioning import distributed_row_number
+    from ..operators.partitioning import distributed_order_statistics
 
     cal = (
         o.where(F.col("split") == "cal")
         .join(F.broadcast(model), "cat")
         .selectExpr("o_orderkey", "abs(CAST(y AS DOUBLE) - pred) AS resid")
     )
-    ranked = distributed_row_number(cal, ["resid", "o_orderkey"], out="rnk")
-    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    # q_hat = the ceil((n+1)(1-alpha))-th order statistic, integer-exact
-    qhat = (
-        ranked.crossJoin(F.broadcast(nc))
-        .groupBy("n_cal")
-        .agg(
-            F.max(
-                F.expr(
-                    "CASE WHEN rnk <= least(n_cal, (9 * (n_cal + 1) + 9) div 10)"
-                    " THEN resid END"
-                )
-            ).alias("q")
-        )
+    # q_hat = the ceil((n+1)(1-alpha))-th order statistic, integer-exact.
+    # r12 (guide §1.2 step 1): the previous form ranked EVERY calibration
+    # residual and scanned them all again under a running max just to
+    # read this one rank; the targeted two-phase selection ranks only
+    # the range partition holding it, and the value re-enters the plan
+    # as a CAST('repr' AS DOUBLE) literal (bit-identical — it IS the
+    # collected double; the winsorized/theil_sen idiom). rnk's (resid,
+    # o_orderkey) tie-break order is unchanged.
+    probe, n_cal = distributed_order_statistics(
+        cal,
+        ["resid", "o_orderkey"],
+        lambda n: [min(n, (9 * (n + 1) + 9) // 10)],
     )
+    k = min(n_cal, (9 * (n_cal + 1) + 9) // 10)
+    q_lit = f"CAST('{float(probe[k]['resid'])!r}' AS DOUBLE)"
     test = (
         o.where(F.col("split") == "test")
         .join(F.broadcast(model), "cat")
-        .crossJoin(F.broadcast(qhat))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.sum(
                 F.when(
-                    F.expr("abs(CAST(y AS DOUBLE) - pred)") <= F.col("q"), 1
+                    F.expr("abs(CAST(y AS DOUBLE) - pred)") <= F.expr(q_lit), 1
                 ).otherwise(0)
             )
             .cast("long")
             .alias("n_covered"),
-            F.min("n_cal").alias("n_cal"),
-            F.min("q").alias("q"),
         )
     )
     return test.selectExpr(
-        "n_cal",
-        "round(q, 6) AS q_hat",
+        f"CAST({n_cal} AS BIGINT) AS n_cal",
+        f"round({q_lit}, 6) AS q_hat",
         "n_test",
         "n_covered",
         "round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 9) AS test_coverage",
