@@ -20,7 +20,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.partitioning import distributed_row_number
 from .base import dec_to_double_wide as _d2dw
 from .base import dec_to_double_wide_sql as _d2dws
 from .base import register, t
@@ -298,21 +297,36 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(o_totalprice * 100) AS BIGINT) AS xc",
         "o_orderkey",
     )
-    ranked = distributed_row_number(
-        o.withColumn("neg_xc", -F.col("xc")), ["neg_xc", "o_orderkey"], out="rnk"
+    # r12 (guide §1.2 step 1, the rfm boundary idiom): decile ASSIGNMENT
+    # needs only the 9 boundary keys — decile(rank) >= i <=> rank >=
+    # ceil(i*n/10)+1 <=> (neg_xc, o_orderkey) >= the key at that rank —
+    # so one slim targeted selection replaces the full two-phase rank
+    # (range shuffle + checkpoint + window over every order) and the
+    # decile table comes from one CASE-sum aggregation pass over the
+    # scan. n/npos fold up from the 10-row decile table itself.
+    from ..operators.partitioning import distributed_order_statistics
+
+    probe, n = distributed_order_statistics(
+        o.selectExpr("-xc AS neg_xc", "o_orderkey"),
+        ["neg_xc", "o_orderkey"],
+        lambda n_: [(i * n_ + 9) // 10 + 1 for i in range(1, 10)],
     )
-    nn = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("npos"),
+    cases = " + ".join(
+        f"(CASE WHEN -xc > {r['neg_xc']}L OR (-xc = {r['neg_xc']}L"
+        f" AND o_orderkey >= {r['o_orderkey']}L) THEN 1 ELSE 0 END)"
+        for r in (probe[(i * n + 9) // 10 + 1] for i in range(1, 10))
     )
     dec = (
-        ranked.crossJoin(F.broadcast(nn))
-        .selectExpr("((rnk - 1) * 10) div n AS decile", "y")
+        o.select(F.expr(f"CAST({cases} AS BIGINT)").alias("decile"), "y")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("y").cast("long").alias("n_pos"),
         )
+    )
+    nn = dec.agg(
+        F.sum("n_rows").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("npos"),
     )
     # 10-row decile table: prefix sums via the triangular broadcast
     # self-join, no unpartitioned WindowExec (r7 task 7)
