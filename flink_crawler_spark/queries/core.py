@@ -81,7 +81,19 @@ merged AS (
 
 
 def crawl_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # r12 (guide §2.5): spread the RAW scan before the url/pld string
+    # render — callers wrapped the rendered frame in ensure_parallelism,
+    # which left the render itself on the single-file scan's few map
+    # tasks and shuffled the rendered strings; spreading first runs the
+    # render wide and the exchange carries the narrow source columns
+    # (no-op once the input is multi-file at scale).
+    from ..operators import ensure_parallelism
+
+    li = ensure_parallelism(
+        t(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_partkey", "l_returnflag", "l_shipdate", "l_quantity"
+        )
+    )
     st = ts_millis(F.col("l_shipdate"))
     return li.select(
         F.concat(
