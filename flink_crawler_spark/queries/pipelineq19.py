@@ -208,14 +208,22 @@ def _margin_mnn_impl(
         from ..operators.similarity import bipartite_cosine_pairs
 
         half = max(1, parquet_row_count(sf_dir, "embeddings") // 2)
-        p = bipartite_cosine_pairs(
-            x.select("x_id", "ex"),
-            y.select("y_id", "ey"),
-            x_vec="ex",
-            y_vec="ey",
-            x_rows=half,
-            y_rows=half,
-        ).localCheckpoint(eager=True)
+        # r12 (guide §2.5): the checkpointed pair table AQE-coalesces to
+        # very few partitions (13 MB of skinny rows), starving the four
+        # window/agg passes below; spread it after pinning (no-op once
+        # the pair set is wide).
+        from ..operators import ensure_parallelism
+
+        p = ensure_parallelism(
+            bipartite_cosine_pairs(
+                x.select("x_id", "ex"),
+                y.select("y_id", "ey"),
+                x_vec="ex",
+                y_vec="ey",
+                x_rows=half,
+                y_rows=half,
+            ).localCheckpoint(eager=True)
+        )
     else:
         from ..operators.similarity import ivf_centroids, ivf_probe_candidates
 
@@ -251,11 +259,13 @@ def _margin_mnn_impl(
             (_d2dw(F.sum(F.col("cos").cast("decimal(18,6)"))) / MNN_K).alias("my")
         )
     )
+    # r12: no checkpoint — the margin frame has exactly ONE consumer
+    # (the chained rx/ry windows), so pinning it only paid an extra
+    # single-task materialization of the 1M-row pair stream.
     m = (
         p.join(kx, "x_id")
         .join(ky, "y_id")
         .selectExpr("x_id", "y_id", "round(cos / ((mx + my) / 2), 6) AS margin")
-        .localCheckpoint(eager=True)
     )
     rx = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
     ry = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.asc("x_id"))
