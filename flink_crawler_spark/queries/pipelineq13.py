@@ -244,15 +244,77 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fact scan + shuffle run once
         .localCheckpoint(eager=True)
     )
-    c = distributed_keyed_running_sum(g, ["flag"], [F.col("price")], "w", out="cum")
-    tt = g.groupBy("flag").agg(F.sum("w").cast("decimal(28,2)").alias("tot"))
+    # r12 (guide §1.2 step 1, the order-statistics idiom made weighted):
+    # the full keyed running sum computed a cumulative weight for EVERY
+    # distinct price just to find THREE crossing rows. Same range
+    # partitioning, but the per-(partition, flag) weight sums (a ~100-row
+    # collect, the same trip the helper's carry table takes) locate each
+    # flag's half-total crossing partition in the driver; the within-
+    # partition running sum then runs only over those <=3 partition
+    # slices, with the exact DECIMAL carry/total re-entering as literals.
+    # The first qualifying row is IN the crossing partition (cumulative
+    # weight only grows with price), so min(price) over it equals the
+    # global selection; decimal addition is exact, so carry + within-cum
+    # is bit-identical to the helper's global cum.
+    from decimal import Decimal
+
+    from ..operators.partitioning import _resolve_nparts
+
+    nparts = _resolve_nparts(spark, None)
+    ranged = (
+        g.repartitionByRange(nparts, "flag", "price")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per: dict = {}
+    for r in ranged.groupBy("__pid", "flag").agg(F.sum("w").alias("ps")).collect():
+        per.setdefault(r["flag"], []).append((r["__pid"], r["ps"]))
+    tots, crossing, carries = {}, {}, {}
+    for flag, lst in per.items():
+        lst.sort()
+        tot = sum((d for _, d in lst), Decimal(0))
+        run = Decimal(0)
+        for pid, d in lst:
+            if 2 * (run + d) >= tot:
+                crossing[flag], carries[flag] = pid, run
+                break
+            run += d
+        tots[flag] = tot
+
+    def _case(vals: dict, typ: str) -> str:
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN flag = '{f}' THEN CAST('{v}' AS {typ})"
+                for f, v in vals.items()
+            )
+            + " END"
+        )
+
+    sel = ranged.where(
+        F.expr(
+            " OR ".join(
+                f"(flag = '{f}' AND __pid = {pid})" for f, pid in crossing.items()
+            )
+        )
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sel.withColumn(
+        "cum",
+        F.sum("w").over(win) + F.expr(_case(carries, "DECIMAL(28,2)")),
+    )
     return (
-        c.join(F.broadcast(tt), "flag")
-        .filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        cum.filter(F.lit(2) * F.col("cum") >= F.expr(_case(tots, "DECIMAL(28,2)")))
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             F.min("price").cast("double").alias("w_median"),
-            _d2dw(F.min("tot"), 2).alias("total_w"),
+            _d2dw(
+                F.min(F.expr(_case(tots, "DECIMAL(28,2)"))).cast("decimal(28,2)"), 2
+            ).alias("total_w"),
         )
     )
 
