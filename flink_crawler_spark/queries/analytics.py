@@ -101,20 +101,36 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical to DuckDB/Spark ntile(10) with this total order). No
     row ever passes through a single-partition sort (r6 window lint);
     n joins in as a 1-row broadcast scalar."""
-    from ..operators.partitioning import distributed_row_number
+    from ..operators.partitioning import distributed_order_statistics
 
     cu = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
-    r = distributed_row_number(cu, ["c_acctbal", "c_custkey"], out="rn")
-    nn = cu.agg(F.count(F.lit(1)).alias("__n"))
-    decile = F.expr(
-        "CASE WHEN rn <= (__n % 10) * (__n div 10 + 1)"
-        " THEN (rn - 1) div (__n div 10 + 1) + 1"
-        " ELSE (__n % 10) + (rn - (__n % 10) * (__n div 10 + 1) - 1)"
-        "      div (__n div 10) + 1 END"
+
+    # r12 (guide §1.2, the rfm/lift boundary idiom): the ntile cut needs
+    # only the 9 bucket-boundary keys. Bucket sizes are pure arithmetic
+    # on n (first n%10 buckets take n div 10 + 1 rows, rest n div 10);
+    # bucket(rank) >= i+1 iff (c_acctbal, c_custkey) >= the key at the
+    # first rank of bucket i+1, so one CASE-sum pass replaces the full
+    # two-phase rank (and the separate count: n comes from the probe's
+    # partition counts).
+    def _positions(n_: int):
+        big, size = n_ % 10, n_ // 10
+        pos, cum = [], 0
+        for i in range(1, 10):
+            cum += size + 1 if i <= big else size
+            pos.append(cum + 1)
+        return pos
+
+    probe, n = distributed_order_statistics(
+        cu, ["c_acctbal", "c_custkey"], _positions
+    )
+    cases = " + ".join(
+        f"(CASE WHEN c_acctbal > CAST('{r['c_acctbal']!r}' AS DOUBLE)"
+        f" OR (c_acctbal = CAST('{r['c_acctbal']!r}' AS DOUBLE)"
+        f" AND c_custkey >= {r['c_custkey']}L) THEN 1 ELSE 0 END)"
+        for r in (probe[p] for p in _positions(n))
     )
     return (
-        r.crossJoin(F.broadcast(nn))
-        .select("c_acctbal", decile.cast("int").alias("decile"))
+        cu.select("c_acctbal", F.expr(f"CAST({cases} + 1 AS INT)").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

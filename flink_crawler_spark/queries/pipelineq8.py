@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
-from ..operators.partitioning import distributed_row_number
 from .base import register, t
 from .base import dec_to_double_wide as _d2dw
 from .base import dec_to_double_wide_sql as _d2dws
@@ -197,13 +196,30 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
-    # pinned: scanned by count() AND the rank — without this the corpus
-    # tokenizes twice
+    # pinned: scanned by the boundary probe AND the bucket aggregation —
+    # without this the corpus tokenizes twice
     d = d.localCheckpoint(eager=True)
-    n = d.count()
-    ranked = distributed_row_number(
-        d, [F.col("n_tokens"), F.col("doc_id")], out="rn"
-    ).withColumn("bucket", F.expr(f"((rn - 1) * {N_BUCKETS}) div {n}L").cast("long"))
+    # r12 (guide §1.2, the rfm/lift boundary idiom): bucket assignment
+    # needs only the 9 boundary keys, not a rank per row; the probe's
+    # partition counts also replace the separate count() pass.
+    from ..operators.partitioning import distributed_order_statistics
+
+    probe, n = distributed_order_statistics(
+        d,
+        ["n_tokens", "doc_id"],
+        lambda n_: [
+            (i * n_ + N_BUCKETS - 1) // N_BUCKETS + 1 for i in range(1, N_BUCKETS)
+        ],
+    )
+    cases = " + ".join(
+        f"(CASE WHEN n_tokens > {r['n_tokens']}L OR (n_tokens = {r['n_tokens']}L"
+        f" AND doc_id >= {r['doc_id']}L) THEN 1 ELSE 0 END)"
+        for r in (
+            probe[(i * n + N_BUCKETS - 1) // N_BUCKETS + 1]
+            for i in range(1, N_BUCKETS)
+        )
+    )
+    ranked = d.withColumn("bucket", F.expr(f"CAST({cases} AS BIGINT)"))
     agg = ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_tokens").alias("min_tokens"),

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_expr, tokens_expr
-from ..operators.partitioning import distributed_row_number
 from .base import register, t, ts_lit
 from .base import dec_to_double_wide as _d2dw
 from .base import dec_to_double_wide_sql as _d2dws
@@ -376,10 +375,32 @@ def quality_dedup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = cl.join(fam, "cluster_id").select(
         "doc_id", (F.col("c") >= 2).alias("is_dup")
     )
-    n = q.count()
-    ranked = distributed_row_number(
-        q, [F.col("quality"), F.col("doc_id")], out="rn"
-    ).withColumn("decile", F.expr(f"((rn - 1) * {QD_BUCKETS}) div {n}L").cast("long"))
+    # r12 (guide §1.2, the rfm/lift boundary idiom): decile assignment
+    # needs only the 9 boundary keys — decile(rank) >= i iff the
+    # (quality, doc_id) pair is >= the key at rank ceil(i*n/10)+1 — so
+    # a slim targeted probe plus one CASE-sum pass replaces the full
+    # two-phase rank tower (and the separate count pass: n comes from
+    # the probe's partition counts).
+    from ..operators.partitioning import distributed_order_statistics
+
+    probe, n = distributed_order_statistics(
+        q,
+        ["quality", "doc_id"],
+        lambda n_: [
+            (i * n_ + QD_BUCKETS - 1) // QD_BUCKETS + 1
+            for i in range(1, QD_BUCKETS)
+        ],
+    )
+    cases = " + ".join(
+        f"(CASE WHEN quality > CAST('{r['quality']!r}' AS DOUBLE)"
+        f" OR (quality = CAST('{r['quality']!r}' AS DOUBLE)"
+        f" AND doc_id >= {r['doc_id']}L) THEN 1 ELSE 0 END)"
+        for r in (
+            probe[(i * n + QD_BUCKETS - 1) // QD_BUCKETS + 1]
+            for i in range(1, QD_BUCKETS)
+        )
+    )
+    ranked = q.withColumn("decile", F.expr(f"CAST({cases} AS BIGINT)"))
     b = ranked.join(dd, "doc_id")
     return b.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
