@@ -80,19 +80,14 @@ def test_hill_top_k_not_global_sort(spark, sf_dir):
 
 
 def test_lift_deciles_use_distributed_rank(spark, sf_dir):
-    """The global score rank must be the two-phase distributed
-    row_number (range partition + broadcast offsets); the only ordered
-    windows are keyed by the partition id or run on the 10-row decile
-    table."""
+    """r12: decile assignment rides boundary-key comparisons collected
+    by the targeted order-statistic probe (the rank window now exists
+    only inside the probe, over the boundary partitions). The final
+    plan must therefore contain NO window over the fact table — the
+    only windows allowed are on the 10-row decile table."""
     plan = _plan(lift_gains_deciles(spark, sf_dir))
-    wins = _window_lines(plan)
-    assert wins, "expected the rank and cumulative windows"
-    # the fact-table rank must be keyed by the range-partition id (the
-    # range exchange itself is behind the helper's checkpoint); the only
-    # ordered-unkeyed window allowed is the one on the 10-row decile table
-    assert any("__pid" in line for line in wins), plan
-    for line in wins:
-        assert ("__pid" in line) or ("decile" in line), line
+    for line in _window_lines(plan):
+        assert "decile" in line, line
 
 
 def test_target_encoding_broadcasts_category_stats(spark, sf_dir):
