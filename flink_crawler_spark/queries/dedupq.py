@@ -237,9 +237,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    edges = near_dup_pairs(
-        docs, threshold=JACCARD_THRESHOLD, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=3
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = near_dup_verified_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
     out = connected_components(
         docs.select("doc_id"), edges, id_col="doc_id"
     ).select("doc_id", "cluster_id").localCheckpoint(eager=True)
@@ -248,6 +248,49 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized VERIFIED near-dup pair set (id_a, id_b) at the family
+    threshold — the edge list of ``near_dup_clusters``, exposed so its
+    other consumer (``cross_source_contamination``) stops re-running
+    the signature -> band -> verify chain from raw text (r12, guide
+    §2.4: the shingle/verify pass is the dominant cost of every query
+    in this family and is identical across them).
+
+    Derived from the session-shared shingle base: the per-doc shingle
+    SET is what every downstream value depends on — the min-hash over
+    exploded shingles is order/duplicate-independent, band hashes are
+    functions of the signature values, and the exact Jaccard uses
+    array_intersect/array_union sizes (set semantics) — so pairs are
+    bit-identical to the previous from-raw-text derivation (the
+    minhash_signatures precedent). Memoized per (session, corpus) like
+    the clustering itself: one materialization per corpus snapshot."""
+    key = (spark, sf_dir)
+    hit = _VERIFIED_PAIRS_CACHE.get(key)
+    if hit is None:
+        from ..operators.dedup import (
+            _jaccard_on_shingles,
+            _minhash_from_exploded,
+        )
+        from .base import shingle_tables
+
+        sets, ex = shingle_tables(spark, sf_dir, 3)
+        sigs = _minhash_from_exploded(
+            ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
+        )
+        cand = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+        hit = (
+            _jaccard_on_shingles(sets, cand, id_col="doc_id")
+            .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        _VERIFIED_PAIRS_CACHE[key] = hit
+    return hit
+
+
+_VERIFIED_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 @register(

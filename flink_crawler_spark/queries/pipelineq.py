@@ -312,14 +312,23 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand in for the eval suite). The benchmark gram set is broadcast;
     training grams are distinct()'d before the join so stop-word-run
     skew cannot blow up a task."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr(F.col("text")).alias("tk")
-    )
-    grams = (
-        docs.select("doc_id", F.explode(_ngram_expr(F.col("tk"), CONTAM_N)).alias("g"))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds bench + train; computed once
-    )
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.5): the sf documents parquet is ONE file/one row
+    # group — without a spread the tokenize+ngram+explode stage (the
+    # query's whole cost) runs as a single task; no-op once inputs are
+    # multi-file at scale (the stupid_backoff precedent).
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+    # bench + train both read grams, but they are branches of ONE plan
+    # over the same distinct: ReuseExchange shares the shuffle, so the
+    # previous eager localCheckpoint only added a blocking
+    # materialization + block-manager round-trip (A/B: 1.5-2.8 s pinned
+    # vs 0.65-0.75 s unpinned, identical rows — r12, guide §2.4).
+    grams = docs.select(
+        "doc_id", F.explode(_ngram_expr(F.col("tk"), CONTAM_N)).alias("g")
+    ).distinct()
     bench = grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 37 != 0)
     hits = (

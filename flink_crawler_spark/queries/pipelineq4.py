@@ -93,17 +93,14 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits adds ZERO shuffles on top of clustering, and the split
     column then prunes parquet partitions when the corpus is written
     ``partitionBy("split")``."""
-    from ..operators.dedup import connected_components, near_dup_pairs
+    # r12 (guide §2.4): this chain (pairs at JACCARD_THRESHOLD over the
+    # full corpus + HashMin components) IS near_dup_clusters — consume
+    # the memoized session-shared assignment instead of re-deriving it
+    # from raw text (value-identical by construction: same edge set,
+    # same deterministic min-label iteration)
+    from .dedupq import near_dup_clusters
 
-    docs = t(spark, sf_dir, "documents")
-    edges = near_dup_pairs(
-        docs,
-        threshold=JACCARD_THRESHOLD,
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-        shingle_n=3,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    clusters = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    clusters = near_dup_clusters(spark, sf_dir)
     keyed = clusters.withColumn(
         "__key", F.md5(F.encode(F.col("cluster_id").cast("string"), "UTF-8"))
     )

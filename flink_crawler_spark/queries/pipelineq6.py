@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import near_dup_pairs
+
 from ..operators.partitioning import distributed_keyed_row_number
 from .base import register, t
 from .base import dec_to_double_wide as _d2dw
@@ -456,14 +456,14 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify on candidates only; the final rollup joins the
     (small) verified pair set to documents on doc_id and aggregates to
     a sources² table."""
+    # r12 (guide §2.4): the verified pair set at the family threshold is
+    # the SAME frame near_dup_clusters materializes — ride the memoized
+    # session-shared derivation instead of re-running signature -> band
+    # -> verify from raw text (bit-identical; see near_dup_verified_pairs)
+    from .dedupq import near_dup_verified_pairs
+
     docs = t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(
-        docs,
-        threshold=JACCARD_THRESHOLD,
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-        shingle_n=3,
-    )
+    pairs = near_dup_verified_pairs(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     j = pairs.join(sa, F.col("id_a") == F.col("doc_a")).join(

@@ -391,18 +391,49 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     values + 4 counters to the driver (sketch-sized by definition)."""
     od = t(spark, sf_dir, "orders")
 
-    def keys(y: int) -> DataFrame:
-        return od.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+    # r12 (guide §2.4/§1.2): the previous form ran SIX sequential driver
+    # actions (two bottom-k collects + four counts), each rescanning
+    # orders — ~2.3 s of job latency for sketch-sized results. One
+    # grouped year-presence table yields every value: na/nb/nu/ni are
+    # flag sums over it (identical sets: group-by-custkey IS the
+    # distinct), and both bottom-k sketches read the same hv projection.
+    # All three branches union into ONE collected frame, so the grouped
+    # exchange is built once and reused (ReuseExchange) — 6 actions ->
+    # 1, same values bit-for-bit (exact integers and the same md5 hvs).
+    flags = (
+        od.filter(F.year("o_orderdate").isin(1994, 1995))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.year("o_orderdate") == 1994, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    hvf = flags.select(
+        _md5_60bit(F.col("o_custkey")).alias("hv"), "in_a", "in_b"
+    )
+    nulls = [F.lit(None).cast("long").alias(c) for c in ("na", "nb", "nu", "ni")]
 
-    a, b = keys(1994), keys(1995)
-    ha = a.select(_md5_60bit(F.col("o_custkey")).alias("hv"))
-    hb = b.select(_md5_60bit(F.col("o_custkey")).alias("hv"))
-    ska = [r["hv"] for r in ha.orderBy("hv").limit(_K).collect()]
-    skb = [r["hv"] for r in hb.orderBy("hv").limit(_K).collect()]
+    def sk(tag: str, flag: str) -> DataFrame:
+        return (
+            hvf.filter(F.col(flag) == 1)
+            .select("hv")
+            .orderBy("hv")
+            .limit(_K)
+            .select(F.lit(tag).alias("tag"), F.col("hv"), *nulls)
+        )
+
+    cnt_df = flags.agg(
+        F.sum("in_a").cast("long").alias("na"),
+        F.sum("in_b").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("ni"),
+    ).select(F.lit("n").alias("tag"), F.lit(None).cast("long").alias("hv"), "na", "nb", "nu", "ni")
+    rows = sk("a", "in_a").unionByName(sk("b", "in_b")).unionByName(cnt_df).collect()
+    ska = sorted(r["hv"] for r in rows if r["tag"] == "a")
+    skb = sorted(r["hv"] for r in rows if r["tag"] == "b")
+    (nrow,) = [r for r in rows if r["tag"] == "n"]
+    na, nb, nu, ni = nrow["na"], nrow["nb"], nrow["nu"], nrow["ni"]
     sku = sorted(set(ska) | set(skb))[:_K]
-    na, nb = a.count(), b.count()
-    nu = a.unionByName(b).distinct().count()
-    ni = a.intersect(b).count()
     rho_num = sum(1 for hv in sku if hv in set(ska) and hv in set(skb))
     ksz = len(sku)
 
