@@ -291,6 +291,7 @@ def clear_query_caches() -> None:
     core._MERGED_STATE_CACHE.clear()
     dedupq._CLUSTER_CACHE.clear()
     dedupq._VERIFIED_PAIRS_CACHE.clear()
+    dedupq._SIGS_CACHE.clear()
     pipelineq3._PQ_CORE_CACHE.clear()
     pipelineq5._BIGRAM_NLL_CACHE.clear()
     simq._IVF_CENT_CACHE.clear()

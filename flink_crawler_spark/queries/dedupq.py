@@ -70,17 +70,10 @@ SELECT * FROM sigs
 """,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r12 (guide §2.4): derive from the session-shared shingle base — the
-    # shingle HOF scan is the dominant cost of every query in this family
-    # and is identical across them (multiset-equal explode; the keyed-md5
-    # min is order-independent, so signatures are bit-identical)
-    from ..operators.dedup import _minhash_from_exploded
-    from .base import shingle_tables
-
-    _, ex = shingle_tables(spark, sf_dir, 3)
-    return _minhash_from_exploded(
-        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
-    )
+    # r12 (guide §2.4): the memoized family signature table (derived
+    # from the session-shared shingle base; bit-identical — see
+    # minhash_sigs)
+    return minhash_sigs(spark, sf_dir)
 
 
 def _buckets_sql() -> str:
@@ -250,6 +243,31 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 
 
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized family MinHash signature table (doc_id, mh0..mh7) at the
+    family K, derived from the session-shared shingle base — five
+    consumers (minhash_signatures, lsh_candidate_pairs, the calibration
+    and containment verifies, the verified-pairs edge list) each re-ran
+    the same min-aggregate over the exploded shingles (r12, guide §2.4).
+    One materialization per corpus snapshot, values bit-identical (the
+    keyed-md5 min is order-independent)."""
+    key = (spark, sf_dir)
+    hit = _SIGS_CACHE.get(key)
+    if hit is None:
+        from ..operators.dedup import _minhash_from_exploded
+        from .base import shingle_tables
+
+        _, ex = shingle_tables(spark, sf_dir, 3)
+        hit = _minhash_from_exploded(
+            ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
+        ).localCheckpoint(eager=True)
+        _SIGS_CACHE[key] = hit
+    return hit
+
+
+_SIGS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized VERIFIED near-dup pair set (id_a, id_b) at the family
     threshold — the edge list of ``near_dup_clusters``, exposed so its
@@ -269,16 +287,11 @@ def near_dup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     hit = _VERIFIED_PAIRS_CACHE.get(key)
     if hit is None:
-        from ..operators.dedup import (
-            _jaccard_on_shingles,
-            _minhash_from_exploded,
-        )
+        from ..operators.dedup import _jaccard_on_shingles
         from .base import shingle_tables
 
-        sets, ex = shingle_tables(spark, sf_dir, 3)
-        sigs = _minhash_from_exploded(
-            ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
-        )
+        sets, _ = shingle_tables(spark, sf_dir, 3)
+        sigs = minhash_sigs(spark, sf_dir)
         cand = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
         hit = (
             _jaccard_on_shingles(sets, cand, id_col="doc_id")

@@ -114,7 +114,9 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (({_normn('qe', 0, MRL_PREFIX)}) * ({_normn('embedding', 0, MRL_PREFIX)})), 6)"
             " AS cos_trunc",
         )
-        .localCheckpoint(eager=True)
+        # r12: no pin — ONE consumer (the chained window select), so the
+        # dot-product stream pipelines straight into the first window
+        # sort instead of materializing (single-consumer rule, change 28)
     )
     from pyspark.sql import Window
 
@@ -200,11 +202,12 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    jp = (
-        shared.join(F.broadcast(sz.selectExpr("doc_id AS id_a", "n AS na")), "id_a")
-        .join(F.broadcast(sz.selectExpr("doc_id AS id_b", "n AS nb")), "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # r12: no pin — jp has exactly ONE consumer (the sweep aggregate),
+    # so the eager localCheckpoint only materialized the pair table for
+    # nothing (the change-28 margin-frame case; A/B −0.6 s).
+    jp = shared.join(
+        F.broadcast(sz.selectExpr("doc_id AS id_a", "n AS na")), "id_a"
+    ).join(F.broadcast(sz.selectExpr("doc_id AS id_b", "n AS nb")), "id_b")
     th = spark.createDataFrame(
         [(x,) for x in SWEEP_PERMILLE], "permille BIGINT"
     )

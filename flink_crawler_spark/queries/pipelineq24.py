@@ -85,15 +85,15 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is identical to production; the estimate is an exact
     integer ratio and the error aggregate is a rounded-once DECIMAL
     sum."""
-    # r12 (guide §2.4): signatures + exact verify from the session-shared
-    # shingle base (bit-identical; see ngram_jaccard_pairs)
-    from ..operators.dedup import _jaccard_on_shingles, _minhash_from_exploded
+    # r12 (guide §2.4): the memoized family signature table + exact
+    # verify from the session-shared shingle base (bit-identical; see
+    # minhash_sigs / ngram_jaccard_pairs)
+    from ..operators.dedup import _jaccard_on_shingles
     from .base import shingle_tables
+    from .dedupq import minhash_sigs
 
-    sets, ex = shingle_tables(spark, sf_dir, 3)
-    sigs = _minhash_from_exploded(
-        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
-    ).localCheckpoint(eager=True)
+    sets, _ = shingle_tables(spark, sf_dir, 3)
+    sigs = minhash_sigs(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_HASHES)]
@@ -117,6 +117,10 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _jaccard_on_shingles(sets, pairs, id_col="doc_id").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_exact")
     )
+    # pin kept deliberately (r12 A/B): unpinned, the mae and output
+    # branches each re-run the exact-verify array set ops per pair —
+    # 7.3 s vs 2.1 s pinned. Exchange reuse only covers work BELOW the
+    # exchanges; the per-pair array_intersect/union sits above them.
     cal = est.join(exact, ["id_a", "id_b"]).localCheckpoint(eager=True)
     mae = cal.agg(
         F.round(

@@ -294,14 +294,11 @@ def excerpt_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles_expr
     from .dedupq import BANDS, NUM_HASHES
 
-    # r12 (guide §2.4): signatures from the session-shared shingle base
-    from ..operators.dedup import _minhash_from_exploded
-    from .base import shingle_tables
+    # r12 (guide §2.4): the memoized family signature table (see
+    # minhash_sigs — bit-identical to the previous in-query aggregate)
+    from .dedupq import minhash_sigs
 
-    _, ex = shingle_tables(spark, sf_dir, 3)
-    sigs = _minhash_from_exploded(
-        ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
-    )
+    sigs = minhash_sigs(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS)
     # shared family shingle base (already ensure_parallelism'd and
     # checkpointed once per session+corpus)
