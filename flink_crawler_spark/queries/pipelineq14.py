@@ -72,9 +72,11 @@ def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        # feeds the order count, both supports, and both self-join sides;
-        # pin so the distinct shuffle runs once, not four times
-        .localCheckpoint(eager=True)
+        # r12: no pin — all four consumers (order count, supports, both
+        # self-join sides) are branches of ONE action over the same
+        # deterministic hash-distinct exchange, so ReuseExchange runs the
+        # shuffle once; the eager pin only added a blocking
+        # materialization (paired A/B: −0.8-1.0 s, rows identical)
     )
     nn = op.agg(F.countDistinct("o").cast("long").alias("n"))
     sup = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("s"))

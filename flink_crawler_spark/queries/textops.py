@@ -380,21 +380,32 @@ def bigram_lift_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     only wide shuffle is the per-doc lead() window, which at 100 TB is
     partitioned by doc_id and never global. Deterministic tie-break
     (lift desc, n_xy desc, x, y) keeps the top-100 set engine-stable."""
-    docs = t(spark, sf_dir, "documents")
-    tk = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)).alias("pos", "tok"),
-        )
-        .filter(F.col("tok") != "")
+    from ..operators import ensure_parallelism
+
+    # r12 (guide §2.4/§2.5): consecutive pairs built IN-ARRAY from the
+    # filtered token array — pairing after the empty-token filter is
+    # exactly what lead()-over-original-position computed, but map-only:
+    # the per-doc window shuffle+sort is gone entirely (at 100 TB that
+    # was the query's only wide pass over token rows). The pair table is
+    # pinned once (four consumers); the total-bigram count folds into
+    # the plan as a broadcast scalar instead of a separate driver count
+    # action. Counts are exact integers, the lift expression keeps the
+    # identical cast structure — bit-identical output.
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    arr = f"filter(split(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     b = (
-        tk.select(F.col("tok").alias("x"), F.lead("tok").over(w).alias("y"))
-        .filter(F.col("y").isNotNull())
+        docs.selectExpr(f"{arr} AS a")
+        .where(F.expr("size(a) >= 2"))
+        .selectExpr(
+            "explode(transform(sequence(1, size(a) - 1),"
+            " i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y))) AS p"
+        )
+        .select("p.x", "p.y")
+        .localCheckpoint(eager=True)
     )
-    b = b.persist()
-    nb = b.count()
+    nbt = b.agg(F.count(F.lit(1)).alias("nb"))
     bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
     xc = b.groupBy("x").agg(F.count(F.lit(1)).alias("n_x"))
     yc = b.groupBy("y").agg(F.count(F.lit(1)).alias("n_y"))
@@ -402,13 +413,14 @@ def bigram_lift_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.filter(F.col("n_xy") >= 5)
         .join(F.broadcast(xc), "x")
         .join(F.broadcast(yc), "y")
+        .crossJoin(F.broadcast(nbt))
         .select(
             "x",
             "y",
             "n_xy",
             "n_x",
             "n_y",
-            (F.col("n_xy").cast("double") * F.lit(nb) / (F.col("n_x") * F.col("n_y"))).alias("lift"),
+            (F.col("n_xy").cast("double") * F.col("nb") / (F.col("n_x") * F.col("n_y"))).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.desc("n_xy"), "x", "y")
         .limit(100)
