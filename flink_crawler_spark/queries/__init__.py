@@ -76,102 +76,74 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r11 rotation (round-10 verdict task 1; plan was written here
-    # in r10 and is executed verbatim, changed-queries-first rule
-    # applied): slots 1-2 are the two queries CHANGED this round —
-    # both gained loud magnitude guards (r10 ADVICE): ewma asserts the
-    # 2^53 floor(x*1e6+0.5) exactness bound per row; cusum fails loudly
-    # instead of Spark's silent non-ANSI NULL when a window sum would
-    # overflow the pinned DECIMAL(28,6). Results are unchanged where
-    # the guards pass (re-verified sf0.001 + sf0.01 + full sf0.1 gate),
-    # but the code change voids their r10 green rows.
-    "ewma_smoothed_revenue",
-    "event_cusum_alarms",
-    # slots 3-5: the dsum_wide fixes — the first sf1.0-equivalent
-    # magnitude gate (tools/gen_full_sf.py corpus, SCALE.md r11) caught
-    # the dsum one-step DECIMAL->DOUBLE cast diverging by 1 ulp between
-    # engines once |sum|*1e6 > 2^53 (revenue sums ~3-6e10 at sf1.0);
-    # these three now ride the floor-split wide form on both sides,
-    # re-verified value-exact at sf0.001/sf0.01/sf0.1/x1/x10.
-    "pricing_summary",
-    "revenue_by_region",
-    "revenue_rollup",
-    # slots 6-8: second wave of sf1.0-gate finds. gumbel/dp_laplace: a
-    # bare 0.5 literal made Spark type the md5-uniform DECIMAL(12,10)
-    # (u truncated to 10 digits) while DuckDB computed the exact double;
-    # the Gumbel key's 1/(u ln u) amplification near u->1 turned that
-    # into 6dp flips at 50k docs. Now e0 literals -> exact identical u.
-    # dbscan: the != pair join streamed a 1-partition localCheckpoint
-    # through BroadcastNestedLoopJoin (the r5 single-split trap) -> the
-    # 400M-pair kernel ran ONE task at 20k vectors; ensure_parallelism
-    # fixes it (x10 spark side >16min -> 10.6s). All three re-verified
-    # at sf0.001/sf0.01 (+x10 for gumbel/dp_laplace; dbscan's x10
-    # ORACLE is quadratic-cost, bounded like ppjoin's).
-    "gumbel_topk_sample",
-    "dp_laplace_counts",
-    "dbscan_core_points",
-    # slot 9: third-wave sf1.0 find — burstiness' DECIMAL(38,0)
-    # squared-gap sum cast (hugeint->double is multi-step in DuckDB,
-    # correctly-rounded in the JVM) PLUS a round()-at-3e13 knife edge
-    # on the std; now a per-row hi/lo bigint split + the r10
-    # floor(x*1e6+0.5)/1e6 idiom. Re-verified sf0.001/sf0.01/x10.
-    "user_burstiness_index",
-    # --- re-verification: the 41 stalest green rows — the 12 remaining
-    # r4-vintage rows + the 29 alphabetically-first r5-vintage rows
-    # (none changed since their vintage; pure freshness rotation — the
-    # cumulative ledger carries no row older than r5 after this round).
-    "sequence_pack_chop",
-    "simhash_near_dup_pairs",
-    "status_counts",
-    "stream_dedup",
-    "stream_doc_dedup_stats",
-    "stream_sessionize",
-    "stream_stream_join",
-    "stream_window_counts",
-    "tfidf_top_terms",
-    "trimmed_mean_price_udaf",
-    "tsv_content_lines",
-    "video_frame_sample",
-    # (r5 tier from here; the 11 r5 rows left over —
-    # sessionize_session_window_batch, sitemap_failed_report,
-    # skew_salted_join (displaced by the dsum_wide slots),
-    # stream_dedup_within_watermark, stream_quality_gate_counts,
-    # stream_rate_gauge, stream_static_join, stream_update_mode_counts,
-    # stream_window_counts_append, variant_props_extract, vocab_coverage —
-    # roll into the r12 window together with whatever r12 changes.
-    # r12 plan (SCALE.md r11 magnitude-gate section): migrate the other
-    # 59 dsum oracle sites to the floor-split wide form in ONE sweep —
-    # those changed queries fill most of the r12 window by the
-    # changed-queries-first rule.)
-    "audio_chunk_energy",
-    "cluster_stratified_sample",
-    "copurchase_triangles",
-    "corpus_mix_budget",
-    "crawl_reachability_rcte",
-    "csv_sink_source_roundtrip",
-    "dataset_card_rollup",
-    "doc_bpe_pretoken",
-    "doc_chunk_sliding",
-    "doc_filter_pipeline",
-    "doc_fingerprint",
-    "doc_pii_redact",
-    "doc_quality_features",
-    "doc_repetition_filter",
-    "doc_simhash",
-    "fuzzy_name_pairs",
-    "grouping_sets_priority_status",
-    "hash_stratified_sample",
-    "html_outlink_extract_udtf",
-    "html_tree_parse",
-    "json_props_extract",
-    "json_sink_source_roundtrip",
-    "media_decode_stats",
-    "media_feature_fold",
-    "media_resize_stub",
-    "model_quality_classifier",
-    "ngram_jaccard_pairs",
-    "orc_sink_source_roundtrip",
-    "order_gap_islands",
+    # --- r12 rotation (OPTIMIZATION round; r11 verdict task 2 +
+    # changed-queries-first rule). 119 queries changed since the r11
+    # window went green (the full dsum_wide migration sweep + this
+    # round's ~40 optimization restructures) — far more than 50 slots,
+    # so slots 1-39 take the most-RESTRUCTURED queries (driver folds,
+    # boundary-key probes, shared-materialization reuse, action folds,
+    # window-elimination rewrites — the changes most able to drift if
+    # wrong); the remaining changed set is call-site-mechanical (dsum
+    # rename/parse-expression forms) and is covered by this round's
+    # full 282-query sf0.001 + sf0.1 gates and the sf1.0-equivalent
+    # magnitude gate recorded in OPTIMIZATION_r12.md. Every change
+    # was individually value-oracled at sf0.001 + sf0.01 when made.
+    "facility_location_select",   # driver greedy on collected decimal proxy
+    "hits_hub_authority",         # driver fold (modulo-bounded graph)
+    "sssp_bellman_ford",          # driver min-plus fold
+    "theil_sen_trend",            # numpy exact k-selection
+    "winsorized_mean_price",      # distributed_order_statistics
+    "conformal_prediction_interval",  # targeted order statistic
+    "weighted_median_price",      # driver-located crossing partitions
+    "rfm_user_segments",          # quintile boundary-key probes
+    "lift_gains_deciles",         # decile boundary-key probes
+    "customer_deciles",           # decile boundary-key probes
+    "length_bucket_packing",      # decile boundary-key probes
+    "quality_dedup_calibration",  # decile boundary-key probes
+    "graph_jaccard_link_prediction",  # wedge broadcast + one keyed exchange
+    "margin_mnn_pairs",           # pair-table spread, margin unpin
+    "rrf_rank_fusion",            # pinned 20-row top-k heads
+    "bm25_search_topk",           # one tokenize pass
+    "curation_funnel",            # pinned funnel stage outputs
+    "coverage_budget_curve",      # spread scan + pinned rank table
+    "random_projection_embed",    # one-selectExpr JL chain
+    "ann_recall_report",          # one-action unioned report
+    "sessionize_grouped_map",     # slim Arrow boundary, numpy kernel
+    "stupid_backoff_score",       # spread tokenize scan
+    "stream_url_db_merge",        # vectorized state kernel
+    "crawl_reachability",         # keep_parsed=False + memoized trees
+    "bucketed_state_merge",       # crawl_obs spread-before-render
+    "kmv_set_algebra",            # 6 driver actions -> 1 collected union
+    "benchmark_contamination",    # spread scan + unpinned grams
+    "cross_source_contamination", # shared verified-pairs reuse
+    "leakage_safe_split",         # shared near_dup_clusters reuse
+    "near_dup_clusters",          # rides shared sigs/verified pairs
+    "near_dup_threshold_sweep",   # single-consumer unpin
+    "matryoshka_truncation_recall",  # single-consumer unpin
+    "bigram_lift_top100",         # map-only in-array pairing (window gone)
+    "association_rules_pairs",    # four-consumer unpin (ReuseExchange)
+    "minhash_estimate_calibration",  # shared signature table
+    "excerpt_containment_pairs",  # shared signature table
+    "ngram_jaccard_pairs",        # shared signature table
+    "doc_simhash",                # parsed-SQL 60-bit expression tree
+    "simhash_near_dup_pairs",     # parsed-SQL 60-bit expression tree
+    # --- slots 40-50: the 11 r5-vintage leftovers named by the r11
+    # verdict (task 2) — after this round no cumulative green row is
+    # older than r6. Four of them also changed this round (skew_salted
+    # join's Spark-side wide-form fix; stream_static_join /
+    # stream_window_counts_append / variant_props_extract touched by
+    # the dsum sweep), so they satisfy both rules at once.
+    "sessionize_session_window_batch",
+    "sitemap_failed_report",
+    "skew_salted_join",
+    "stream_dedup_within_watermark",
+    "stream_quality_gate_counts",
+    "stream_rate_gauge",
+    "stream_static_join",
+    "stream_update_mode_counts",
+    "stream_window_counts_append",
+    "variant_props_extract",
+    "vocab_coverage",
 ]
 
 
