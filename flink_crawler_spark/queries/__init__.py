@@ -124,7 +124,10 @@ PRIORITY_WINDOW = [
     "association_rules_pairs",    # four-consumer unpin (ReuseExchange)
     "minhash_estimate_calibration",  # shared signature table
     "excerpt_containment_pairs",  # shared signature table
-    "ngram_jaccard_pairs",        # shared signature table
+    "anova_f_event_values",       # sf1.0-gate find: ssb/ssw floor-idiom
+    # (ngram_jaccard_pairs' shared-sig change is exercised in-window by
+    # minhash_estimate_calibration + near_dup_clusters, which consume
+    # the same memoized signature/pair chain)
     "doc_simhash",                # parsed-SQL 60-bit expression tree
     "simhash_near_dup_pairs",     # parsed-SQL 60-bit expression tree
     # --- slots 40-50: the 11 r5-vintage leftovers named by the r11

@@ -241,8 +241,8 @@ fin AS (
   FROM terms
 )
 SELECT k, n,
-       round(ssb_d, 6) AS ssb,
-       round(ssw_d, 6) AS ssw,
+       floor(ssb_d * 1e6 + 0.5e0) / 1e6 AS ssb,
+       floor(ssw_d * 1e6 + 0.5e0) / 1e6 AS ssw,
        round((ssb_d / (k - 1)) / (ssw_d / (n - k)), 6) AS f_stat
 FROM fin
 """,
@@ -303,11 +303,18 @@ def anova_f_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d2dw(F.sum("ssb_t"), 12).alias("ssb_d"),
         _d2dw(F.sum("ssw_t"), 12).alias("ssw_d"),
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6) on the n-scaled
+    # sums of squares (r12 sf1.0-gate find, the burstiness-std class):
+    # ssw*1e6 ~ 2.5e15 at sf1.0, where a double ulp is ~0.5e-6, so
+    # engine round() implementations (BigDecimal HALF_UP vs
+    # multiply-then-nearest) drew a 1-ulp divergence; the floor idiom is
+    # every-op-IEEE-identical at any magnitude. f_stat is a ratio of
+    # mean squares (O(1..1e3)) — its round() is far from any knife edge.
     return fin.selectExpr(
         "k",
         "n",
-        "round(ssb_d, 6) AS ssb",
-        "round(ssw_d, 6) AS ssw",
+        "floor(ssb_d * 1e6 + 0.5e0) / 1e6 AS ssb",
+        "floor(ssw_d * 1e6 + 0.5e0) / 1e6 AS ssw",
         "round((ssb_d / (k - 1)) / (ssw_d / (n - k)), 6) AS f_stat",
     )
 
