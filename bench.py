@@ -28,6 +28,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Round stamp for per-run full-map artifacts (r12 verdict task 2): each
+# run ALSO writes BENCH_FULL_r{ROUND}_c{cpus}.json so per-core-count full
+# maps survive the round (BENCH_FULL_LAST_RUN.json gets overwritten by
+# whichever run is last, which left PERF_r12's per_query/scaling blocks
+# empty). Bump per round.
+ROUND = 13
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -222,10 +230,16 @@ def main() -> int:
     cpu_calib_end = _run_calib()
 
     total = round(sum(timings.values()), 3)
+    # Warmup-proof headline (r12 verdict task 2): the six family builders
+    # run untimed, so a new shared memo could quietly move timed work into
+    # warmup. value_plus_builders = value + sum(shared_builders) removes
+    # the incentive — optimizations must improve THIS number too.
+    total_plus_builders = round(total + sum(shared_builders.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "total_runtime_all_queries",
         "value": total,
+        "value_plus_builders": total_plus_builders,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -255,6 +269,11 @@ def main() -> int:
     # run).
     here = os.path.dirname(os.path.abspath(__file__))
     targets = [os.path.join(here, "BENCH_FULL_LAST_RUN.json")]
+    # round-stamped per-core-count full map (r12 verdict task 2): never
+    # overwritten by a later run at a different core count, so PERF's
+    # per_query and scaling blocks can populate without archaeology
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    targets.append(os.path.join(here, f"BENCH_FULL_r{ROUND}_c{n_cpus}.json"))
     if os.environ.get("FCS_BENCH_RECORD") == "1":
         targets.append(os.path.join(here, "BENCH_LOCAL_LATEST.json"))
     for full_path in targets:
@@ -269,6 +288,7 @@ def main() -> int:
     compact = {
         "metric": "total_runtime_all_queries",
         "value": total,
+        "value_plus_builders": total_plus_builders,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
