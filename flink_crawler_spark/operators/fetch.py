@@ -65,13 +65,14 @@ def politeness_split(
 
 def crawldelay_status_updates(split: DataFrame) -> DataFrame:
     """SKIPPED_CRAWLDELAY observations for over-quota URLs."""
-    return split.filter(F.col("route") == "crawldelay").select(
+    # per-tick call: two py4j round-trips instead of ~12 (r13, guide §1.2)
+    return split.where("route = 'crawldelay'").selectExpr(
         "url",
         "pld",
-        F.lit("SKIPPED_CRAWLDELAY").alias("status"),
-        F.col("fetch_time").alias("status_time"),
+        "'SKIPPED_CRAWLDELAY' AS status",
+        "fetch_time AS status_time",
         "score",
-        F.col("fetch_time").alias("next_fetch_time"),
+        "fetch_time AS next_fetch_time",
     )
 
 
@@ -92,31 +93,31 @@ def mock_fetch(
     a Latin-1/Shift-JIS page on the wire — and ``content_type`` carries
     a per-page header (e.g. 'text/html; charset=ISO-8859-1').
     """
-    content = (
-        pages["content"]
-        if "content" in pages.columns
-        else F.encode(F.col("html"), "UTF-8")
+    # r13 (guide §1.2): this runs every crawl tick — build the output
+    # projection as ONE selectExpr call (SQL strings parsed JVM-side)
+    # instead of ~40 py4j Column round-trips per tick. The frontier and
+    # pages sides share no column names (pages carries page_url /
+    # page_score / html|content|content_type), so bare names resolve
+    # unambiguously after the join.
+    content_sql = (
+        "content" if "content" in pages.columns else "encode(html, 'UTF-8')"
     )
-    ctype = (
-        pages["content_type"]
-        if "content_type" in pages.columns
-        else F.lit("text/html")
+    ctype_sql = (
+        "content_type" if "content_type" in pages.columns else "'text/html'"
     )
     j = frontier.join(pages, frontier["url"] == pages["page_url"], "left")
-    hit = F.col("page_url").isNotNull()
-    return j.select(
-        frontier["url"],
-        frontier["pld"],
-        F.when(hit, "FETCHED").otherwise("HTTP_NOT_FOUND").alias("status"),
-        F.coalesce(F.col("fetch_time"), F.lit(now_ms)).alias("status_time"),
-        frontier["url"].alias("fetched_url"),
-        F.create_map(F.lit("content-type"), F.array(ctype)).alias("headers"),
-        F.when(hit, content).alias("content"),
-        F.when(hit, ctype).alias("content_type"),
-        F.lit(100_000).alias("response_rate"),
-        (F.coalesce(F.col("fetch_time"), F.lit(now_ms)) + F.lit(refetch_interval_ms)).alias(
-            "next_fetch_time"
-        ),
+    return j.selectExpr(
+        "url",
+        "pld",
+        "CASE WHEN page_url IS NOT NULL THEN 'FETCHED' ELSE 'HTTP_NOT_FOUND' END AS status",
+        f"coalesce(fetch_time, CAST({int(now_ms)} AS BIGINT)) AS status_time",
+        "url AS fetched_url",
+        f"map('content-type', array({ctype_sql})) AS headers",
+        f"CASE WHEN page_url IS NOT NULL THEN {content_sql} END AS content",
+        f"CASE WHEN page_url IS NOT NULL THEN {ctype_sql} END AS content_type",
+        "CAST(100000 AS INT) AS response_rate",
+        f"coalesce(fetch_time, CAST({int(now_ms)} AS BIGINT))"
+        f" + CAST({int(refetch_interval_ms)} AS BIGINT) AS next_fetch_time",
     )
 
 
@@ -138,13 +139,14 @@ def mime_filter(results: DataFrame, allowed: tuple[str, ...] = ("text/html",)) -
 
 def fetch_status_updates(results: DataFrame, *, error_retry_ms: int = 86_400_000) -> DataFrame:
     """Crawl-state observations from fetch results (status loop-back)."""
-    return results.select(
+    # per-tick call: one py4j round-trip instead of ~10 (r13, guide §1.2)
+    return results.selectExpr(
         "url",
         "pld",
         "status",
         "status_time",
-        F.lit(0.0).alias("score"),
-        F.col("next_fetch_time"),
+        "CAST(0.0 AS DOUBLE) AS score",
+        "next_fetch_time",
     )
 
 

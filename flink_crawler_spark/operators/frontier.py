@@ -32,17 +32,19 @@ def _eligible_expr(now_ms: int, min_fetch_score: float, refetch: bool):
     arrived re-enter — the reference's re-crawl behavior (UrlDBFunction
     timers re-emit tracked URLs when their fetch time comes due); the
     new FETCHED observation then wins the merge by status_time."""
+    # per-tick call: ONE F.expr round-trip instead of ~12 Column calls
+    # (r13, guide §1.2). repr() of a Python float is round-trip exact and
+    # Spark SQL parses scientific notation as DOUBLE, so the cast pins
+    # the comparison type to the score column's.
     base = (
-        (F.col("status") == "UNFETCHED")
-        & (F.col("score") >= F.lit(min_fetch_score))
-        & (F.col("next_fetch_time") <= F.lit(now_ms))
+        f"(status = 'UNFETCHED' AND score >= CAST({float(min_fetch_score)!r} AS DOUBLE)"
+        f" AND next_fetch_time <= {int(now_ms)})"
     )
     if not refetch:
-        return base
-    due = (F.col("status") == "FETCHED") & (
-        F.col("next_fetch_time") <= F.lit(now_ms)
+        return F.expr(base)
+    return F.expr(
+        f"({base} OR (status = 'FETCHED' AND next_fetch_time <= {int(now_ms)}))"
     )
-    return base | due
 
 
 def select_frontier(
@@ -51,13 +53,14 @@ def select_frontier(
     now_ms: int,
     max_queue_size: int | None = 10_000,
     min_fetch_score: float = 0.0,
-    max_per_domain: int = 100,
+    max_per_domain: int | None = 100,
     refetch: bool = False,
 ) -> DataFrame:
     """One fetch-queue tick. Deterministic ties (score desc, url asc).
 
     ``max_per_domain`` mirrors MAX_IN_FLIGHT_URLS=100
     (``UrlDBFunction.java:54``): the per-tick in-flight cap per domain.
+    ``None`` disables the cap (and its window) entirely.
 
     ``max_queue_size=None`` disables the global top-k entirely. This is
     not just a semantic switch: the limit compiles to a single-partition
@@ -67,12 +70,22 @@ def select_frontier(
     politeness pipeline.
     """
     eligible = crawl_state.filter(_eligible_expr(now_ms, min_fetch_score, refetch))
-    per_domain = Window.partitionBy("pld").orderBy(F.col("score").desc(), F.col("url").asc())
-    capped = (
-        eligible.withColumn("rn", F.row_number().over(per_domain))
-        .filter(F.col("rn") <= F.lit(max_per_domain))
-        .drop("rn")
-    )
+    if max_per_domain is None:
+        # unbounded per-domain admission (r13, guide §2.4): the cap
+        # window is a per-tick exchange-by-pld + sort + filter that can
+        # never drop a row — skip building it at all. Callers that know
+        # their cap cannot bind (crawl_reachability's BFS semantics,
+        # which the oracle pins WITHOUT any cap) pass None.
+        capped = eligible
+    else:
+        per_domain = Window.partitionBy("pld").orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        )
+        capped = (
+            eligible.withColumn("rn", F.row_number().over(per_domain))
+            .filter(F.col("rn") <= F.lit(max_per_domain))
+            .drop("rn")
+        )
     if max_queue_size is None:
         return capped
     return capped.orderBy(F.col("score").desc(), F.col("url").asc()).limit(max_queue_size)

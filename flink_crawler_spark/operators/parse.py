@@ -166,12 +166,13 @@ def parsed_output(parsed: DataFrame) -> DataFrame:
 def outlink_output(parsed: DataFrame) -> DataFrame:
     """Outlink side output: score = page_score / n_outlinks
     (SimplePageParser.java:195-199), one row per link."""
-    per_link_score = F.col("score") / F.greatest(F.col("n_outlinks"), F.lit(1))
-    return parsed.select(
-        F.col("url").alias("source_url"),
-        F.explode("outlinks").alias("url"),
-        per_link_score.alias("score"),
-    ).select("source_url", "url", F.lit(None).cast("string").alias("anchor_text"), "score")
+    # per-tick call: one selectExpr round-trip instead of ~15 (r13, §1.2)
+    return parsed.selectExpr(
+        "url AS source_url",
+        "explode(outlinks) AS url",
+        "CAST(NULL AS STRING) AS anchor_text",
+        "score / greatest(n_outlinks, 1) AS score",
+    )
 
 
 def domain_score_output(parsed: DataFrame) -> DataFrame:

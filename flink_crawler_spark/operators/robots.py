@@ -291,11 +291,12 @@ def robots_sitemap_urls(rules: DataFrame) -> DataFrame:
 def blocked_status_updates(routed: DataFrame, *, now_ms: int) -> DataFrame:
     """Blocked rows -> SKIPPED_BLOCKED crawl-state observations that retry
     after DEFERRED_RETRY_MS (``CheckUrlWithRobotsFunction.java:201-232``)."""
-    return routed.filter(F.col("route") == "blocked").select(
+    # per-tick call: two py4j round-trips instead of ~12 (r13, guide §1.2)
+    return routed.where("route = 'blocked'").selectExpr(
         "url",
         "pld",
-        F.lit("SKIPPED_BLOCKED").alias("status"),
-        F.lit(now_ms).alias("status_time"),
+        "'SKIPPED_BLOCKED' AS status",
+        f"CAST({int(now_ms)} AS BIGINT) AS status_time",
         "score",
-        F.lit(now_ms + DEFERRED_RETRY_MS).alias("next_fetch_time"),
+        f"CAST({int(now_ms + DEFERRED_RETRY_MS)} AS BIGINT) AS next_fetch_time",
     )

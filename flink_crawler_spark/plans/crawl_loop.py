@@ -73,7 +73,7 @@ class CrawlConfig:
     max_ticks: int = 10
     max_duration_sec: float = 300.0
     max_queue_size: int | None = 10_000  # CTB:98 FetchQueue capacity; None = unbounded (skips the global top-k stage)
-    max_per_domain: int = 100  # UrlDBFunction.java:54 MAX_IN_FLIGHT_URLS
+    max_per_domain: int | None = 100  # UrlDBFunction.java:54 MAX_IN_FLIGHT_URLS; None = uncapped (skips the per-pld window)
     min_fetch_score: float = 0.0  # focused-crawl threshold
     default_crawl_delay_ms: int = 10_000  # CTB:93
     force_crawl_delay_ms: int | None = None
@@ -186,13 +186,15 @@ def clean_urls(
 def seeds_to_state(clean: DataFrame, *, now_ms: int) -> DataFrame:
     """ValidUrlsFilter conversion: survivors become UNFETCHED rows
     (``functions/ValidUrlsFilter.java:16-47``)."""
-    return clean.select(
+    # per-tick call: one selectExpr round-trip instead of ~15 Column
+    # round-trips (r13, guide §1.2); types pinned by explicit casts
+    return clean.selectExpr(
         "url",
         "pld",
-        F.lit("UNFETCHED").alias("status"),
-        F.lit(now_ms).alias("status_time"),
-        F.coalesce(F.col("score"), F.lit(1.0)).alias("score"),
-        F.lit(now_ms).alias("next_fetch_time"),
+        "'UNFETCHED' AS status",
+        f"CAST({int(now_ms)} AS BIGINT) AS status_time",
+        "coalesce(score, CAST(1.0 AS DOUBLE)) AS score",
+        f"CAST({int(now_ms)} AS BIGINT) AS next_fetch_time",
     )
 
 
@@ -520,7 +522,7 @@ def _crawl_body(
                 budget=cfg.domain_score_budget,
                 min_fetch_score=cfg.min_fetch_score,
                 refetch=cfg.refetch,
-            ).persist()
+            )  # persisted below (shared with the default branch)
         else:
             frontier = select_frontier(
                 crawl_state,
@@ -529,7 +531,22 @@ def _crawl_body(
                 min_fetch_score=cfg.min_fetch_score,
                 max_per_domain=cfg.max_per_domain,
                 refetch=cfg.refetch,
-            ).persist()
+            )
+        # r13 (guide §1.5 Observation idiom, §1.2): in default (non-table)
+        # mode without stats, n_frontier only drives the == 0 termination
+        # check — ride it on the checkpoint job as a CollectMetrics node
+        # instead of paying a separate count() action per tick. The
+        # metric fires when the persisted frontier materializes inside
+        # the checkpoint job (exactly once: the cache computes each
+        # partition once). Stats mode keeps the exact count() because its
+        # per-tick "frontier" values are user-visible output.
+        front_obs = None
+        if cfg.state_table is None and not cfg.collect_stats:
+            from pyspark.sql import Observation
+
+            front_obs = Observation(f"frontier_n_t{tick}")
+            frontier = frontier.observe(front_obs, F.count(F.lit(1)).alias("n"))
+        frontier = frontier.persist()
         # NOTE: no eager count here — the frontier persist is materialized
         # by the state-checkpoint job below, and the emptiness check reads
         # that cache afterwards. One Spark job per tick, not two; on the
@@ -540,13 +557,15 @@ def _crawl_body(
         # A1: robots routing (skipped entirely when there are no rules —
         # everything passes with the default delay, no join in the plan)
         if empty_rules:
-            routed = frontier.withColumn("route", F.lit("passed")).withColumn(
-                "crawl_delay_ms",
-                F.lit(
-                    cfg.force_crawl_delay_ms
-                    if cfg.force_crawl_delay_ms is not None
-                    else cfg.default_crawl_delay_ms
-                ).cast("long"),
+            _delay = (
+                cfg.force_crawl_delay_ms
+                if cfg.force_crawl_delay_ms is not None
+                else cfg.default_crawl_delay_ms
+            )
+            routed = frontier.selectExpr(
+                "*",
+                "'passed' AS route",
+                f"CAST({int(_delay)} AS BIGINT) AS crawl_delay_ms",
             )
         else:
             routed = check_urls_against_robots(
@@ -557,7 +576,7 @@ def _crawl_body(
             )
         blocked = blocked_status_updates(routed, now_ms=now_ms)
         record(tick, "robots_blocked", blocked)
-        passed = routed.filter(F.col("route") == "passed").drop("route")
+        passed = routed.where("route = 'passed'").drop("route")
         record(tick, "robots_passed", passed)
 
         # A2/J4: politeness slots. Over-quota URLs surface as
@@ -566,10 +585,23 @@ def _crawl_body(
         # simply stay UNFETCHED and re-enter a later frontier — the
         # set-based equivalent of restorePreviousStatus (SURVEY §7
         # "hard parts": displacement disappears under recomputation).
-        split = politeness_split(passed, now_ms=now_ms, tick_ms=cfg.tick_ms)
-        delayed = crawldelay_status_updates(split)
-        record(tick, "crawldelay", delayed)
-        to_fetch = split.filter(F.col("route") == "fetch")
+        if cfg.force_crawl_delay_ms == 0 and cfg.tick_ms > 0:
+            # r13 (guide §2.4): zero forced delay means every slot fires
+            # at now (slot*0 == 0 < tick_ms) and nothing ever routes to
+            # 'crawldelay' — the per-pld slot window is a per-tick
+            # exchange + sort that computes a constant. Emit the
+            # constants directly; crawldelay_status_updates folds to an
+            # empty relation at optimization (route is lit('fetch')).
+            split = passed.selectExpr(
+                "*",
+                f"CAST({int(now_ms)} AS BIGINT) AS fetch_time",
+                "'fetch' AS route",
+            )
+        else:
+            split = politeness_split(passed, now_ms=now_ms, tick_ms=cfg.tick_ms)
+        if cfg.trace:  # the crawldelay observations feed ONLY the trace
+            record(tick, "crawldelay", crawldelay_status_updates(split))
+        to_fetch = split.where("route = 'fetch'")
         record(tick, "fetch", to_fetch)
 
         # fetch (mock join, or the injected fetcher); lazy persist —
@@ -594,7 +626,8 @@ def _crawl_body(
         if cfg.html_only:
             results = mime_filter(results)
         results = results.persist()
-        record(tick, "fetched", results.filter(F.col("status") == "FETCHED"))
+        if cfg.trace:  # don't build the filter frame when tracing is off
+            record(tick, "fetched", results.where("status = 'FETCHED'"))
         status_updates = fetch_status_updates(results)
 
         # U1: parse + side outputs (persisted: 4 outputs off one frame,
@@ -805,9 +838,25 @@ def _crawl_body(
             new_state = merged.localCheckpoint(eager=True)
         if cfg.state_table is None:
             # default mode has no table swap: the checkpoint job above
-            # materialized the caches; the count just reads them (the
-            # original one-real-job-per-tick order)
-            n_frontier = frontier.count()
+            # materialized the caches. Without stats the frontier size
+            # rode that job as a CollectMetrics observation (zero extra
+            # actions); stats mode reads the cache with an exact count.
+            if front_obs is not None:
+                # not front_obs.get: AQE's empty-relation propagation can
+                # fold the CollectMetrics node out of the executed plan
+                # (exactly when the frontier IS runtime-empty), and the
+                # Observation then completes with a schemaless empty row
+                # that pyspark's toPyRow rejects. Read the JVM row
+                # directly; an empty row means AQE proved some stage
+                # empty — verify with ONE cache read (terminal tick only,
+                # the cache is already materialized).
+                jrow = front_obs._jo.getRow()
+                if jrow is not None and jrow.size() > 0:
+                    n_frontier = int(jrow.getLong(0))
+                else:
+                    n_frontier = frontier.count()
+            else:
+                n_frontier = frontier.count()
             _fold_tick_history()
 
         frontier.unpersist()

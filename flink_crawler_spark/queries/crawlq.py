@@ -113,7 +113,7 @@ def crawl_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = CrawlConfig(
         max_ticks=CRAWL_TICKS,
         max_queue_size=None,  # unbounded: skips the single-partition top-k stage
-        max_per_domain=10_000_000,
+        max_per_domain=None,  # uncapped: the oracle BFS has no per-domain cap — skips the window outright (r13)
         force_crawl_delay_ms=0,
         trace=False,
         collect_stats=False,

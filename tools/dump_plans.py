@@ -1,5 +1,5 @@
 """Dump `explain("formatted")` for named registry queries to
-plans/r12/<query>_<suffix>.txt — the judge-facing before/after plan
+plans/<round>/<query>_<suffix>.txt (round from $FCS_PLANS_ROUND, default r13) — the judge-facing before/after plan
 evidence for the optimization rounds.
 
 Usage: python tools/dump_plans.py SUFFIX query [query ...]
@@ -29,7 +29,7 @@ def main() -> int:
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("FCS_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
