@@ -451,8 +451,15 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already wide and this is a no-op.
     from ..operators import ensure_parallelism
 
-    d0 = ensure_parallelism(t(spark, sf_dir, "documents")).select(
-        "doc_id", tokens_expr(F.col("text")).alias("tk")
+    # r13 (guide §2.4): tokenize ONCE. The three per-doc count tables each
+    # re-ran the regex tokenizer + scan (three full tokenize passes per
+    # query — the dominant cost; the count tables themselves are ~630k
+    # rows total at sf0.1). Pin the token arrays and let all three
+    # exploded streams read the materialized column.
+    d0 = (
+        ensure_parallelism(t(spark, sf_dir, "documents"))
+        .select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+        .localCheckpoint(eager=True)
     )
     tr = d0.select(
         "doc_id",
@@ -480,64 +487,100 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "t.x", "t.y")
     ug = d0.select("doc_id", F.explode("tk").alias("w"))
 
-    # one shuffle per exploded stream; globals fold the per-doc tables.
-    # Pinned (eager localCheckpoint): each per-doc table has 2-4
-    # consumers joining on DIFFERENT keys, so static ReuseExchange
-    # cannot dedupe them (the reused node is the pre-join exchange,
-    # which differs per key) — unpinned, the explode+agg recomputes per
-    # consumer (measured +0.6-1.2 s isolated at sf0.1).
-    c3d = (
+    # r13 (r12 verdict task 6, guide §3.3/§2.4): the leave-one-out join
+    # tower collapsed. Before: 5 global count tables (separate
+    # Exchange+HashAggregate each) joined NEXT TO their per-doc twins —
+    # 10 broadcast joins, 11 distinct BroadcastExchanges, zero reuse
+    # (every build side had its own renames, so canonical equality never
+    # fired). Now each global count rides its per-doc table as a WINDOW
+    # SUM over the global key (sum over (a,b,w)/(x,y)/(w) of the per-doc
+    # counts IS the global count — exact BIGINT arithmetic, same values),
+    # so one combined broadcast table serves both the global and the
+    # per-doc column of each lookup:
+    #   - c3g attaches to the probe itself (window in the build job; the
+    #     join disappears entirely),
+    #   - c2 (bigram) joins twice on (doc,x,y) with IDENTICAL build
+    #     sides -> ONE BroadcastExchange, reused,
+    #   - c1 (unigram) likewise,
+    #   - nd+ntot fold into one per-doc table (window total).
+    # 10 broadcast joins -> 5 (3 distinct broadcast builds); 6 global-agg
+    # exchanges -> 3 window exchanges that replace them 1:1 in the build
+    # jobs. Checkpoints stay: each combined table is the build output the
+    # probe job broadcasts.
+    _w3 = Window.partitionBy("a", "b", "w")
+    c3dw = (
         tr.groupBy("doc_id", "a", "b", "w")
         .agg(F.count(F.lit(1)).alias("c3d"))
+        .withColumn("c3g", F.sum("c3d").over(_w3))
         .localCheckpoint(eager=True)
     )
-    c2d = (
+    c2 = (
         bg.groupBy("doc_id", "x", "y")
         .agg(F.count(F.lit(1)).alias("c2d"))
+        .withColumn("c2g", F.sum("c2d").over(Window.partitionBy("x", "y")))
         .localCheckpoint(eager=True)
     )
-    c1d = (
+    c1 = (
         ug.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c1d"))
+        .withColumn("c1g", F.sum("c1d").over(Window.partitionBy("w")))
         .localCheckpoint(eager=True)
     )
-    c3g = c3d.groupBy("a", "b", "w").agg(F.sum("c3d").alias("c3g"))
-    c2g = c2d.groupBy("x", "y").agg(F.sum("c2d").alias("c2g"))
-    c1g = c1d.groupBy("w").agg(F.sum("c1d").alias("c1g"))
-    nd = c1d.groupBy("doc_id").agg(F.sum("c1d").alias("ndoc"))
-    nn = nd.agg(F.sum("ndoc").alias("ntot"))
+    nd = (
+        c1.groupBy("doc_id")
+        .agg(F.sum("c1d").alias("ndoc"))
+        .withColumn("ntot", F.sum("ndoc").over(Window.partitionBy()))
+    )
 
+    # string-qualified aliases: the SAME c2/c1 frame joins twice, and
+    # dataset-ref columns are ambiguous across a self-join; SubqueryAlias
+    # wrappers canonicalize away, so BroadcastExchange reuse still fires.
+    j1 = (
+        c3dw.alias("t3")
+        .join(
+            F.broadcast(c2.alias("cA")),
+            F.expr("t3.doc_id = cA.doc_id AND t3.a = cA.x AND t3.b = cA.y"),
+        )
+        .select(
+            "t3.doc_id", "t3.a", "t3.b", "t3.w", "t3.c3d", "t3.c3g",
+            F.col("cA.c2d").alias("c2d_ab"), F.col("cA.c2g").alias("c2g_ab"),
+        )
+    )
+    j2 = (
+        j1.alias("j1")
+        .join(
+            F.broadcast(c2.alias("cB")),
+            F.expr("j1.doc_id = cB.doc_id AND j1.b = cB.x AND j1.w = cB.y"),
+        )
+        .select(
+            *[f"j1.{c}" for c in j1.columns],
+            F.col("cB.c2d").alias("c2d_bw"), F.col("cB.c2g").alias("c2g_bw"),
+        )
+    )
+    j3 = (
+        j2.alias("j2")
+        .join(
+            F.broadcast(c1.alias("uA")),
+            F.expr("j2.doc_id = uA.doc_id AND j2.b = uA.w"),
+        )
+        .select(
+            *[f"j2.{c}" for c in j2.columns],
+            F.col("uA.c1d").alias("c1d_b"), F.col("uA.c1g").alias("c1g_b"),
+        )
+    )
+    j4 = (
+        j3.alias("j3")
+        .join(
+            F.broadcast(c1.alias("uB")),
+            F.expr("j3.doc_id = uB.doc_id AND j3.w = uB.w"),
+        )
+        .select(
+            *[f"j3.{c}" for c in j3.columns],
+            F.col("uB.c1d").alias("c1d_w"), F.col("uB.c1g").alias("c1g_w"),
+        )
+    )
     pos = (
-        c3d.join(c3g, ["a", "b", "w"])
-        .join(
-            c2g.withColumnRenamed("x", "a").withColumnRenamed("y", "b")
-            .withColumnRenamed("c2g", "c2g_ab"),
-            ["a", "b"],
-        )
-        .join(
-            c2d.withColumnRenamed("x", "a").withColumnRenamed("y", "b")
-            .withColumnRenamed("c2d", "c2d_ab"),
-            ["doc_id", "a", "b"],
-        )
-        .join(
-            c2g.withColumnRenamed("x", "b").withColumnRenamed("y", "w")
-            .withColumnRenamed("c2g", "c2g_bw"),
-            ["b", "w"],
-        )
-        .join(
-            c2d.withColumnRenamed("x", "b").withColumnRenamed("y", "w")
-            .withColumnRenamed("c2d", "c2d_bw"),
-            ["doc_id", "b", "w"],
-        )
-        .join(c1g.withColumnRenamed("w", "b").withColumnRenamed("c1g", "c1g_b"), "b")
-        .join(
-            c1d.withColumnRenamed("w", "b").withColumnRenamed("c1d", "c1d_b"),
-            ["doc_id", "b"],
-        )
-        .join(c1g, "w")
-        .join(c1d, ["doc_id", "w"])
-        .crossJoin(F.broadcast(nn))
-        .join(nd, "doc_id")
+        j4.join(F.broadcast(nd), "doc_id")
         .select(
             "doc_id",
             F.col("c3d").alias("cnt"),
@@ -545,7 +588,7 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c2g_ab") - F.col("c2d_ab")).alias("c2ab"),
             (F.col("c2g_bw") - F.col("c2d_bw")).alias("c2bw"),
             (F.col("c1g_b") - F.col("c1d_b")).alias("c1b"),
-            (F.col("c1g") - F.col("c1d")).alias("c1w"),
+            (F.col("c1g_w") - F.col("c1d_w")).alias("c1w"),
             (F.col("ntot") - F.col("ndoc")).alias("np"),
         )
     )
