@@ -100,6 +100,32 @@ def main() -> int:
         .start()
     )
     wq2.awaitTermination()
+    # r13 (r12 verdict task 7): the append-mode + watermark machinery is
+    # its own one-time engine surface — measured 11.1 s first vs 5.0 s
+    # second run for stream_window_counts_append even after the complete/
+    # update warms above, while every family warmed AFTER one append
+    # replay pays <1 s extra. One tiny watermarked append replay absorbs
+    # it (untimed engine init, the r8-sanctioned warmup class; the
+    # streaming queries' own work stays fully timed).
+    from pyspark.sql import functions as _Fw
+
+    from flink_crawler_spark.queries.streamq import _stream_session as _ss_warm
+
+    wstream2 = _ss_warm(spark).readStream.schema(warm.schema).parquet(wdir)
+    wq3 = (
+        wstream2.selectExpr(
+            "n_regionkey", "timestamp_seconds(n_regionkey * 60) AS ts_t"
+        )
+        .withWatermark("ts_t", "1 minute")
+        .groupBy(_Fw.window("ts_t", "1 minute"))
+        .count()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warm_append_" + _uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq3.awaitTermination()
     for tbl in spark.catalog.listTables():
         if tbl.isTemporary:
             spark.catalog.dropTempView(tbl.name)

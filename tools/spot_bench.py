@@ -77,6 +77,27 @@ def _warm(spark, sf_dir: str) -> None:
         .start()
     )
     wq2.awaitTermination()
+    # r13: append-mode + watermark engine warm (mirrors bench.py — see
+    # the comment there; measured ~6 s first-run extra otherwise)
+    from pyspark.sql import functions as _Fw
+
+    from flink_crawler_spark.queries.streamq import _stream_session as _ss_warm
+
+    wstream2 = _ss_warm(spark).readStream.schema(warm.schema).parquet(wdir)
+    wq3 = (
+        wstream2.selectExpr(
+            "n_regionkey", "timestamp_seconds(n_regionkey * 60) AS ts_t"
+        )
+        .withWatermark("ts_t", "1 minute")
+        .groupBy(_Fw.window("ts_t", "1 minute"))
+        .count()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spot_warm_append_" + _uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq3.awaitTermination()
     for tbl in spark.catalog.listTables():
         if tbl.isTemporary:
             spark.catalog.dropTempView(tbl.name)
