@@ -221,21 +221,39 @@ def near_dup_pairs(
     dominant cost, so it must not run per stage."""
     from . import ensure_parallelism
 
+    # r13 (guide §2.4): signatures as array HOFs in the SAME pass as the
+    # shingling — array_min(transform(sh, s -> md5(k|s))) is the exact
+    # per-doc MIN the exploded groupBy computed (the oracle's own
+    # list_min(list_transform(...)) formula, bit-identical: min over the
+    # same md5 multiset), so the explode + K-min shuffle + its separate
+    # materialization job disappear. The two-step projection keeps the
+    # shingle array referenced >1x, so CollapseProject cannot inline the
+    # regex pass into each signature expression.
     sh = (
         ensure_parallelism(df)
         .select(
             F.col(id_col),
             F.array_sort(shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
         )
+        .selectExpr(
+            id_col,
+            "sh",
+            *[
+                f"array_min(transform(sh, s -> md5(concat('{k}|', s)))) AS mh{k}"
+                for k in range(num_hashes)
+            ],
+        )
         .localCheckpoint(eager=True)  # freed on GC, unlike persist()
     )
-    sigs = _minhash_from_exploded(
-        sh.select(F.col(id_col), F.explode("sh").alias("__s")),
-        id_col=id_col,
-        num_hashes=num_hashes,
+    # empty-shingle docs produced NO row under the exploded groupBy —
+    # keep that behavior (their mh columns are NULL here)
+    sigs = sh.where("mh0 IS NOT NULL").select(
+        id_col, *[f"mh{k}" for k in range(num_hashes)]
     )
     pairs = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    verified = _jaccard_on_shingles(sh, pairs, id_col=id_col)
+    verified = _jaccard_on_shingles(
+        sh.select(id_col, "sh"), pairs, id_col=id_col
+    )
     return verified.filter(F.col("jaccard") >= F.lit(threshold))
 
 
@@ -283,6 +301,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
+    driver_fold_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation (HashMin).
 
@@ -292,13 +311,81 @@ def connected_components(
     each round is one join + one aggregate, lineage truncated per round
     via localCheckpoint so the plan stays O(1). Rounds needed = graph
     diameter — for near-dup clusters (tiny, dense) effectively 2-3.
+
+    r13 (guide §8, the r12 sssp/hits driver-fold pattern): when the
+    symmetric edge list is small (<= ``driver_fold_max_edges`` rows,
+    ~200k x 2 ids ≈ 20-30 MB of driver heap at the gate edge — the gate
+    count is an exact post-checkpoint count, not an estimate), the
+    min-label fixpoint runs as a driver union-find over the collected
+    edges: one collect + one broadcast join replace ~diameter+1 rounds
+    of join+agg+checkpoint+count. Near-dup graphs are tiny relative to
+    the corpus by construction (edges exist only between near-identical
+    docs); corpora whose edge lists exceed the gate keep the distributed
+    loop unchanged. Path parity is pinned by
+    tests/test_dedup_similarity.py::test_cc_driver_fold_parity.
     """
-    sym = (
+    sym_lazy = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # gate probe and edge fetch in ONE action: limit(G+1) either returns
+    # the whole (bounded) edge list or proves it exceeds the gate
+    probe = sym_lazy.limit(driver_fold_max_edges + 1).collect()
+    if len(probe) <= driver_fold_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min root wins => label = min reachable id
+        remap = [
+            (x, find(x)) for x in list(parent) if find(x) != x
+        ]  # non-representatives only; everything else labels itself
+        ids = nodes.select(F.col(id_col).alias("id"))
+        if not remap:
+            return ids.select(F.col("id").alias(id_col), F.col("id").alias("cluster_id"))
+        spark = nodes.sparkSession
+        from pyspark.sql import types as T
+
+        id_type = ids.schema["id"].dataType
+        if isinstance(id_type, (T.LongType, T.IntegerType)) and len(remap) <= 20_000:
+            # expression-built mapping: createDataFrame on a Python-local
+            # relation pays a ~1-2 s conversion round-trip per call
+            # (measured; the streamq _literal_rows lesson) — an inline()
+            # literal array is a handful of driver calls
+            suf = "L" if isinstance(id_type, T.LongType) else ""
+            structs = ",".join(f"struct({int(a)}{suf},{int(b)}{suf})" for a, b in remap)
+            mapping = (
+                spark.range(1)
+                .selectExpr(f"inline(array({structs}))")
+                .toDF("id", "__cl")
+            )
+        else:
+            mapping = spark.createDataFrame(
+                remap,
+                T.StructType(
+                    [
+                        T.StructField("id", id_type, False),
+                        T.StructField("__cl", id_type, False),
+                    ]
+                ),
+            )
+        return ids.join(F.broadcast(mapping), "id", "left").select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__cl"), F.col("id")).alias("cluster_id"),
+        )
+    sym = sym_lazy.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):

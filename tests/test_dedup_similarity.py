@@ -135,6 +135,36 @@ def test_connected_components_known_graph(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
 
 
+def test_cc_driver_fold_parity(spark):
+    """r13 driver-fold gate: the union-find fast path and the distributed
+    min-label loop must agree label-for-label on irregular graphs
+    (chains, stars, merging components, self-loops, singletons)."""
+    import random
+
+    from flink_crawler_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        e = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 45))
+        ]
+        edges = spark.createDataFrame(e, ["src", "dst"])
+        fold = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        loop = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, edges, driver_fold_max_edges=0
+            ).collect()
+        }
+        assert fold == loop, f"trial {trial}: {fold} != {loop}"
+
+
 def test_exact_cosine_pairs_blocked_matches_ground_truth(spark, sf_dir):
     """The default (distributed, block-pair) exact path and the
     collect+broadcast ground-truth path must produce identical pairs."""
