@@ -254,13 +254,26 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     hit = _SIGS_CACHE.get(key)
     if hit is None:
-        from ..operators.dedup import _minhash_from_exploded
         from .base import shingle_tables
 
-        _, ex = shingle_tables(spark, sf_dir, 3)
-        hit = _minhash_from_exploded(
-            ex.selectExpr("doc_id", "s AS __s"), id_col="doc_id", num_hashes=NUM_HASHES
-        ).localCheckpoint(eager=True)
+        # r13 (guide §2.4, the near_dup_pairs fusion): per-doc MINs as
+        # array HOFs over the checkpointed shingle sets — map-only, no
+        # explode + K-min shuffle. Bit-identical (min over the same md5
+        # set; the oracle's own list_min(list_transform(...)) formula).
+        # Empty-shingle docs produced NO row under the exploded groupBy —
+        # the mh0 filter keeps that exact behavior.
+        sets, _ = shingle_tables(spark, sf_dir, 3)
+        hit = (
+            sets.selectExpr(
+                "doc_id",
+                *[
+                    f"array_min(transform(sh, s -> md5(concat('{k}|', s)))) AS mh{k}"
+                    for k in range(NUM_HASHES)
+                ],
+            )
+            .where("mh0 IS NOT NULL")
+            .localCheckpoint(eager=True)
+        )
         _SIGS_CACHE[key] = hit
     return hit
 
