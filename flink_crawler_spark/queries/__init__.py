@@ -76,77 +76,71 @@ from . import pipelineq32  # noqa: E402,F401
 # multimodal, sketch, sources).  Everything else follows in registration
 # order and is still verified by bench + pytest.
 PRIORITY_WINDOW = [
-    # --- r12 rotation (OPTIMIZATION round; r11 verdict task 2 +
-    # changed-queries-first rule). 119 queries changed since the r11
-    # window went green (the full dsum_wide migration sweep + this
-    # round's ~40 optimization restructures) — far more than 50 slots,
-    # so slots 1-39 take the most-RESTRUCTURED queries (driver folds,
-    # boundary-key probes, shared-materialization reuse, action folds,
-    # window-elimination rewrites — the changes most able to drift if
-    # wrong); the remaining changed set is call-site-mechanical (dsum
-    # rename/parse-expression forms) and is covered by this round's
-    # full 282-query sf0.001 + sf0.1 gates and the sf1.0-equivalent
-    # magnitude gate recorded in OPTIMIZATION_r12.md. Every change
-    # was individually value-oracled at sf0.001 + sf0.01 when made.
-    "facility_location_select",   # driver greedy on collected decimal proxy
-    "hits_hub_authority",         # driver fold (modulo-bounded graph)
-    "sssp_bellman_ford",          # driver min-plus fold
-    "theil_sen_trend",            # numpy exact k-selection
-    "winsorized_mean_price",      # distributed_order_statistics
-    "conformal_prediction_interval",  # targeted order statistic
-    "weighted_median_price",      # driver-located crossing partitions
-    "rfm_user_segments",          # quintile boundary-key probes
-    "lift_gains_deciles",         # decile boundary-key probes
-    "customer_deciles",           # decile boundary-key probes
-    "length_bucket_packing",      # decile boundary-key probes
-    "quality_dedup_calibration",  # decile boundary-key probes
-    "graph_jaccard_link_prediction",  # wedge broadcast + one keyed exchange
-    "margin_mnn_pairs",           # pair-table spread, margin unpin
-    "rrf_rank_fusion",            # pinned 20-row top-k heads
-    "bm25_search_topk",           # one tokenize pass
-    "curation_funnel",            # pinned funnel stage outputs
-    "coverage_budget_curve",      # spread scan + pinned rank table
-    "random_projection_embed",    # one-selectExpr JL chain
-    "ann_recall_report",          # one-action unioned report
-    "sessionize_grouped_map",     # slim Arrow boundary, numpy kernel
-    "stupid_backoff_score",       # spread tokenize scan
-    "stream_url_db_merge",        # vectorized state kernel
-    "crawl_reachability",         # keep_parsed=False + memoized trees
-    "bucketed_state_merge",       # crawl_obs spread-before-render
-    "kmv_set_algebra",            # 6 driver actions -> 1 collected union
-    "benchmark_contamination",    # spread scan + unpinned grams
-    "cross_source_contamination", # shared verified-pairs reuse
-    "leakage_safe_split",         # shared near_dup_clusters reuse
-    "near_dup_clusters",          # rides shared sigs/verified pairs
-    "near_dup_threshold_sweep",   # single-consumer unpin
-    "matryoshka_truncation_recall",  # single-consumer unpin
-    "bigram_lift_top100",         # map-only in-array pairing (window gone)
-    "association_rules_pairs",    # four-consumer unpin (ReuseExchange)
-    "minhash_estimate_calibration",  # shared signature table
-    "excerpt_containment_pairs",  # shared signature table
-    "anova_f_event_values",       # sf1.0-gate find: ssb/ssw floor-idiom
-    # (ngram_jaccard_pairs' shared-sig change is exercised in-window by
-    # minhash_estimate_calibration + near_dup_clusters, which consume
-    # the same memoized signature/pair chain)
-    "doc_simhash",                # parsed-SQL 60-bit expression tree
-    "simhash_near_dup_pairs",     # parsed-SQL 60-bit expression tree
-    # --- slots 40-50: the 11 r5-vintage leftovers named by the r11
-    # verdict (task 2) — after this round no cumulative green row is
-    # older than r6. Four of them also changed this round (skew_salted
-    # join's Spark-side wide-form fix; stream_static_join /
-    # stream_window_counts_append / variant_props_extract touched by
-    # the dsum sweep), so they satisfy both rules at once.
-    "sessionize_session_window_batch",
-    "sitemap_failed_report",
-    "skew_salted_join",
-    "stream_dedup_within_watermark",
-    "stream_quality_gate_counts",
-    "stream_rate_gauge",
-    "stream_static_join",
-    "stream_update_mode_counts",
-    "stream_window_counts_append",
-    "variant_props_extract",
-    "vocab_coverage",
+    # --- r13 rotation (second OPTIMIZATION round; changed-queries-first
+    # rule, then least-recently-windowed). Slots 1-16: every query whose
+    # value-producing code path changed this round — the crawl-loop
+    # restructure (no-op window elimination, string-expr projections,
+    # observation-based termination), the stupid-backoff join-tower
+    # collapse, the connected-components driver fold + minhash array-HOF
+    # fusion and every consumer of the re-derived family sigs/pairs/
+    # clusters memos. Each was individually value-oracled at sf0.001 +
+    # sf0.01 when made; the window makes the driver re-prove them.
+    "crawl_reachability",         # loop: windows gone, selectExpr plans, obs count
+    "frontier_refetch_due",       # _eligible_expr parsed-SQL form
+    "stupid_backoff_score",       # LOO tower: window-combined tables, 5 BHJ
+    "curation_funnel",            # CC driver fold + fused minhash sigs
+    "near_dup_clusters",          # CC driver fold
+    "minhash_signatures",         # map-only array-HOF family sigs
+    "lsh_candidate_pairs",        # consumes the re-derived sigs memo
+    "minhash_estimate_calibration",  # consumes sigs memo
+    "excerpt_containment_pairs",  # consumes sigs memo
+    "ngram_jaccard_pairs",        # consumes sigs memo
+    "cross_source_contamination", # consumes verified-pairs memo
+    "near_dup_keep_best",         # consumes clusters memo
+    "leakage_safe_split",         # consumes clusters memo
+    "dedup_survivor_quality",     # consumes clusters memo
+    "quality_dedup_calibration",  # consumes clusters memo
+    "near_dup_threshold_sweep",   # shares the shingle base the sigs read
+    # --- slots 17-50: the 34 least-recently-windowed queries (window
+    # history recomputed from CORRECTNESS_r01..r12: the r5-vintage
+    # quartet, then 30 of the 34 r6-vintage rows alphabetically —
+    # systematic_pps_sample / temporal_split_embargo /
+    # unpivot_priority_metrics / weekday_revenue_profile are the four
+    # r6 rows left for a future rotation, all bench-green every round).
+    "pagerank_5iter",
+    "quantity_bag_ops",
+    "scd2_versioned_revenue",
+    "segment_boilerplate_filter",
+    "ccnet_perplexity_buckets",
+    "cohort_retention_weekly",
+    "corpus_token_stats",
+    "corr_qty_price_exact",
+    "customer_set_ops",
+    "customer_snapshot_diff",
+    "doc_meta_map_explode",
+    "embedding_int8_quantize",
+    "explode_outer_semantics",
+    "funnel_view_click_purchase",
+    "gap_fill_daily_revenue",
+    "hierarchical_time_rollup",
+    "hourly_weekday_heatmap",
+    "incremental_mv_refresh",
+    "ks_two_sample_price",
+    "locf_fill_daily",
+    "mad_price_by_flag",
+    "maxsim_label_retrieval",
+    "nullsafe_join_semantics",
+    "order_quantity_hof",
+    "order_rank_distributions",
+    "pivot_priority_by_year",
+    "poisson_bootstrap_ci",
+    "price_histogram_buckets",
+    "price_range_density",
+    "quartiles_one_pass",
+    "redirect_chain_resolve",
+    "robots_crawl_delay_budget",
+    "rolling_7d_distinct_users",
+    "softdedup_loss_weights",
 ]
 
 
